@@ -1,0 +1,196 @@
+"""PGD attack kernels as fused ``lax.scan`` programs.
+
+The reference's PGD (``cleverhans/.../projected_gradient_descent.py:106-189``)
+is an imperative host loop with a device sync every iteration
+(``loss_list.append(float(loss.cpu()))``, SURVEY §3.3).  Here the whole
+iteration budget is one jitted ``lax.scan``: no host round-trips, the loss
+trajectory comes back as a stacked ``[T, B]`` array, and per-iteration MLM
+masking randomness is threaded through the scan as split PRNG keys.
+
+Step semantics reproduced exactly:
+
+- ``ls==1`` (:func:`pgd_feature`): one feature-loss FGM step per iteration,
+  each followed by eps-ball projection + clamp (``pgd:131-152``);
+- ``ls==0`` (:func:`pgd_alternating`): one feature FGM step (clamp only),
+  then one MAR/MLM FGM step, then projection + clamp (``pgd:153-189``);
+- rand-init uniform(+/-eps) only on the first block (``time==0``,
+  ``pgd:106-116``);
+- the VL joint step (:func:`pgd_vl_step`): differentiate w.r.t. image *and*
+  text embeddings; update the image, harvest the text-embedding gradient at
+  the substitutable sub-token positions
+  (``fast_gradient_method_vl.py:96-130``).
+
+Loss-fn contract::
+
+    loss_fn(adv_x, key, aux) -> (scalar_loss, per_sample_loss[B])
+
+``loss_fn`` must be a stable (module-level or cached) callable — it is a
+static jit argument, compiled once; everything that varies per batch (model
+params, text ids, clean-feature targets, labels) travels in the traced
+``aux`` pytree, so a new attack batch does NOT retrace.
+
+The perturbation update (sign-step + clip + project + clamp) can run through
+the fused Pallas kernel (``ops/pgd_update.py``) via ``use_pallas=True``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vqattack_tpu.attacks.norms import LINF, clip_eta, optimize_linear
+
+LossFn = Callable[[jnp.ndarray, jax.Array, Any], Tuple[jnp.ndarray, jnp.ndarray]]
+
+
+def rand_init_eta(
+    rng: jax.Array, shape, eps: float, norm: str = LINF, dtype=jnp.float32
+) -> jnp.ndarray:
+    """Uniform(+/-eps) start perturbation, projected to the ball."""
+    eta = jax.random.uniform(rng, shape, dtype, minval=-eps, maxval=eps)
+    return clip_eta(eta, norm, eps)
+
+
+def _project(adv, ori, eps, norm, clip_min, clip_max):
+    eta = clip_eta(adv - ori, norm, eps)
+    return jnp.clip(ori + eta, clip_min, clip_max)
+
+
+def _update(adv, grad, ori, eps, eps_iter, norm, clip_min, clip_max, use_pallas):
+    """sign-step + clamp + ball-project + clamp — optionally fused in Pallas."""
+    if use_pallas and norm == LINF:
+        from vqattack_tpu.ops.pgd_update import pgd_linf_update
+
+        return pgd_linf_update(adv, grad, ori, eps, eps_iter, clip_min, clip_max)
+    adv = jnp.clip(adv + optimize_linear(grad, eps_iter, norm), clip_min, clip_max)
+    return _project(adv, ori, eps, norm, clip_min, clip_max)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("loss_fn", "nb_iter", "norm", "rand_init", "use_pallas"),
+)
+def pgd_feature(
+    loss_fn: LossFn,
+    x: jnp.ndarray,
+    ori_x: jnp.ndarray,
+    rng: jax.Array,
+    aux: Any = None,
+    eps: float = 0.125,
+    eps_iter: float = 0.01,
+    nb_iter: int = 40,
+    clip_min: float = -1.0,
+    clip_max: float = 1.0,
+    norm: str = LINF,
+    rand_init: bool = False,
+    use_pallas: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Feature-loss-only PGD (``ls==1``).  Returns ``(adv_x, losses[T, B])``."""
+    init_key, scan_key = jax.random.split(rng)
+    if rand_init:
+        adv = jnp.clip(
+            x + rand_init_eta(init_key, x.shape, eps, norm, x.dtype),
+            clip_min,
+            clip_max,
+        )
+    else:
+        adv = x
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def step(adv, key):
+        (_, per_sample), g = grad_fn(adv, key, aux)
+        adv = _update(adv, g, ori_x, eps, eps_iter, norm, clip_min, clip_max, use_pallas)
+        return adv, per_sample
+
+    keys = jax.random.split(scan_key, nb_iter)
+    adv, losses = jax.lax.scan(step, adv, keys)
+    return adv, losses
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "feature_loss_fn", "mlm_loss_fn", "nb_iter", "norm", "rand_init", "use_pallas",
+    ),
+)
+def pgd_alternating(
+    feature_loss_fn: LossFn,
+    mlm_loss_fn: LossFn,
+    x: jnp.ndarray,
+    ori_x: jnp.ndarray,
+    rng: jax.Array,
+    aux: Any = None,
+    eps: float = 0.125,
+    eps_iter: float = 0.01,
+    nb_iter: int = 20,
+    clip_min: float = -1.0,
+    clip_max: float = 1.0,
+    norm: str = LINF,
+    rand_init: bool = False,
+    use_pallas: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Alternating feature+MAR PGD (``ls==0``, ``pgd:153-189``).
+
+    Per iteration: feature FGM step (clamp only — the reference does not
+    project between the pair), then MLM FGM step, then projection + clamp.
+    Both loss fns see the same ``aux``.  Returns
+    ``(adv_x, feat_losses[T, B], mlm_losses[T, B])``.
+    """
+    init_key, scan_key = jax.random.split(rng)
+    if rand_init:
+        adv = jnp.clip(
+            x + rand_init_eta(init_key, x.shape, eps, norm, x.dtype),
+            clip_min,
+            clip_max,
+        )
+    else:
+        adv = x
+    feat_grad = jax.value_and_grad(feature_loss_fn, has_aux=True)
+    mlm_grad = jax.value_and_grad(mlm_loss_fn, has_aux=True)
+
+    def step(adv, key):
+        k1, k2 = jax.random.split(key)
+        (_, feat_ps), g1 = feat_grad(adv, k1, aux)
+        adv = jnp.clip(adv + optimize_linear(g1, eps_iter, norm), clip_min, clip_max)
+        (_, mlm_ps), g2 = mlm_grad(adv, k2, aux)
+        adv = _update(adv, g2, ori_x, eps, eps_iter, norm, clip_min, clip_max, use_pallas)
+        return adv, (feat_ps, mlm_ps)
+
+    keys = jax.random.split(scan_key, nb_iter)
+    adv, (feat_losses, mlm_losses) = jax.lax.scan(step, adv, keys)
+    return adv, feat_losses, mlm_losses
+
+
+@partial(jax.jit, static_argnames=("vl_loss_fn", "norm", "use_pallas"))
+def pgd_vl_step(
+    vl_loss_fn,
+    image: jnp.ndarray,
+    text_embeds: jnp.ndarray,
+    ori_x: jnp.ndarray,
+    positions: jnp.ndarray,
+    rng: jax.Array,
+    aux: Any = None,
+    eps: float = 0.125,
+    eps_iter: float = 0.01,
+    clip_min: float = -1.0,
+    clip_max: float = 1.0,
+    norm: str = LINF,
+    use_pallas: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One joint image+text-embedding step (``pgd_vl``/``fgm_vl``).
+
+    ``vl_loss_fn(image, text_embeds, key, aux) -> (scalar, per_sample)``;
+    ``positions [B, P]`` — sub-token indices of the substitutable words
+    (``attack_mask``/``text_emb_pick``, ``fgm_vl:117-120``), padded with 0s.
+
+    Returns ``(adv_image, text_grad[B, P, D])`` — the text embeddings are NOT
+    perturbed, only their gradient is harvested (SURVEY §2.3).
+    """
+    grad_fn = jax.value_and_grad(vl_loss_fn, argnums=(0, 1), has_aux=True)
+    (_, _), (g_img, g_emb) = grad_fn(image, text_embeds, rng, aux)
+    adv = _update(image, g_img, ori_x, eps, eps_iter, norm, clip_min, clip_max, use_pallas)
+    text_grad = jnp.take_along_axis(g_emb, positions[:, :, None], axis=1)
+    return adv, text_grad

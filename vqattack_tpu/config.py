@@ -1,0 +1,342 @@
+"""Typed configuration tree for the whole framework.
+
+The reference splits configuration across argparse + two ruamel-yaml files
+(ALBEF: ``VQA.py:118-134``, ``configs/VQA.yaml``, ``configs/Pretrain.yaml``,
+``configs/config_bert.json``) and a sacred Experiment with ~25 named configs
+(VLMo: ``vlmo/config.py``), with several attack constants hard-coded at call
+sites (``adv_attack.py:607-618``).  Here everything lives in one frozen
+dataclass tree; presets reproduce the reference's configurations, and the
+attack hyper-parameters are promoted to first-class config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Optional, Tuple
+
+
+def _replace(cfg, **kw):
+    return dataclasses.replace(cfg, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Model configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ViTConfig:
+    """DeiT-style ViT encoder (reference ``models/vit.py:97-177``)."""
+
+    image_size: int = 480
+    patch_size: int = 16
+    hidden_size: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    layer_norm_eps: float = 1e-6
+    qkv_bias: bool = True
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + 1  # + [CLS]
+
+
+@dataclass(frozen=True)
+class BertConfig:
+    """Fusion BERT (reference ``models/xbert.py`` + ``configs/config_bert.json``).
+
+    ``fusion_layer`` splits the stack: layers ``< fusion_layer`` are text-only,
+    layers ``>= fusion_layer`` additionally cross-attend to image embeddings
+    (``xbert.py:448-453``).  ``fusion_layer == num_layers`` disables fusion
+    entirely (a vanilla BERT, used for the substitution MLM).
+    """
+
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    fusion_layer: int = 6
+    encoder_width: int = 768  # width of the cross-attended (image) states
+    is_decoder: bool = False  # causal self-attention (answer decoder)
+    pad_token_id: int = 0
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+@dataclass(frozen=True)
+class ALBEFConfig:
+    """ALBEF pre-trained surrogate + fine-tuned victim geometry.
+
+    Reference: ``models/model_pretrain.py:20-84`` (surrogate) and
+    ``models/model_vqa.py:11-47`` (victim: 12-layer fusion encoder + 6-layer
+    causal answer decoder with ``fusion_layer=0``).
+    """
+
+    vit: ViTConfig = field(default_factory=ViTConfig)
+    bert: BertConfig = field(default_factory=BertConfig)
+    embed_dim: int = 256  # ITA projection dim (Pretrain.yaml: embed_dim)
+    temp: float = 0.07
+    mlm_probability: float = 0.15
+    decoder_layers: int = 6  # model_vqa.py:32 num_hidden_layers=6
+
+    @property
+    def decoder_config(self) -> BertConfig:
+        return _replace(
+            self.bert, num_layers=self.decoder_layers, fusion_layer=0, is_decoder=True
+        )
+
+
+@dataclass(frozen=True)
+class VLMoConfig:
+    """VLMo MoME multiway transformer (reference
+    ``vlmo/modules/multiway_transformer.py:244-412`` + ``vlmo/config.py``)."""
+
+    image_size: int = 480
+    patch_size: int = 16
+    hidden_size: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    layer_norm_eps: float = 1e-6
+    vlffn_start_layer: int = 10  # vlmo_base_patch16: vlffn_start_layer_index=10
+    layer_scale_init: Optional[float] = 0.1
+    use_abs_pos_emb: bool = False
+    need_relative_position_embed: bool = True
+    max_text_len: int = 40  # config.py:38
+    vocab_size: int = 30522
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2  # token type embeddings reused as modality embeds
+    vqa_label_size: int = 3129  # config.py:37 vqav2_label_size
+    drop_path_rate: float = 0.0
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def image_seq_len(self) -> int:
+        return self.num_patches + 1
+
+    @property
+    def window_size(self) -> Tuple[int, int]:
+        g = self.image_size // self.patch_size
+        return (g, g)
+
+
+# ---------------------------------------------------------------------------
+# Attack config
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class AttackConfig:
+    """PGD + word-substitution attack budget.
+
+    Reference constants hard-coded at ``adv_attack.py:607-695`` and
+    ``vlmo_module.py:1946-2032``.
+    """
+
+    eps: float = 0.125  # L-inf ball radius in [-1, 1] pixel space
+    step_size: float = 0.01  # per-iteration FGM step
+    num_iters: int = 40  # total PGD budget (feature-only path)
+    clip_min: float = -1.0
+    clip_max: float = 1.0
+    norm: str = "linf"  # {"linf", "l2"}
+    rand_init: bool = True  # uniform +/- eps, first block only (pgd:106-116)
+    max_text_len: int = 25  # ALBEF question tokenization (adv_attack.py:113)
+    mlm_top_k: int = 5  # substitution candidates per position
+    mlm_score_threshold: float = 0.3  # get_substitues threshold (adv_attack.py:190)
+    sim_threshold: float = 0.95  # USE similarity gate (adv_attack.py:303)
+    max_bpe_len: int = 12  # get_bpe_substitues caps (adv_attack.py:162)
+    max_bpe_width: int = 4
+    max_bpe_candidates: int = 24
+    max_answers: int = 8  # padded multi-answer MAR label variants
+    max_sub_words: int = 16  # padded substitutable-word positions
+    max_candidates: int = 8  # padded candidates per position
+
+
+# ---------------------------------------------------------------------------
+# Data / eval / parallel configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset layout (reference ``configs/VQA.yaml`` + ``vlmo/config.py:75``)."""
+
+    vqa_root: str = ""
+    test_files: Tuple[str, ...] = ()
+    answer_list: str = ""
+    arrow_root: str = ""  # VLMo pyarrow tables
+    image_size: int = 480
+    # side tables (qid lists, answer tables, paraphrases)
+    right_part: Tuple[str, ...] = ()
+    surrogate_ans_table: Tuple[str, ...] = ()
+    target_ans_table: Tuple[str, ...] = ()
+    chatgpt_paraphrases: Tuple[str, ...] = ()
+    all_correct_ans: Tuple[str, ...] = ()
+    vocab_file: str = ""
+    num_workers: int = 4
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for the data-parallel attack sweep.
+
+    The reference is DP-only (SURVEY §2.4); the rebuild shards the batch of
+    independent attack samples over a 1-D ``data`` axis riding ICI, and keeps
+    a ``model`` axis available for larger surrogates.
+    """
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    data_parallelism: int = -1  # -1 => all devices
+    model_parallelism: int = 1
+
+
+@dataclass(frozen=True)
+class RunConfig:
+    """Top-level run configuration."""
+
+    albef: ALBEFConfig = field(default_factory=ALBEFConfig)
+    vlmo: VLMoConfig = field(default_factory=VLMoConfig)
+    attack: AttackConfig = field(default_factory=AttackConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    seed: int = 42
+    batch_size: int = 1
+    k_test: int = 128  # ALBEF answer re-rank top-k (VQA.yaml: k_test)
+    eval_every: int = 10  # black-box eval cadence (adv_attack.py:717)
+    output_dir: str = "attack_out"
+    compute_dtype: str = "float32"  # attack-parity default; bfloat16 for speed
+
+
+# ---------------------------------------------------------------------------
+# Presets + (de)serialization
+# ---------------------------------------------------------------------------
+
+
+def albef_attack_config() -> RunConfig:
+    """The reference ALBEF attack configuration (VQA.yaml + Pretrain.yaml)."""
+    return RunConfig()
+
+
+def vlmo_attack_config() -> RunConfig:
+    """The reference VLMo attack configuration
+    (``task_finetune_vqa_base_image480``)."""
+    return RunConfig()
+
+
+def tiny_test_config(image_size: int = 32, vocab_size: int = 64) -> RunConfig:
+    """A miniature geometry for unit tests (2 layers, 32px, toy vocab)."""
+    vit = ViTConfig(image_size=image_size, patch_size=16, hidden_size=32, depth=2, num_heads=2)
+    bert = BertConfig(
+        vocab_size=vocab_size,
+        hidden_size=32,
+        num_layers=4,
+        num_heads=2,
+        intermediate_size=64,
+        fusion_layer=2,
+        encoder_width=32,
+        max_position_embeddings=64,
+    )
+    vlmo = VLMoConfig(
+        image_size=image_size,
+        patch_size=16,
+        hidden_size=32,
+        depth=4,
+        num_heads=2,
+        vlffn_start_layer=3,
+        max_text_len=8,
+        vocab_size=vocab_size,
+        max_position_embeddings=64,
+        vqa_label_size=16,
+    )
+    albef = ALBEFConfig(vit=vit, bert=bert, embed_dim=16, decoder_layers=2)
+    attack = AttackConfig(
+        num_iters=4, max_text_len=8, max_answers=2, max_sub_words=4, max_candidates=3
+    )
+    return RunConfig(albef=albef, vlmo=vlmo, attack=attack, batch_size=2, k_test=4)
+
+
+def to_dict(cfg: Any) -> Any:
+    if dataclasses.is_dataclass(cfg):
+        return {f.name: to_dict(getattr(cfg, f.name)) for f in dataclasses.fields(cfg)}
+    if isinstance(cfg, tuple):
+        return [to_dict(v) for v in cfg]
+    return cfg
+
+
+def from_dict(cls, d: dict):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if dataclasses.is_dataclass(f.type) or (
+            isinstance(f.type, type) and dataclasses.is_dataclass(f.type)
+        ):
+            kwargs[f.name] = from_dict(f.type, v)
+        elif isinstance(v, list):
+            kwargs[f.name] = tuple(v)
+        else:
+            kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+_NESTED = {
+    "albef": ALBEFConfig,
+    "vlmo": VLMoConfig,
+    "attack": AttackConfig,
+    "data": DataConfig,
+    "mesh": MeshConfig,
+    "vit": ViTConfig,
+    "bert": BertConfig,
+}
+
+
+def run_config_from_dict(d: dict) -> RunConfig:
+    def build(cls, dd):
+        kwargs = {}
+        for f in dataclasses.fields(cls):
+            if f.name not in dd:
+                continue
+            v = dd[f.name]
+            if f.name in _NESTED and isinstance(v, dict):
+                kwargs[f.name] = build(_NESTED[f.name], v)
+            elif isinstance(v, list):
+                kwargs[f.name] = tuple(v)
+            else:
+                kwargs[f.name] = v
+        return cls(**kwargs)
+
+    return build(RunConfig, d)
+
+
+def save_config(cfg: RunConfig, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(to_dict(cfg), f, indent=2)
+
+
+def load_config(path: str) -> RunConfig:
+    with open(path) as f:
+        if path.endswith((".yaml", ".yml")):
+            import yaml
+
+            d = yaml.safe_load(f)
+        else:
+            d = json.load(f)
+    return run_config_from_dict(d)

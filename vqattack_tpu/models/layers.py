@@ -1,0 +1,164 @@
+"""Shared transformer building blocks (flax.linen), TPU-first.
+
+Design stance: parameters are float32; compute dtype is configurable
+(``float32`` for attack-gradient parity, ``bfloat16`` for throughput).
+Attention is plain batched einsum — at the reference's sequence lengths
+(25-40 text / 901 image tokens, SURVEY §5.7) XLA's fused attention is already
+near roofline; a Pallas flash-attention path lives in ``ops/`` as an option.
+
+Reference parity targets: ``models/vit.py:32-94`` (timm attention/MLP),
+``models/xbert.py:219-520`` (HF BERT attention stack),
+``vlmo/modules/multiway_transformer.py:59-201`` (decomposed-bias attention,
+layer-scale MoME block).  Re-derived, not translated.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+NEG_INF = -1e9  # additive-mask fill; large-negative beats -inf under bf16
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact (erf) GELU — torch ``nn.GELU`` default and HF ``"gelu"``."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def mask_to_bias(mask: jnp.ndarray, dtype: Dtype) -> jnp.ndarray:
+    """[B, K] {0,1} key mask -> [B, 1, 1, K] additive attention bias."""
+    bias = jnp.where(mask > 0, 0.0, NEG_INF).astype(dtype)
+    return bias[:, None, None, :]
+
+
+def causal_bias(seq_len: int, dtype: Dtype) -> jnp.ndarray:
+    """[1, 1, Q, K] additive causal bias (answer-decoder self-attention)."""
+    i = jnp.arange(seq_len)[:, None]
+    j = jnp.arange(seq_len)[None, :]
+    bias = jnp.where(j <= i, 0.0, NEG_INF).astype(dtype)
+    return bias[None, None, :, :]
+
+
+class Mlp(nn.Module):
+    """fc1 -> GELU -> fc2 (reference ``vit.py:11-29``)."""
+
+    hidden_dim: int
+    out_dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = gelu(x)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class MultiHeadAttention(nn.Module):
+    """Batched multi-head attention with separate q/k/v projections.
+
+    Supports self- and cross-attention (``kv`` input), additive attention
+    bias (VLMo relative-position bias), key masks, decomposed qkv-bias
+    (VLMo: q and v biased, k un-biased — ``multiway_transformer.py:75-93``),
+    and causal masking via the ``bias`` argument.
+
+    Checkpoint conversion splits torch fused-qkv weights into the three
+    separate kernels; numerics are identical.
+    """
+
+    num_heads: int
+    head_dim: int
+    out_dim: int
+    q_bias: bool = True
+    k_bias: bool = True
+    v_bias: bool = True
+    # when False, returns the merged head context without the output
+    # projection — the HF BERT layout keeps that dense in its own
+    # "attention output" block (post-LN residual)
+    use_out_proj: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        kv: Optional[jnp.ndarray] = None,
+        bias: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        kv = x if kv is None else kv
+        d = self.num_heads * self.head_dim
+
+        q = nn.Dense(d, use_bias=self.q_bias, dtype=self.dtype, name="query")(x)
+        k = nn.Dense(d, use_bias=self.k_bias, dtype=self.dtype, name="key")(kv)
+        v = nn.Dense(d, use_bias=self.v_bias, dtype=self.dtype, name="value")(kv)
+
+        def split(t):
+            return t.reshape(t.shape[0], t.shape[1], self.num_heads, self.head_dim)
+
+        q, k, v = split(q), split(k), split(v)
+        scale = self.head_dim ** -0.5
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+        if bias is not None:
+            attn = attn + bias.astype(attn.dtype)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        out = out.reshape(out.shape[0], out.shape[1], d)
+        if not self.use_out_proj:
+            return out
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="proj")(out)
+
+
+class ViTBlock(nn.Module):
+    """Pre-LN transformer block (reference ``vit.py:77-94``)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    layer_norm_eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dim = x.shape[-1]
+        head_dim = dim // self.num_heads
+        h = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm1")(x)
+        x = x + MultiHeadAttention(
+            num_heads=self.num_heads,
+            head_dim=head_dim,
+            out_dim=dim,
+            dtype=self.dtype,
+            name="attn",
+        )(h)
+        h = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm2")(x)
+        x = x + Mlp(
+            hidden_dim=int(dim * self.mlp_ratio), out_dim=dim, dtype=self.dtype, name="mlp"
+        )(h)
+        return x
+
+
+class PatchEmbed(nn.Module):
+    """Conv patchify (NHWC; reference timm ``PatchEmbed`` /
+    ``multiway_transformer.py:204-241``)."""
+
+    patch_size: int
+    hidden_size: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pixels: jnp.ndarray) -> jnp.ndarray:
+        p = self.patch_size
+        x = nn.Conv(
+            self.hidden_size,
+            kernel_size=(p, p),
+            strides=(p, p),
+            padding="VALID",
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="proj",
+        )(pixels)
+        return x.reshape(x.shape[0], -1, self.hidden_size)

@@ -1,0 +1,74 @@
+"""ViT-B/16 image encoder with per-layer feature taps.
+
+Behavioral parity with the reference's DeiT-style encoder
+(``ALBEF_VQAttack/ALBEF_attack/models/vit.py:97-177``):
+
+- patchify -> prepend [CLS] -> add (truncated) absolute position embedding;
+- 12 pre-LN blocks; final LayerNorm applied to the *output* only;
+- the feature list captures the embedding output plus every block output
+  **before** the final norm — 13 tensors for depth 12 (``vit.py:160-177``).
+
+TPU-first differences: NHWC pixel layout (XLA-native conv), features returned
+as one stacked array ``[B, depth+1, N, D]`` instead of a Python list so the
+attack's layer-sum cosine loss is a single fused reduction.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vqattack_tpu.config import ViTConfig
+from vqattack_tpu.models.layers import PatchEmbed, ViTBlock
+
+
+class VisionTransformer(nn.Module):
+    cfg: ViTConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, pixels: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """pixels: [B, H, W, 3] in normalized [-1, 1] space.
+
+        Returns ``(normed_output, feats)`` with ``feats: [B, depth+1, N+1, D]``.
+        """
+        cfg = self.cfg
+        b = pixels.shape[0]
+        x = PatchEmbed(
+            patch_size=cfg.patch_size,
+            hidden_size=cfg.hidden_size,
+            dtype=self.dtype,
+            name="patch_embed",
+        )(pixels)
+
+        cls_token = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, cfg.hidden_size), jnp.float32
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls_token, (b, 1, cfg.hidden_size)).astype(self.dtype), x],
+            axis=1,
+        )
+        pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.normal(stddev=0.02),
+            (1, cfg.seq_len, cfg.hidden_size),
+            jnp.float32,
+        )
+        # reference truncates pos_embed to the actual sequence (vit.py:168)
+        x = x + pos_embed[:, : x.shape[1], :].astype(self.dtype)
+
+        feats = [x]
+        for i in range(cfg.depth):
+            x = ViTBlock(
+                num_heads=cfg.num_heads,
+                mlp_ratio=cfg.mlp_ratio,
+                layer_norm_eps=cfg.layer_norm_eps,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(x)
+            feats.append(x)
+
+        out = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="norm")(x)
+        return out, jnp.stack(feats, axis=1)
