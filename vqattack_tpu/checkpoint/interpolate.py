@@ -11,9 +11,43 @@ from __future__ import annotations
 
 import math
 
-import jax
-import jax.numpy as jnp
 import numpy as np
+
+
+def _cubic_kernel(x: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Cubic-convolution kernel with a=-0.75 (the torch/OpenCV choice —
+    jax.image.resize uses Keys a=-0.5, which drifts ~1e-1 on upsampling)."""
+    ax = np.abs(x)
+    w = np.where(
+        ax <= 1,
+        (a + 2) * ax ** 3 - (a + 3) * ax ** 2 + 1,
+        np.where(ax < 2, a * ax ** 3 - 5 * a * ax ** 2 + 8 * a * ax - 4 * a, 0.0),
+    )
+    return w
+
+
+def _bicubic_resize_axis(x: np.ndarray, axis: int, out_size: int) -> np.ndarray:
+    """torch ``F.interpolate(mode='bicubic', align_corners=False)`` semantics
+    along one axis: half-pixel-centered sampling, 4 taps, edge-clamped."""
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    scale = in_size / out_size
+    coords = (np.arange(out_size) + 0.5) * scale - 0.5
+    base = np.floor(coords).astype(np.int64)
+    t = coords - base
+    idx = np.stack([base - 1, base, base + 1, base + 2], axis=0)
+    idx = np.clip(idx, 0, in_size - 1)
+    w = _cubic_kernel(np.stack([1 + t, t, 1 - t, 2 - t], axis=0))
+    x = np.moveaxis(x, axis, 0)
+    out = np.einsum("ko,ko...->o...", w, x[idx])
+    return np.moveaxis(out, 0, axis)
+
+
+def bicubic_resize_2d(grid: np.ndarray, new_h: int, new_w: int) -> np.ndarray:
+    """[..., H, W]-trailing bicubic resize, torch-parity (a=-0.75)."""
+    out = _bicubic_resize_axis(grid, grid.ndim - 2, new_h)
+    return _bicubic_resize_axis(out, grid.ndim - 1, new_w)
 
 
 def interpolate_pos_embed(
@@ -22,7 +56,8 @@ def interpolate_pos_embed(
     """Bicubic-resize the patch grid of an absolute position embedding.
 
     ``pos_embed``: [1, old_patches + extra, D] (extra tokens, e.g. [CLS],
-    lead and are kept unchanged — ``vit.py:191-203``).
+    lead and are kept unchanged — ``vit.py:191-203``).  Matches torch
+    ``F.interpolate(..., mode='bicubic', align_corners=False)`` numerics.
     """
     pos_embed = np.asarray(pos_embed)
     dim = pos_embed.shape[-1]
@@ -33,10 +68,9 @@ def interpolate_pos_embed(
         return pos_embed
     extra = pos_embed[:, :num_extra_tokens]
     grid = pos_embed[:, num_extra_tokens:].reshape(1, orig_size, orig_size, dim)
-    resized = jax.image.resize(
-        jnp.asarray(grid), (1, new_size, new_size, dim), method="bicubic"
-    )
-    resized = np.asarray(resized).reshape(1, new_size * new_size, dim)
+    grid = np.moveaxis(grid, 3, 1)  # [1, D, H, W]
+    resized = bicubic_resize_2d(grid, new_size, new_size)
+    resized = np.moveaxis(resized, 1, 3).reshape(1, new_size * new_size, dim)
     return np.concatenate([extra, resized], axis=1)
 
 
