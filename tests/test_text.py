@@ -1,0 +1,151 @@
+"""Text layer: WordPiece tokenizer, schedule math, candidate generation,
+substitution selection."""
+
+import numpy as np
+
+from vqattack_tpu.attacks.text_attack import (
+    WordCandidates,
+    apply_substitutions_to_paraphrase,
+    compute_iter_schedule,
+    generate_candidates,
+    select_substitutions,
+)
+from vqattack_tpu.text.filter_words import default_filter_words, filter_answer_words
+from vqattack_tpu.text.tokenizer import WordPieceTokenizer
+
+
+def make_tok():
+    return WordPieceTokenizer.toy(
+        ["what", "color", "is", "the", "dog", "cat", "red", "blue", "frisbee",
+         "play", "##ing", "hat", "a"]
+    )
+
+
+def test_tokenize_roundtrip():
+    tok = make_tok()
+    ids, mask = tok.encode("what color is the dog", max_length=10)
+    assert ids.shape == (10,) and mask.sum() == 7  # CLS + 5 + SEP
+    assert ids[0] == tok.cls_token_id and ids[6] == tok.sep_token_id
+    assert tok.decode(ids) == "what color is the dog"
+
+
+def test_wordpiece_subword_and_unk():
+    tok = make_tok()
+    assert tok.tokenize("playing") == ["play", "##ing"]
+    assert tok.tokenize("@") == ["@"] if "@" in tok.vocab else True
+    # unknown word without char pieces path
+    toks = tok.tokenize("zzz")
+    assert all(t in tok.vocab for t in toks)
+    assert tok.convert_tokens_to_string(["play", "##ing", "dog"]) == "playing dog"
+
+
+def test_word_spans():
+    tok = make_tok()
+    words, subs, spans = tok.word_spans("the dog playing")
+    assert words == ["the", "dog", "playing"]
+    assert spans == [(0, 1), (1, 2), (2, 4)]
+    assert subs == ["the", "dog", "play", "##ing"]
+
+
+def test_iter_schedule_reference_math():
+    # 2 substitutable words -> count=3, 40//3=13 odd -> [12,12,16]
+    assert compute_iter_schedule(2, 40) == [12, 12, 16]
+    # 1 word -> count=2, 40//2=20 even -> [20,20]
+    assert compute_iter_schedule(1, 40) == [20, 20]
+    # 3 words -> count=4, 10 even -> [10,10,10,10]
+    assert compute_iter_schedule(3, 40) == [10, 10, 10, 10]
+    # 4 -> count=5, 8 even -> [8]*5
+    assert compute_iter_schedule(4, 40) == [8, 8, 8, 8, 8]
+    # 7 -> count=8, 5 odd -> [4]*8 last += 8
+    sched = compute_iter_schedule(7, 40)
+    assert sched[:-1] == [4] * 7 and sum(sched) == 40
+    assert compute_iter_schedule(0, 40) == []
+
+
+def test_generate_candidates_filters():
+    tok = make_tok()
+    fw = default_filter_words()
+    v = tok.vocab_size
+
+    def fake_mlm(ids):
+        # favor 'cat' (a real single token) everywhere, with big logits
+        logits = np.zeros((ids.shape[0], ids.shape[1], v), np.float32)
+        logits[:, :, tok.vocab["cat"]] = 5.0
+        logits[:, :, tok.vocab["hat"]] = 4.0
+        logits[:, :, tok.vocab["the"]] = 3.0  # filtered (stopword)
+        logits[:, :, tok.vocab["dog"]] = 2.0
+        return logits
+
+    cands = generate_candidates("what color is the dog", tok, fake_mlm, fw)
+    # 'color' is a filler word (filtered); 'dog' is substitutable
+    assert cands.candidate_lists[4] is not None
+    assert "cat" in cands.candidate_lists[4]
+    assert "the" not in cands.candidate_lists[4]  # stopword filtered
+    assert "dog" not in cands.candidate_lists[4]  # original word filtered
+    assert sum(cands.iter_list) == 40
+    # attack positions point at the sub-token index + 1 for [CLS]
+    wi = cands.attack_word_indices
+    assert all(cands.candidate_lists[i] for i in wi)
+
+
+def test_select_substitutions_greedy_gate():
+    tok = make_tok()
+    d = 8
+    s = 25
+    cands = WordCandidates(
+        words=["what", "color", "is", "the", "dog"],
+        spans=[(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)],
+        candidate_lists=[None, None, None, None, ["cat", "hat"]],
+        iter_list=[20, 20],
+    )
+    pos = cands.attack_positions[0]
+    rng = np.random.default_rng(0)
+    ori_emb = rng.normal(size=(s, d)).astype(np.float32)
+    grad = np.zeros((1, d), np.float32)
+    grad[0, 0] = 1.0
+
+    cat_emb = ori_emb.copy()
+    hat_emb = ori_emb.copy()
+
+    def embed_texts(texts):
+        out = []
+        for t in texts:
+            if "cat" in t:
+                e = cat_emb.copy()
+                e[pos, 0] += 2.0  # aligned with grad -> high dir_sim
+            else:
+                e = hat_emb.copy()
+                e[pos, 0] -= 2.0  # anti-aligned
+            out.append(e)
+        return np.stack(out)
+
+    def gate(ref, texts):
+        return np.array([0.99] * len(texts), np.float32)
+
+    new_text, ops = select_substitutions(
+        "what color is the dog", "what color is the dog", grad, cands,
+        ori_emb, embed_texts, gate,
+    )
+    assert new_text == "what color is the cat"
+    assert ops == [("dog", "cat")]
+
+    # gate rejection blocks the swap
+    def strict_gate(ref, texts):
+        return np.array([0.5] * len(texts), np.float32)
+
+    same_text, ops2 = select_substitutions(
+        "what color is the dog", "what color is the dog", grad, cands,
+        ori_emb, embed_texts, strict_gate,
+    )
+    assert same_text == "what color is the dog" and ops2 == []
+
+
+def test_apply_substitutions_to_paraphrase():
+    out = apply_substitutions_to_paraphrase(
+        ["the", "dog", "is", "red", "dog"], [("dog", "cat")]
+    )
+    assert out == ["the", "cat", "is", "red", "cat"]
+
+
+def test_filter_answer_words():
+    assert filter_answer_words(["red", "on", "dog"]) == ["red", "dog"]

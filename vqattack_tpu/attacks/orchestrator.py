@@ -1,0 +1,344 @@
+"""The ALBEF attack orchestrator: per-sample attack loop + black-box eval.
+
+Host/device choreography (SURVEY §7.0): for each sample the PGD iteration
+budget runs as ``k+1`` jitted ``lax.scan`` blocks, with the host-side text
+machinery (WordPiece re-tokenization, similarity gate, substitution
+bookkeeping) only at block boundaries — mirroring the reference's structure
+(``adv_attack.py:385-715``) while killing its three throughput sinks
+(per-iteration host syncs, model reload churn, per-candidate tiny forwards).
+
+All device entry points are jitted once and reused across samples: the aux
+pytree carries everything sample-specific (see ``attacks/pgd.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import zlib
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vqattack_tpu.attacks import albef as albef_losses
+from vqattack_tpu.attacks.mar_labels import MarLabels, build_mar_labels
+from vqattack_tpu.attacks.pgd import pgd_alternating, pgd_feature, pgd_vl_step
+from vqattack_tpu.attacks.text_attack import (
+    WordCandidates,
+    apply_substitutions_to_paraphrase,
+    generate_candidates,
+    select_substitutions,
+)
+from vqattack_tpu.config import RunConfig
+from vqattack_tpu.models.albef import AlbefPretrain, AlbefVQA, mlm_random_mask
+from vqattack_tpu.text.similarity import SimilarityGate
+from vqattack_tpu.text.tokenizer import WordPieceTokenizer
+
+
+@dataclasses.dataclass
+class AttackResult:
+    qid: str
+    adv_image: np.ndarray          # [1, H, W, 3]
+    adv_text: str
+    old_alg: int
+    feat_losses: np.ndarray        # concatenated per-iteration feature losses
+    mlm_losses: Optional[np.ndarray]
+    num_blocks: int
+    substitutions: List[Tuple[str, str]]
+
+
+class AlbefAttackPipeline:
+    """Holds the three resident param trees (surrogate, victim, candidate
+    MLM) + jitted entry points; replaces the reference's checkpoint-reload
+    churn (``vlmo_module.py:330-567`` pattern) with persistent device state.
+    """
+
+    def __init__(
+        self,
+        cfg: RunConfig,
+        surrogate: AlbefPretrain,
+        surrogate_params: Any,
+        tokenizer: WordPieceTokenizer,
+        gate: SimilarityGate,
+        victim: Optional[AlbefVQA] = None,
+        victim_params: Any = None,
+        mlm_model: Any = None,          # FusionBert(with_mlm_head) for candidates
+        mlm_params: Any = None,
+        filter_words: Optional[frozenset] = None,
+        use_pallas: bool = True,
+    ):
+        self.cfg = cfg
+        self.surrogate = surrogate
+        self.surrogate_params = surrogate_params
+        self.victim = victim
+        self.victim_params = victim_params
+        self.mlm_model = mlm_model
+        self.mlm_params = mlm_params
+        self.tokenizer = tokenizer
+        self.gate = gate
+        if filter_words is None:
+            from vqattack_tpu.text.filter_words import default_filter_words
+
+            filter_words = default_filter_words()
+        self.filter_words = filter_words
+        self.use_pallas = use_pallas
+
+        self._special = (
+            tokenizer.mask_token_id,
+            tokenizer.pad_token_id,
+            tokenizer.cls_token_id,
+        )
+        # jitted device entry points (compiled once, reused across samples)
+        self._gen_feats = jax.jit(
+            lambda v, px, ids, m: surrogate.apply(
+                v, px, ids, m, method=AlbefPretrain.gen_feats
+            )
+        )
+        self._embed_text = jax.jit(
+            lambda v, ids: surrogate.apply(v, ids, method=AlbefPretrain.embed_text)
+        )
+        if mlm_model is not None:
+            self._cand_mlm_logits = jax.jit(
+                lambda v, ids: mlm_model.apply(
+                    v, ids, jnp.ones_like(ids), mode="text"
+                )[2]
+            )
+        if victim is not None:
+            self._rank_answer = jax.jit(
+                lambda v, px, ids, m, a_ids, a_mask: victim.apply(
+                    v, px, ids, m, a_ids, a_mask, cfg.k_test
+                )
+            )
+        self._feature_loss = albef_losses.make_feature_loss(surrogate)
+        self._mlm_loss = albef_losses.make_mlm_loss(surrogate)
+        self._vl_loss = albef_losses.make_vl_loss(surrogate)
+
+    # ------------------------------------------------------------------ utils
+
+    def encode(self, text: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        ids, mask = self.tokenizer.encode(text, self.cfg.attack.max_text_len)
+        return jnp.asarray(ids[None]), jnp.asarray(mask[None])
+
+    def clean_targets(self, pixels, text_ids, text_mask, rng):
+        """Clean per-layer feature stacks (``Gen_ori_feats``,
+        ``adv_attack.py:111-118``) — the reference's stochastic MLM masking
+        applied with an explicit key."""
+        masked_ids, _ = mlm_random_mask(
+            rng,
+            text_ids,
+            vocab_size=self.surrogate.cfg.bert.vocab_size,
+            mask_token_id=self._special[0],
+            pad_token_id=self._special[1],
+            cls_token_id=self._special[2],
+            mlm_probability=self.surrogate.cfg.mlm_probability,
+        )
+        img_f, txt_f, _ = self._gen_feats(
+            self.surrogate_params, pixels, masked_ids, text_mask
+        )
+        return img_f, txt_f
+
+    def candidate_mlm_logits(self, ids: np.ndarray) -> np.ndarray:
+        ids = jnp.asarray(ids)
+        return np.asarray(self._cand_mlm_logits(self.mlm_params, ids))
+
+    def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
+        ids, _ = self.tokenizer.encode_batch(texts, self.cfg.attack.max_text_len)
+        return np.asarray(self._embed_text(self.surrogate_params, jnp.asarray(ids)))[
+            :, : self.cfg.attack.max_text_len
+        ]
+
+    # ---------------------------------------------------------------- attack
+
+    def attack_sample(
+        self,
+        pixels: np.ndarray,           # [1, H, W, 3] normalized [-1, 1]
+        question: str,
+        qid: str,
+        paraphrase: Optional[str],
+        target_answer: Optional[str],
+        all_correct_answers: Sequence[str] = (),
+        rng: Optional[jax.Array] = None,
+    ) -> AttackResult:
+        """The full per-sample attack (``Adv_attack.evaluate`` body,
+        ``adv_attack.py:415-715``)."""
+        atk = self.cfg.attack
+        if rng is None:
+            rng = jax.random.key(self.cfg.seed)
+        # stable per-qid fold (hash() is salted per process)
+        qid_fold = int(qid) if str(qid).isdigit() else zlib.crc32(str(qid).encode())
+        r_tgt, r_pgd = jax.random.split(jax.random.fold_in(rng, qid_fold % (2 ** 31)))
+
+        ori_px = jnp.asarray(pixels)
+        ori_text = question
+        adv_text = question
+
+        # MAR labels (old_alg==0 iff an answer word appears in the paraphrase)
+        if paraphrase is not None and target_answer is not None:
+            mar = build_mar_labels(
+                paraphrase, target_answer, all_correct_answers,
+                self.tokenizer, atk.max_text_len, atk.max_answers,
+            )
+        else:
+            mar = MarLabels(1, None, None, None, [], [], [], 0)
+        old_alg = mar.old_alg
+
+        # clean feature targets from the original question
+        ori_ids, ori_mask = self.encode(question)
+        tgt_img, tgt_txt = self.clean_targets(ori_px, ori_ids, ori_mask, r_tgt)
+        ori_emb = np.asarray(self._embed_text(self.surrogate_params, ori_ids))[0]
+
+        # substitution candidates + block schedule
+        cands = generate_candidates(
+            question, self.tokenizer, self.candidate_mlm_logits,
+            self.filter_words, total_iters=atk.num_iters,
+            top_k=atk.mlm_top_k, score_threshold=atk.mlm_score_threshold,
+        )
+        iter_list = cands.iter_list if cands.iter_list else [atk.num_iters]
+
+        mar_words = list(mar.paraphrase_words)
+        mlm_ids, mlm_mask = mar.mlm_ids, mar.mlm_mask
+        mlm_true_len = mar.true_len
+
+        adv_px = ori_px
+        feat_losses: List[np.ndarray] = []
+        mlm_losses: List[np.ndarray] = []
+        all_ops: List[Tuple[str, str]] = []
+        first_block = True
+
+        for block_idx, block_iters in enumerate(iter_list):
+            ids, mask = self.encode(adv_text)
+            # min-true-length cosine mask (the reference's ragged truncation,
+            # fgm:121-126): adv vs clean token counts can differ after
+            # substitution re-tokenization
+            n_adv = int(np.asarray(mask).sum())
+            n_ori = int(np.asarray(ori_mask).sum())
+            n = min(n_adv, n_ori)
+            token_mask = (np.arange(atk.max_text_len) < n).astype(np.float32)[None]
+
+            aux = {
+                "variables": self.surrogate_params,
+                "text_ids": ids,
+                "text_mask": mask,
+                "tgt_txt": tgt_txt,
+                "tgt_img": tgt_img,
+                "txt_token_mask": jnp.asarray(token_mask),
+                "special_ids": self._special,
+            }
+            r_pgd, r_block = jax.random.split(r_pgd)
+            rand_init = first_block and atk.rand_init
+
+            if old_alg == 1:
+                adv_px, losses = pgd_feature(
+                    self._feature_loss, adv_px, ori_px, r_block, aux,
+                    eps=atk.eps, eps_iter=atk.step_size, nb_iter=block_iters,
+                    clip_min=atk.clip_min, clip_max=atk.clip_max,
+                    rand_init=rand_init, use_pallas=self.use_pallas,
+                )
+                feat_losses.append(np.asarray(losses)[:, 0])
+            else:
+                # label-alignment guard: if substitution changed the masked
+                # paraphrase's token count, the labels no longer align and the
+                # reference falls back to the feature loss for the MLM step
+                # (fgm:102-118 'bkp' wiring)
+                cur_ids, cur_mask = self.tokenizer.encode(
+                    " ".join(mar_words), atk.max_text_len
+                )
+                aligned = int(cur_mask.sum()) == mlm_true_len
+                aux["mlm_ids"] = jnp.asarray(cur_ids[None])
+                aux["mlm_mask"] = jnp.asarray(cur_mask[None])
+                aux["mlm_labels"] = jnp.asarray(mar.labels[None])
+                second_loss = self._mlm_loss if aligned else self._feature_loss
+                adv_px, fl, ml = pgd_alternating(
+                    self._feature_loss, second_loss, adv_px, ori_px, r_block, aux,
+                    eps=atk.eps, eps_iter=atk.step_size, nb_iter=block_iters // 2,
+                    clip_min=atk.clip_min, clip_max=atk.clip_max,
+                    rand_init=rand_init, use_pallas=self.use_pallas,
+                )
+                feat_losses.append(np.asarray(fl)[:, 0])
+                mlm_losses.append(np.asarray(ml)[:, 0])
+            first_block = False
+
+            if block_idx == len(iter_list) - 1 or not cands.attack_word_indices:
+                break
+
+            # --- between blocks: VL joint step -> word substitution --------
+            adv_embeds = self._embed_text(self.surrogate_params, ids)
+            positions = jnp.asarray([cands.attack_positions])
+            r_pgd, r_vl = jax.random.split(r_pgd)
+            adv_px, text_grad = pgd_vl_step(
+                self._vl_loss, adv_px, adv_embeds, ori_px, positions, r_vl, aux,
+                eps=atk.eps, eps_iter=atk.step_size,
+                clip_min=atk.clip_min, clip_max=atk.clip_max,
+                use_pallas=self.use_pallas,
+            )
+            adv_text, ops = select_substitutions(
+                adv_text, ori_text, np.asarray(text_grad)[0], cands,
+                ori_emb, self.embed_texts, self.gate.scores,
+                sim_threshold=atk.sim_threshold, max_length=atk.max_text_len,
+            )
+            all_ops.extend(ops)
+            if old_alg == 0 and ops:
+                mar_words = apply_substitutions_to_paraphrase(mar_words, ops)
+
+        return AttackResult(
+            qid=str(qid),
+            adv_image=np.asarray(adv_px),
+            adv_text=adv_text,
+            old_alg=old_alg,
+            feat_losses=np.concatenate(feat_losses) if feat_losses else np.zeros(0),
+            mlm_losses=np.concatenate(mlm_losses) if mlm_losses else None,
+            num_blocks=len(iter_list),
+            substitutions=all_ops,
+        )
+
+    # ------------------------------------------------------------------ eval
+
+    def evaluate_victim(
+        self,
+        adv_image: np.ndarray,
+        adv_text: str,
+        answer_ids: jnp.ndarray,
+        answer_mask: jnp.ndarray,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Black-box check: victim's ranked answers on the adversarial pair
+        (``adv_attack.py:717-733``)."""
+        ids, mask = self.encode(adv_text)
+        return self._rank_answer(
+            self.victim_params, jnp.asarray(adv_image), ids, mask,
+            answer_ids, answer_mask,
+        )
+
+
+def save_artifacts(
+    results: Sequence[AttackResult], out_dir: str, txt_name: str = "adv_txt_dict.json"
+) -> None:
+    """Persist adversarial artifacts in the reference's layout: one image
+    tensor per qid + one JSON text dict (``adv_attack.py:713-715``).
+    Images are stored as ``.npy`` (NHWC float32) plus optional torch ``.pt``
+    (NCHW) when torch is importable, for byte-compat with the reference's
+    downstream transfer-eval scripts."""
+    os.makedirs(out_dir, exist_ok=True)
+    txt: Dict[str, str] = {}
+    for r in results:
+        np.save(os.path.join(out_dir, f"{r.qid}.npy"), r.adv_image)
+        try:
+            import torch
+
+            torch.save(
+                torch.tensor(r.adv_image.transpose(0, 3, 1, 2)),
+                os.path.join(out_dir, f"{r.qid}.pt"),
+            )
+        except ImportError:
+            pass
+        txt[r.qid] = r.adv_text
+    path = os.path.join(out_dir, txt_name)
+    existing = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = json.load(f)
+    existing.update(txt)
+    with open(path, "w") as f:
+        f.write(json.dumps(existing))

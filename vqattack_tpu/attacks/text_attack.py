@@ -1,0 +1,252 @@
+"""Cross-modal iterative word-substitution attack (the text side).
+
+Reproduces the reference machinery (``adv_attack.py:161-333`` and the VLMo
+duplicate ``vlmo_module.py:1531-1722``):
+
+- **block schedule**: the PGD budget splits into ``k+1`` blocks for ``k``
+  substitutable words (:func:`compute_iter_schedule`, ``adv_attack.py:232-239``);
+- **candidate generation**: BERT-MLM top-5 per single-sub-token position,
+  raw-logit score threshold 0.3, original/sub-word/stop-word filtering
+  (:func:`generate_candidates`, ``adv_attack.py:215-264``);
+- **BPE candidates**: multi-sub-token spans expand into token combinations
+  ranked by MLM pseudo-perplexity (:func:`bpe_substitutes`,
+  ``adv_attack.py:161-189``) — API parity; the schedule only targets
+  single-token spans so this path is cold, as in the reference;
+- **selection**: rank (position, candidate) pairs by cosine between the
+  candidate's embedding direction and the harvested text-embedding gradient
+  (``dir_sim``, ``adv_attack.py:325-333``), then greedily accept under a
+  ratcheting sentence-similarity gate (> 0.95, ``adv_attack.py:300-324``).
+
+TPU-native reshaping: the reference scores candidates with one tiny BERT
+embedding forward *per candidate sentence* (``adv_attack.py:278-298``); here
+all candidate sentences are embedded in one batched device call and the
+dir-sim ranking is a single einsum (:func:`select_substitutions`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from vqattack_tpu.text.tokenizer import WordPieceTokenizer
+
+
+@dataclasses.dataclass
+class WordCandidates:
+    """Per-sample substitution state."""
+
+    words: List[str]                       # question words (lowercased)
+    spans: List[Tuple[int, int]]           # word -> sub-token [start, end)
+    candidate_lists: List[Optional[List[str]]]  # per word; None = not attackable
+    iter_list: List[int]                   # PGD iterations per block
+
+    @property
+    def attack_word_indices(self) -> List[int]:
+        return [i for i, c in enumerate(self.candidate_lists) if c]
+
+    @property
+    def attack_positions(self) -> List[int]:
+        """Sub-token positions (+1 for [CLS]) of the attackable words —
+        the reference's ``attack_vector`` (``adv_attack.py:577-580``)."""
+        return [self.spans[i][0] + 1 for i in self.attack_word_indices]
+
+
+def compute_iter_schedule(num_sub_words: int, total_iters: int = 40) -> List[int]:
+    """Split ``total_iters`` into ``k+1`` blocks (``adv_attack.py:232-239``):
+    equal blocks rounded to even sizes, remainder folded into the last."""
+    if num_sub_words == 0:
+        return []
+    count = num_sub_words + 1
+    per = total_iters // count
+    if per % 2 == 0:
+        iters = [per] * count
+    else:
+        iters = [per - 1] * count
+    iters[-1] += total_iters - sum(iters)
+    return iters
+
+
+def bpe_substitutes(
+    substitutes: np.ndarray,
+    tokenizer: WordPieceTokenizer,
+    mlm_logits_fn: Callable[[np.ndarray], np.ndarray],
+    max_len: int = 12,
+    max_width: int = 4,
+    max_candidates: int = 24,
+) -> List[str]:
+    """Multi-sub-token candidate expansion ranked by MLM pseudo-perplexity
+    (``adv_attack.py:161-189``): cross-product of the top predictions per
+    position (capped), each combination scored by mean CE of the MLM
+    predicting its own tokens, lowest perplexity first."""
+    substitutes = substitutes[:max_len, :max_width]
+    combos: List[List[int]] = [[]]
+    for row in substitutes:
+        combos = [c + [int(t)] for c in combos for t in row]
+        if len(combos) > 4 * max_candidates:
+            combos = combos[: 4 * max_candidates]
+    combos = combos[:max_candidates]
+    if not combos or not combos[0]:
+        return []
+    ids = np.asarray(combos, np.int32)  # [N, L]
+    logits = mlm_logits_fn(ids)  # [N, L, V]
+    logits = logits - logits.max(-1, keepdims=True)
+    logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    nll = -np.take_along_axis(logp, ids[..., None], axis=-1)[..., 0]
+    ppl = np.exp(nll.mean(-1))
+    order = np.argsort(ppl)
+    out = []
+    for i in order:
+        toks = tokenizer.convert_ids_to_tokens(ids[i])
+        out.append(tokenizer.convert_tokens_to_string(toks))
+    return out
+
+
+def generate_candidates(
+    question: str,
+    tokenizer: WordPieceTokenizer,
+    mlm_logits_fn: Callable[[np.ndarray], np.ndarray],
+    filter_words: frozenset,
+    total_iters: int = 40,
+    top_k: int = 5,
+    score_threshold: float = 0.3,
+    max_length: int = 64,
+) -> WordCandidates:
+    """BERT-MLM substitution candidates per attackable word
+    (``cal_text_attack_list``, ``adv_attack.py:215-264``).
+
+    ``mlm_logits_fn(ids [B, S]) -> logits [B, S, V]`` — a jitted BERT-MLM
+    forward (padding is handled here; positions beyond the text are unused).
+    """
+    words, sub_words, spans = tokenizer.word_spans(question)
+    candidate_lists: List[Optional[List[str]]] = [None] * len(words)
+
+    substitutable = [
+        i
+        for i, (w, (s, e)) in enumerate(zip(words, spans))
+        if e - s == 1 and w not in filter_words
+    ]
+    iter_list = compute_iter_schedule(len(substitutable), total_iters)
+    if not substitutable:
+        return WordCandidates(words, spans, candidate_lists, [])
+
+    ids = np.asarray(
+        [tokenizer.cls_token_id]
+        + tokenizer.convert_tokens_to_ids(sub_words[: max_length - 2])
+        + [tokenizer.sep_token_id],
+        np.int32,
+    )
+    n = len(ids)
+    ids_padded = np.zeros((1, max_length), np.int32) + tokenizer.pad_token_id
+    ids_padded[0, :n] = ids
+    logits = np.asarray(mlm_logits_fn(ids_padded))[0]  # [S, V]
+
+    # top-k raw-logit scores per sub-token position (skipping [CLS], so row i
+    # aligns with sub_words[i] — adv_attack.py:244-246)
+    top_idx = np.argsort(-logits, axis=-1)[:, :top_k]
+    top_scores = np.take_along_axis(logits, top_idx, axis=-1)
+    top_idx, top_scores = top_idx[1:], top_scores[1:]
+
+    for wi in substitutable:
+        s, _ = spans[wi]
+        cands: List[str] = []
+        for tok_id, score in zip(top_idx[s], top_scores[s]):
+            if score_threshold != 0 and score < score_threshold:
+                break
+            cands.append(tokenizer.convert_ids_to_tokens([int(tok_id)])[0])
+        kept = []
+        for c in cands:
+            if c == words[wi] or "##" in c or c in filter_words:
+                continue
+            kept.append(c)
+        if kept:
+            candidate_lists[wi] = kept
+    # schedule was derived from all substitutable words (pre-filter), like the
+    # reference, where iter_list comes from substitute_list not the survivors
+    return WordCandidates(words, spans, candidate_lists, iter_list)
+
+
+def select_substitutions(
+    adv_text: str,
+    ori_text: str,
+    text_grad: np.ndarray,
+    cands: WordCandidates,
+    ori_emb: np.ndarray,
+    embed_texts_fn: Callable[[Sequence[str]], np.ndarray],
+    gate_scores_fn: Callable[[str, Sequence[str]], np.ndarray],
+    sim_threshold: float = 0.95,
+    max_length: int = 25,
+) -> Tuple[str, List[Tuple[str, str]]]:
+    """Rank + greedily accept substitutions (``update_adv_text``,
+    ``adv_attack.py:265-324``).
+
+    - ``text_grad [P, D]``: embedding gradient at the attack positions
+      (from :func:`vqattack_tpu.attacks.pgd.pgd_vl_step`);
+    - ``ori_emb [S, D]``: embedding of the *original* question;
+    - ``embed_texts_fn(texts) -> [N, S, D]``: batched BERT embedding lookup;
+    - ``gate_scores_fn(ref, texts) -> [N]``: sentence-similarity gate.
+
+    Returns ``(new_adv_text, [(original_word, new_word), ...])``.
+    """
+    adv_words = adv_text.replace("\n", "").lower().split(" ")
+    adv_words = [w for w in adv_words if w != ""]
+    ori_words = list(adv_words)
+
+    # build every candidate sentence (word wi replaced by candidate c)
+    entries = []  # (word_idx, cand_idx, grad_row, sub_tok_pos)
+    sentences = []
+    for p, (wi, pos) in enumerate(zip(cands.attack_word_indices, cands.attack_positions)):
+        if wi >= len(adv_words):
+            # tokenization drift (reference 'onebug' guard, adv_attack.py:280-283)
+            return " ".join(ori_words), []
+        for ci, cand in enumerate(cands.candidate_lists[wi]):
+            trial = list(adv_words)
+            trial[wi] = cand
+            sentences.append(" ".join(trial))
+            entries.append((wi, ci, p, pos))
+    if not sentences:
+        return adv_text, []
+
+    # one batched embedding call scores every candidate (vs the reference's
+    # per-candidate forwards)
+    embs = np.asarray(embed_texts_fn(sentences))  # [N, S, D]
+    dir_sims = np.empty(len(entries), np.float32)
+    for n, (wi, ci, p, pos) in enumerate(entries):
+        d = embs[n, pos] - ori_emb[pos]
+        g = text_grad[p]
+        denom = max(np.linalg.norm(d) * np.linalg.norm(g), 1e-6)
+        dir_sims[n] = float(np.dot(d, g) / denom)
+
+    order = np.argsort(-dir_sims)
+    occupied = set()
+    ops: List[Tuple[str, str]] = []
+    threshold = sim_threshold
+    current = list(adv_words)
+    for n in order:
+        wi, ci, _, _ = entries[n]
+        if wi in occupied:
+            continue
+        trial = list(current)
+        trial[wi] = cands.candidate_lists[wi][ci]
+        trial_text = " ".join(trial)
+        sim = float(gate_scores_fn(ori_text, [trial_text])[0])
+        if sim > threshold:
+            threshold = sim  # ratchet (adv_attack.py:319-320)
+            occupied.add(wi)
+            current = trial
+            ops.append((ori_words[wi], cands.candidate_lists[wi][ci]))
+    return " ".join(current), ops
+
+
+def apply_substitutions_to_paraphrase(
+    paraphrase_words: List[str], ops: Sequence[Tuple[str, str]]
+) -> List[str]:
+    """Propagate accepted question substitutions into the masked paraphrase
+    word list (``update_mlm_text``, ``adv_attack.py:334-353``)."""
+    out = list(paraphrase_words)
+    for ori_word, new_word in ops:
+        for i, w in enumerate(out):
+            if w == ori_word:
+                out[i] = new_word
+    return out
