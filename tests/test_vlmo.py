@@ -1,0 +1,136 @@
+"""VLMo model family: rel-pos index parity vs reference math, MoME routing,
+attack feature shapes, VQA head."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vqattack_tpu.config import tiny_test_config
+from vqattack_tpu.models.vlmo import VLMo, build_relative_position_index
+
+CFG = tiny_test_config().vlmo  # 32px, patch 16 -> 2x2 window, depth 4, text 8
+
+
+def torch_reference_index(window, max_text_len, init_len=196):
+    """Independent torch transcription of the reference's index math
+    (vlmo_module.py:818-883) used as golden."""
+    torch = pytest.importorskip("torch")
+    wh, ww = window
+    num_rel = (2 * wh - 1) * (2 * ww - 1) + 3
+    all_num = num_rel + 2 * init_len + 2
+    coords = torch.stack(
+        torch.meshgrid([torch.arange(wh), torch.arange(ww)], indexing="ij")
+    ).flatten(1)
+    rel = (coords[:, :, None] - coords[:, None, :]).permute(1, 2, 0).contiguous()
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    img = torch.zeros((wh * ww + 1,) * 2, dtype=rel.dtype)
+    img[1:, 1:] = rel.sum(-1)
+    img[0, :] = num_rel - 3
+    img[:, 0] = num_rel - 2
+    img[0, 0] = num_rel - 1
+
+    tpos = torch.arange(max_text_len - 1)
+    tmat = tpos.unsqueeze(-2) - tpos.unsqueeze(-1)
+    tmat = tmat - (2 - init_len) + num_rel + 2
+    txt = torch.zeros((max_text_len,) * 2, dtype=rel.dtype)
+    txt[1:, 1:] = tmat
+    txt[0, :] = all_num - 3
+    txt[:, 0] = all_num - 2
+    txt[0, 0] = all_num - 1
+
+    t2i = torch.ones(max_text_len, wh * ww + 1) * num_rel
+    i2t = torch.ones(wh * ww + 1, max_text_len) * (num_rel + 1)
+    joint = torch.cat(
+        [torch.cat([txt, t2i], 1), torch.cat([i2t, img], 1)], 0
+    )
+    return img.numpy(), txt.numpy(), joint.numpy(), all_num
+
+
+def test_rel_pos_index_parity():
+    tables = build_relative_position_index((2, 2), 8)
+    img, txt, joint, all_num = torch_reference_index((2, 2), 8)
+    np.testing.assert_array_equal(tables["image"], img)
+    np.testing.assert_array_equal(tables["text"], txt)
+    np.testing.assert_array_equal(tables["joint"], joint)
+    assert tables["all_num_relative_distance"] == all_num
+    # larger window too (14x14 = the 224px case)
+    t2 = build_relative_position_index((14, 14), 40)
+    i2, x2, j2, a2 = torch_reference_index((14, 14), 40)
+    np.testing.assert_array_equal(tables_j := t2["joint"], j2)
+    assert t2["all_num_relative_distance"] == a2
+
+
+@pytest.fixture(scope="module")
+def vlmo_setup():
+    model = VLMo(CFG)
+    b, t = 2, CFG.max_text_len
+    px = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (b, 32, 32, 3)), jnp.float32)
+    ids = jnp.ones((b, t), jnp.int32).at[:, 0].set(2)
+    masks = jnp.ones((b, t), jnp.int32).at[:, 6:].set(0)
+    params = jax.jit(
+        lambda k: model.init(k, ids, masks, px, method=VLMo.init_all)
+    )(jax.random.key(0))
+    return model, params, px, ids, masks
+
+
+def test_vlmo_infer_shapes(vlmo_setup):
+    model, params, px, ids, masks = vlmo_setup
+    out = model.apply(params, ids, masks, px)
+    b, t = ids.shape
+    s_img = CFG.image_seq_len
+    assert out["text_feats"].shape == (b, t, CFG.hidden_size)
+    assert out["image_feats"].shape == (b, s_img, CFG.hidden_size)
+    assert out["cls_feats"].shape == (b, CFG.hidden_size)
+    assert out["feats"].shape == (b, CFG.depth + 1, t + s_img, CFG.hidden_size)
+
+
+def test_vlmo_attack_feats(vlmo_setup):
+    model, params, px, ids, masks = vlmo_setup
+    cls_f, layer_cls, feats, token_mask = model.apply(
+        params, px, ids, masks, method=VLMo.attack_feats
+    )
+    b, t = ids.shape
+    assert layer_cls.shape == (b, CFG.depth + 1, CFG.hidden_size)
+    assert token_mask.shape == (b, t + CFG.image_seq_len)
+    # text part of the token mask equals the text attention mask
+    np.testing.assert_array_equal(np.asarray(token_mask[:, :t]), np.asarray(masks))
+    assert np.asarray(token_mask[:, t:]).all()
+
+
+def test_vlmo_attack_mlm_and_vqa(vlmo_setup):
+    model, params, px, ids, masks = vlmo_setup
+    mlm_logits, layer_cls, feats, _ = model.apply(
+        params, px, ids, masks, method=VLMo.attack_mlm
+    )
+    assert mlm_logits.shape == (2, CFG.max_text_len, CFG.vocab_size)
+    logits = model.apply(params, px, ids, masks, method=VLMo.vqa_logits)
+    assert logits.shape == (2, CFG.vqa_label_size)
+
+
+def test_vlmo_from_embeds_matches_ids_path(vlmo_setup):
+    model, params, px, ids, masks = vlmo_setup
+    embeds = model.apply(params, ids, method=VLMo.embed_text)
+    out1 = model.apply(params, px, ids, masks, method=VLMo.attack_feats)
+    out2 = model.apply(params, px, embeds, masks, method=VLMo.attack_feats_from_embeds)
+    for a, b in zip(out1, out2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_vlmo_text_and_image_towers(vlmo_setup):
+    model, params, px, ids, masks = vlmo_setup
+    t_out = model.apply(params, ids, masks, method=VLMo.infer_text)
+    assert t_out["mlm_logits"].shape == (2, CFG.max_text_len, CFG.vocab_size)
+    i_out = model.apply(params, px, method=VLMo.infer_image)
+    assert i_out["image_feats"].shape == (2, CFG.image_seq_len, CFG.hidden_size)
+
+
+def test_vlmo_mask_affects_output(vlmo_setup):
+    model, params, px, ids, masks = vlmo_setup
+    out1 = model.apply(params, ids, masks, px)
+    out2 = model.apply(params, ids, jnp.ones_like(masks), px)
+    assert not np.allclose(
+        np.asarray(out1["cls_feats"]), np.asarray(out2["cls_feats"]), atol=1e-6
+    )

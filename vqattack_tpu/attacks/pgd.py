@@ -71,7 +71,8 @@ def _update(adv, grad, ori, eps, eps_iter, norm, clip_min, clip_max, use_pallas)
 
 @partial(
     jax.jit,
-    static_argnames=("loss_fn", "nb_iter", "norm", "rand_init", "use_pallas"),
+    static_argnames=("loss_fn", "nb_iter", "norm", "rand_init", "use_pallas",
+                     "eps", "eps_iter", "clip_min", "clip_max"),
 )
 def pgd_feature(
     loss_fn: LossFn,
@@ -114,6 +115,7 @@ def pgd_feature(
     jax.jit,
     static_argnames=(
         "feature_loss_fn", "mlm_loss_fn", "nb_iter", "norm", "rand_init", "use_pallas",
+        "eps", "eps_iter", "clip_min", "clip_max",
     ),
 )
 def pgd_alternating(
@@ -164,7 +166,8 @@ def pgd_alternating(
     return adv, feat_losses, mlm_losses
 
 
-@partial(jax.jit, static_argnames=("vl_loss_fn", "norm", "use_pallas"))
+@partial(jax.jit, static_argnames=("vl_loss_fn", "norm", "use_pallas",
+                                   "eps", "eps_iter", "clip_min", "clip_max"))
 def pgd_vl_step(
     vl_loss_fn,
     image: jnp.ndarray,

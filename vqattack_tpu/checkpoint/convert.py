@@ -241,6 +241,119 @@ def convert_albef_pretrain(
     return tree
 
 
+def convert_vlmo(
+    sd: Dict[str, np.ndarray],
+    depth: int = 12,
+    vlffn_start_layer: int = 10,
+    new_window: Optional[int] = None,
+    src_window: Optional[int] = None,
+) -> Dict[str, Any]:
+    """VLMo checkpoint (``vlmo_base_patch16_*.pt``) -> VLMo flax params.
+
+    Key surface: ``transformer.*`` trunk (decomposed qkv bias: fused
+    ``attn.qkv.weight`` without bias + separate ``attn.q_bias``/``v_bias`` —
+    ``multiway_transformer.py:75-93``), HF ``text_embeddings.*``, modality
+    ``token_type_embeddings``, fused ``relative_position_bias_table``, heads
+    (``pooler/mlm_score/itm_score/itc_*_proj/vqa_classifier.{0,1,3}``).
+
+    ``new_window``/``src_window``: geometric rel-pos-bias resize for
+    224->480 adaptation (``vlmo_module.py:741-804``).
+    """
+    p = "transformer."
+    tree: Dict[str, Any] = {
+        "cls_token": sd[f"{p}cls_token"],
+        "patch_embed": {"proj": _conv(sd, f"{p}patch_embed.proj")},
+        "norm": _layernorm(sd, f"{p}norm"),
+        "text_embeddings": {
+            "word_embeddings": _embedding(sd, "text_embeddings.word_embeddings"),
+            "position_embeddings": _embedding(sd, "text_embeddings.position_embeddings"),
+            "token_type_embeddings": _embedding(sd, "text_embeddings.token_type_embeddings"),
+            "LayerNorm": _layernorm(sd, "text_embeddings.LayerNorm"),
+        },
+        "token_type_embeddings": _embedding(sd, "token_type_embeddings"),
+        "pooler": {"dense": _linear(sd, "pooler.dense")},
+    }
+    if f"{p}pos_embed" in sd:
+        tree["pos_embed"] = sd[f"{p}pos_embed"]
+    if "relative_position_bias_table" in sd:
+        tbl = sd["relative_position_bias_table"]
+        if new_window is not None and src_window is not None and new_window != src_window:
+            from vqattack_tpu.checkpoint.interpolate import interpolate_rel_pos_bias
+
+            tbl = resize_vlmo_rel_pos_table(tbl, src_window, new_window)
+        tree["relative_position_bias_table"] = tbl
+
+    for i in range(depth):
+        bp = f"{p}blocks.{i}"
+        w = sd[f"{bp}.attn.qkv.weight"]
+        d = w.shape[0] // 3
+        attn = {
+            "query": {"kernel": w[:d].T, "bias": sd[f"{bp}.attn.q_bias"]},
+            "key": {"kernel": w[d : 2 * d].T},
+            "value": {"kernel": w[2 * d :].T, "bias": sd[f"{bp}.attn.v_bias"]},
+            "proj": _linear(sd, f"{bp}.attn.proj"),
+        }
+        layer: Dict[str, Any] = {
+            "norm1": _layernorm(sd, f"{bp}.norm1"),
+            "attn": attn,
+            "norm2_text": _layernorm(sd, f"{bp}.norm2_text"),
+            "norm2_imag": _layernorm(sd, f"{bp}.norm2_imag"),
+            "mlp_text": {
+                "fc1": _linear(sd, f"{bp}.mlp_text.fc1"),
+                "fc2": _linear(sd, f"{bp}.mlp_text.fc2"),
+            },
+            "mlp_imag": {
+                "fc1": _linear(sd, f"{bp}.mlp_imag.fc1"),
+                "fc2": _linear(sd, f"{bp}.mlp_imag.fc2"),
+            },
+        }
+        if f"{bp}.gamma_1" in sd:
+            layer["gamma_1"] = sd[f"{bp}.gamma_1"]
+            layer["gamma_2"] = sd[f"{bp}.gamma_2"]
+        if f"{bp}.mlp_vl.fc1.weight" in sd:
+            layer["norm2_vl"] = _layernorm(sd, f"{bp}.norm2_vl")
+            layer["mlp_vl"] = {
+                "fc1": _linear(sd, f"{bp}.mlp_vl.fc1"),
+                "fc2": _linear(sd, f"{bp}.mlp_vl.fc2"),
+            }
+        tree[f"blocks_{i}"] = layer
+
+    if "mlm_score.transform.dense.weight" in sd:
+        decoder = {"kernel": sd["mlm_score.decoder.weight"].T,
+                   "bias": sd["mlm_score.bias"]}
+        tree["mlm_score"] = {
+            "transform_dense": _linear(sd, "mlm_score.transform.dense"),
+            "transform_LayerNorm": _layernorm(sd, "mlm_score.transform.LayerNorm"),
+            "decoder": decoder,
+        }
+    if "itm_score.fc.weight" in sd:
+        tree["itm_score"] = _linear(sd, "itm_score.fc")
+    if "itc_text_proj.fc.weight" in sd:
+        tree["itc_text_proj"] = _linear_nobias(sd, "itc_text_proj.fc")
+        tree["itc_image_proj"] = _linear_nobias(sd, "itc_image_proj.fc")
+    if "vqa_classifier.0.weight" in sd:
+        tree["vqa_classifier"] = {
+            "fc1": _linear(sd, "vqa_classifier.0"),
+            "norm": _layernorm(sd, "vqa_classifier.1"),
+            "fc2": _linear(sd, "vqa_classifier.3"),
+        }
+    return tree
+
+
+def resize_vlmo_rel_pos_table(
+    table: np.ndarray, src_window: int, dst_window: int
+) -> np.ndarray:
+    """Resize the fused VLMo table: only the image-window block
+    ((2w-1)^2 rows) resizes; the 3 image specials, text distances, and 2
+    cross constants pass through with re-laid-out offsets
+    (``vlmo_module.py:741-804``)."""
+    from vqattack_tpu.checkpoint.interpolate import interpolate_rel_pos_bias
+
+    # rows: [(2w-1)^2 image distances | 3 specials + text + 2 cross] — only
+    # the image block resizes, everything after passes through
+    return interpolate_rel_pos_bias(table, 2 * src_window - 1, 2 * dst_window - 1)
+
+
 def convert_albef_vqa(
     sd: Dict[str, np.ndarray],
     depth: int = 12,

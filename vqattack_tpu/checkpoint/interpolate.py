@@ -74,63 +74,65 @@ def interpolate_pos_embed(
     return np.concatenate([extra, resized], axis=1)
 
 
-def _geometric_points(n: int, length: int) -> np.ndarray:
-    """The BEiT/VLMo geometric-progression coordinate layout for rel-pos
-    interpolation (``vlmo_module.py:763-787``): sample points accumulate with
-    ratio ``r`` so that ``sum(r^i) = length/2``."""
-    # solve q: 1 + q + ... + q^(n//2-1) = length // 2  via bisection
-    half = n // 2
-    target = length // 2
+def _geometric_points(src_size: int, dst_size: int) -> np.ndarray:
+    """The BEiT/VLMo geometric-progression source-coordinate layout
+    (``vlmo_module.py:764-783``): find ratio ``q`` in [1.01, 1.5] such that
+    the geometric sum ``1 + q + ... + q^(src//2 - 1)`` reaches ``dst//2``,
+    then lay source samples at cumulative-geometric distances around 0."""
+    n = src_size // 2
+    target = dst_size // 2
 
-    def total(q):
-        return sum(q ** i for i in range(1, half + 1))
+    def gp(r):
+        return (1.0 - r ** n) / (1.0 - r)  # a=1
 
-    lo, hi = 1.0, 1.5
-    for _ in range(100):
-        mid = (lo + hi) / 2
-        if total(mid) > target:
-            hi = mid
+    left, right = 1.01, 1.5
+    while right - left > 1e-6:
+        q = (left + right) / 2.0
+        if gp(q) > target:
+            right = q
         else:
-            lo = mid
-    q = (lo + hi) / 2
+            left = q
+    q = (left + right) / 2.0
     dis, cur = [], 1.0
-    for i in range(half):
+    for i in range(n):
         dis.append(cur)
         cur += q ** (i + 1)
     r_ids = [-d for d in reversed(dis)]
-    pts = r_ids + [0] + dis
-    return np.array(pts)
+    return np.array(r_ids + [0] + dis, dtype=np.float64)
 
 
 def interpolate_rel_pos_bias(
     table: np.ndarray, src_size: int, dst_size: int
 ) -> np.ndarray:
-    """Resize a relative-position-bias table from a (2*src-1)^2 grid to a
-    (2*dst-1)^2 grid per head via geometric-coordinate cubic interpolation
-    (``vlmo_module.py:741-804``).  ``table``: [(2*src-1)^2 + extra, H] where
-    the 3 trailing extra rows (cls-to-token biases) pass through unchanged.
+    """Resize a relative-position-bias grid from ``(2*src_window-1)^2`` rows
+    to ``(2*dst_window-1)^2`` rows per column via geometric-coordinate cubic
+    interpolation (``vlmo_module.py:741-804``).
+
+    ``src_size``/``dst_size`` here are the *grid* sizes ``2*window - 1``
+    (odd), matching the reference's ``src_size``/``dst_size``.  ``table``:
+    ``[src_size^2 (+ extra trailing rows), H]``; extra rows pass through.
     """
-    from scipy import interpolate as sinterp  # lazy; scipy ships with jax stack
+    from scipy.interpolate import RectBivariateSpline
 
     table = np.asarray(table)
-    num_extra = table.shape[0] - (2 * src_size - 1) ** 2
+    num_extra = table.shape[0] - src_size ** 2
     if src_size == dst_size:
         return table
-    extra = table[-num_extra:] if num_extra > 0 else table[:0]
-    body = table[: table.shape[0] - num_extra]
-    n_heads = body.shape[1]
+    extra = table[table.shape[0] - num_extra:] if num_extra > 0 else table[:0]
+    body = table[: src_size ** 2]
+    n_cols = body.shape[1]
 
-    x = _geometric_points(2 * src_size - 1, src_size * 2)
-    y = x
-    tx = np.arange(-(dst_size - 1), dst_size, 1.0) * (x[-1] / (dst_size - 1))
-    ty = tx
+    x = _geometric_points(src_size, dst_size)
+    t = dst_size // 2.0
+    dx = np.arange(-t, t + 0.1, 1.0)  # dst_size integer positions
 
+    k = min(3, src_size - 1)  # cubic when the grid allows (the real 27-grid case)
     out = []
-    for h in range(n_heads):
-        z = body[:, h].reshape(2 * src_size - 1, 2 * src_size - 1)
-        f = sinterp.RectBivariateSpline(x, y, z, kx=3, ky=3)
-        out.append(f(tx, ty).reshape(-1))
-    new_body = np.stack(out, axis=1)
+    for h in range(n_cols):
+        z = body[:, h].reshape(src_size, src_size).astype(np.float64)
+        f = RectBivariateSpline(x, x, z, kx=k, ky=k)
+        out.append(f(dx, dx).reshape(-1))
+    new_body = np.stack(out, axis=1).astype(table.dtype)
     if num_extra > 0:
         return np.concatenate([new_body, extra], axis=0)
     return new_body
