@@ -80,15 +80,21 @@ def main() -> None:
             rand_init=True, use_pallas=jax.default_backend() not in ("cpu",),
         )
 
+    def hard_sync(x):
+        # on the tunneled-TPU runtime block_until_ready can return before
+        # execution finishes; a device->host scalar transfer is the only
+        # reliable sync (see vqattack_tpu/utils/profiling.py)
+        np.asarray(jax.device_get(x.reshape(-1)[:1]))
+
     # warmup/compile
     adv, losses = run(jax.random.key(1))
-    jax.block_until_ready(adv)
+    hard_sync(adv)
 
     t0 = time.perf_counter()
     reps = 3
     for r in range(reps):
         adv, losses = run(jax.random.key(2 + r))
-        jax.block_until_ready(adv)
+        hard_sync(adv)
     dt = (time.perf_counter() - t0) / reps
 
     total_iters = iters * batch  # independent per-sample attack iterations

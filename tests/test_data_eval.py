@@ -1,0 +1,159 @@
+"""Data layer + eval metrics tests (transform numerics, VQA dataset JSON
+path, arrow round-trip, side tables, official soft accuracy)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from vqattack_tpu.data.side_tables import SideTables
+from vqattack_tpu.data.transforms import (
+    denormalize,
+    inception_normalize,
+    train_transform,
+)
+from vqattack_tpu.data.transforms import test_transform as make_eval_transform
+from vqattack_tpu.data.vqa import VQADataset, pre_question
+from vqattack_tpu.eval.metrics import AttackAccuracy, VQAScore
+from vqattack_tpu.eval.vqa_eval import VQAEval, normalize_answer, vqa_soft_accuracy
+
+
+def test_normalize_roundtrip():
+    img = np.random.default_rng(0).integers(0, 255, (8, 8, 3), np.uint8)
+    x = inception_normalize(img)
+    assert x.min() >= -1 and x.max() <= 1
+    back = denormalize(x)
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_test_transform_range_and_shape():
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    img = Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (37, 53, 3), np.uint8)
+    )
+    x = make_eval_transform(32)(img)
+    assert x.shape == (32, 32, 3) and x.dtype == np.float32
+    assert -1 <= x.min() and x.max() <= 1
+    y = train_transform(32)(img)
+    assert y.shape == (32, 32, 3)
+
+
+def test_pre_question():
+    assert pre_question("What IS the Dog; doing?!") == "what is the dog doing?"
+    assert pre_question("a b c d", max_words=2) == "a b"
+
+
+def test_vqa_dataset_json(tmp_path):
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(img_dir / "x.jpg")
+    ann = [
+        {"image": "x.jpg", "question": "What color?", "question_id": 7,
+         "answer": ["red", "red", "blue"]},
+    ]
+    ann_file = tmp_path / "ann.json"
+    ann_file.write_text(json.dumps(ann))
+    alist = tmp_path / "answers.json"
+    alist.write_text(json.dumps(["red", "blue"]))
+
+    ds = VQADataset([str(ann_file)], str(img_dir), make_eval_transform(16),
+                    split="train", answer_list=str(alist))
+    item = ds[0]
+    assert item["pixels"].shape == (1, 16, 16, 3)
+    assert item["answers"] == ["red[SEP]", "blue[SEP]"]
+    np.testing.assert_allclose(item["weights"], [2 / 3, 1 / 3])
+    assert ds.answer_list == ["red", "blue"]
+
+    test_ds = VQADataset([str(ann_file)], str(img_dir), make_eval_transform(16))
+    items = list(test_ds.iter_batches(num_workers=2))
+    assert len(items) == 1 and items[0]["qid"] == 7
+
+
+def test_side_tables(tmp_path):
+    (tmp_path / "right.txt").write_text("100\n200\n")
+    (tmp_path / "sur.json").write_text(json.dumps({"100": "red", "200": "dog"}))
+    (tmp_path / "tgt.json").write_text(json.dumps({"100": "red"}))
+    (tmp_path / "para.json").write_text(
+        json.dumps({"100": ["red", "the car is red."]})
+    )
+    (tmp_path / "allc.json").write_text(json.dumps({"100": ["red", "crimson"]}))
+    st = SideTables.load(
+        [str(tmp_path / "right.txt")], [str(tmp_path / "sur.json")],
+        [str(tmp_path / "tgt.json")], [str(tmp_path / "para.json")],
+        [str(tmp_path / "allc.json")],
+    )
+    assert st.correct_qids == [100, 200]
+    assert st.alignment_ok(100, ["red", "blue"], [1.0, 0.3])
+    assert not st.alignment_ok(100, ["blue"], [1.0])
+    info = st.attack_inputs(100)
+    assert info["paraphrase"] == "the car is red."
+    assert info["target_answer"] == "red"
+    assert st.attack_inputs(999) is None
+
+
+def test_arrow_roundtrip(tmp_path):
+    pytest.importorskip("pyarrow")
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from vqattack_tpu.data.arrow import VQAv2ArrowDataset
+    from vqattack_tpu.data.arrow_writer import write_vqa_arrow
+
+    img_dir = tmp_path / "val2014"
+    img_dir.mkdir()
+    Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(
+        img_dir / "COCO_val2014_000000000001.jpg"
+    )
+    qjson = {"questions": [
+        {"question": "what color?", "question_id": 11, "image_id": 1},
+        {"question": "how many?", "question_id": 12, "image_id": 1},
+    ]}
+    ajson = {"annotations": [
+        {"question_id": 11, "answers": [{"answer": "red"}] * 6 + [{"answer": "blue"}]},
+        {"question_id": 12, "answers": [{"answer": "two"}] * 10},
+    ]}
+    (tmp_path / "q.json").write_text(json.dumps(qjson))
+    (tmp_path / "a.json").write_text(json.dumps(ajson))
+    out = tmp_path / "vqa.arrow"
+    vocab = write_vqa_arrow(
+        str(tmp_path / "q.json"), str(tmp_path / "a.json"), str(img_dir), str(out)
+    )
+    assert "red" in vocab and "2" in vocab  # number normalization applied
+
+    ds = VQAv2ArrowDataset([str(out)], make_eval_transform(16))
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["pixels"].shape == (1, 16, 16, 3)
+    assert item["qid"] in (11, 12)
+    assert len(item["answer_labels"]) == len(item["answer_scores"])
+    # soft score: 6x 'red' -> 1.0
+    i11 = 0 if item["qid"] == 11 else 1
+    it = ds[i11]
+    assert max(it["answer_scores"]) == 1.0
+
+
+def test_vqa_soft_accuracy():
+    assert vqa_soft_accuracy("red", ["red"] * 3 + ["blue"] * 7) == 1.0
+    assert vqa_soft_accuracy("red", ["red", "blue", "blue"]) == pytest.approx(1 / 3)
+    assert vqa_soft_accuracy("Red!", ["red"] * 5) == 1.0  # normalization
+    assert vqa_soft_accuracy("two", ["2"] * 5) == 1.0  # number words
+    assert normalize_answer("The dog") == "dog"  # article strip
+
+
+def test_attack_accuracy_and_vqascore():
+    aa = AttackAccuracy(print_every=2)
+    aa.update("blue", "red")
+    aa.update("red", "red")
+    assert aa.value == 0.5
+    vs = VQAScore()
+    logits = np.array([[0.1, 0.9], [0.8, 0.2]])
+    targets = np.array([[0.0, 1.0], [0.3, 0.0]])
+    vs.update_logits(logits, targets)
+    assert vs.compute() == pytest.approx((1.0 + 0.3) / 2)

@@ -1,0 +1,7 @@
+from vqattack_tpu.data.transforms import (  # noqa: F401
+    test_transform,
+    train_transform,
+    inception_normalize,
+)
+from vqattack_tpu.data.vqa import VQADataset, pre_question  # noqa: F401
+from vqattack_tpu.data.side_tables import SideTables  # noqa: F401

@@ -1,0 +1,161 @@
+"""Image transforms: decode -> resize -> normalize, NHWC numpy out.
+
+The reference test transform is Resize((480,480), bicubic) + ToTensor +
+Normalize(mean=std=0.5) -> pixels in [-1, 1]
+(``ALBEF_attack/dataset/__init__.py:35-39``; VLMo ``square_transform.py:11-18``
+with the same ``inception_normalize``).  The train path adds
+RandomResizedCrop + horizontal flip + RandAugment
+(``dataset/__init__.py:18-34``, ``dataset/randaugment.py``).
+
+TPU-first: host-side PIL decode/resize (CPU workers), normalization folded in
+as a numpy op producing NHWC float32 — the layout the conv expects; no
+channel-first tensors anywhere.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Callable, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    from PIL import Image, ImageEnhance, ImageOps
+
+    _HAS_PIL = True
+except ImportError:  # pragma: no cover
+    _HAS_PIL = False
+
+MEAN = 0.5
+STD = 0.5
+
+
+def inception_normalize(x: np.ndarray) -> np.ndarray:
+    """uint8 [0,255] HWC -> float32 [-1, 1] (mean=std=0.5)."""
+    return (x.astype(np.float32) / 255.0 - MEAN) / STD
+
+
+def denormalize(x: np.ndarray) -> np.ndarray:
+    return np.clip((x * STD + MEAN) * 255.0, 0, 255).astype(np.uint8)
+
+
+def _resize(img, size: int):
+    return img.resize((size, size), Image.BICUBIC)
+
+
+def test_transform(size: int = 480) -> Callable:
+    """Deterministic eval/attack transform (reference test path)."""
+
+    def fn(img) -> np.ndarray:
+        img = img.convert("RGB")
+        return inception_normalize(np.asarray(_resize(img, size)))
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# RandAugment (train path; compact re-derivation of the vendored 339-LoC
+# ``dataset/randaugment.py`` — same op inventory, PIL-backed)
+# ---------------------------------------------------------------------------
+
+
+def _identity(img, _):
+    return img
+
+
+def _auto_contrast(img, _):
+    return ImageOps.autocontrast(img)
+
+
+def _equalize(img, _):
+    return ImageOps.equalize(img)
+
+
+def _rotate(img, v):
+    return img.rotate(v * 30)
+
+
+def _solarize(img, v):
+    return ImageOps.solarize(img, 256 - int(v * 256))
+
+
+def _posterize(img, v):
+    return ImageOps.posterize(img, max(1, 8 - int(v * 4)))
+
+
+def _contrast(img, v):
+    return ImageEnhance.Contrast(img).enhance(1 + (v - 0.5))
+
+
+def _color(img, v):
+    return ImageEnhance.Color(img).enhance(1 + (v - 0.5))
+
+
+def _brightness(img, v):
+    return ImageEnhance.Brightness(img).enhance(1 + (v - 0.5))
+
+
+def _sharpness(img, v):
+    return ImageEnhance.Sharpness(img).enhance(1 + (v - 0.5))
+
+
+def _shear_x(img, v):
+    return img.transform(img.size, Image.AFFINE, (1, (v - 0.5) * 0.6, 0, 0, 1, 0))
+
+
+def _shear_y(img, v):
+    return img.transform(img.size, Image.AFFINE, (1, 0, 0, (v - 0.5) * 0.6, 1, 0))
+
+
+def _translate_x(img, v):
+    return img.transform(
+        img.size, Image.AFFINE, (1, 0, (v - 0.5) * 0.3 * img.size[0], 0, 1, 0)
+    )
+
+
+def _translate_y(img, v):
+    return img.transform(
+        img.size, Image.AFFINE, (1, 0, 0, 0, 1, (v - 0.5) * 0.3 * img.size[1])
+    )
+
+
+_RA_OPS = [
+    _identity, _auto_contrast, _equalize, _rotate, _solarize, _posterize,
+    _contrast, _color, _brightness, _sharpness, _shear_x, _shear_y,
+    _translate_x, _translate_y,
+]
+
+
+class RandomAugment:
+    """Pick ``n`` ops, each at magnitude ``m/10`` (timm/vendored semantics)."""
+
+    def __init__(self, n: int = 2, m: int = 7, rng: Optional[random.Random] = None):
+        self.n, self.m = n, m
+        self.rng = rng or random.Random()
+
+    def __call__(self, img):
+        for op in self.rng.sample(_RA_OPS, self.n):
+            img = op(img, self.m / 10.0)
+        return img
+
+
+def train_transform(size: int = 480, rng: Optional[random.Random] = None) -> Callable:
+    """RandomResizedCrop(0.5-1.0) + hflip + RandAugment + normalize
+    (reference train path, ``dataset/__init__.py:18-34``)."""
+    rng = rng or random.Random()
+    ra = RandomAugment(2, 7, rng)
+
+    def fn(img) -> np.ndarray:
+        img = img.convert("RGB")
+        w, h = img.size
+        scale = rng.uniform(0.5, 1.0)
+        cw, ch = int(w * scale ** 0.5), int(h * scale ** 0.5)
+        x0 = rng.randint(0, max(0, w - cw))
+        y0 = rng.randint(0, max(0, h - ch))
+        img = img.crop((x0, y0, x0 + cw, y0 + ch)).resize((size, size), Image.BICUBIC)
+        if rng.random() < 0.5:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        img = ra(img)
+        return inception_normalize(np.asarray(img))
+
+    return fn

@@ -1,0 +1,98 @@
+"""Official VQA evaluation: answer normalization + soft accuracy.
+
+Reference: ``ALBEF_attack/vqaTools/vqaEval.py`` — the official pipeline:
+contraction restoration, punctuation rules, number-word mapping, article
+removal, then per-question accuracy ``min(1, #matching_humans / 3)`` averaged
+over 10-choose-9 human subsets (``vqaEval.py:100`` family), equivalently
+``min(1, count/3)`` per unique answer.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Sequence
+
+_CONTRACTIONS = {
+    "aint": "ain't", "arent": "aren't", "cant": "can't", "couldve": "could've",
+    "couldnt": "couldn't", "didnt": "didn't", "doesnt": "doesn't",
+    "dont": "don't", "hadnt": "hadn't", "hasnt": "hasn't", "havent": "haven't",
+    "hed": "he'd", "hes": "he's", "howd": "how'd", "howll": "how'll",
+    "hows": "how's", "im": "i'm", "ive": "i've", "isnt": "isn't",
+    "itd": "it'd", "itll": "it'll", "lets": "let's", "mightve": "might've",
+    "mustve": "must've", "shant": "shan't", "shed": "she'd", "shes": "she's",
+    "shouldve": "should've", "shouldnt": "shouldn't", "thered": "there'd",
+    "therell": "there'll", "theres": "there's", "theyd": "they'd",
+    "theyll": "they'll", "theyre": "they're", "theyve": "they've",
+    "wasnt": "wasn't", "wed": "we'd", "weve": "we've", "werent": "weren't",
+    "whatll": "what'll", "whatre": "what're", "whats": "what's",
+    "whatve": "what've", "whens": "when's", "whered": "where'd",
+    "wheres": "where's", "whereve": "where've", "whod": "who'd",
+    "wholl": "who'll", "whos": "who's", "whove": "who've", "whyll": "why'll",
+    "whyre": "why're", "whys": "why's", "wont": "won't",
+    "wouldve": "would've", "wouldnt": "wouldn't", "yall": "y'all",
+    "youd": "you'd", "youll": "you'll", "youre": "you're", "youve": "you've",
+}
+_NUMBER_MAP = {
+    "none": "0", "zero": "0", "one": "1", "two": "2", "three": "3",
+    "four": "4", "five": "5", "six": "6", "seven": "7", "eight": "8",
+    "nine": "9", "ten": "10",
+}
+_ARTICLES = {"a", "an", "the"}
+_PERIOD_STRIP = re.compile(r"(?!<=\d)(\.)(?!\d)")
+_COMMA_STRIP = re.compile(r"(\d)(,)(\d)")
+_PUNCT = "[;/\\[\\]\"{}()=+\\\\_\\-><@`,?!]"
+
+
+def process_punctuation(text: str) -> str:
+    """Official rule: a punctuation char adjacent to a space (or any
+    digit,comma,digit pattern present) is deleted; otherwise it becomes a
+    space.  Periods not inside numbers are deleted."""
+    out = text
+    for p in ";/[]\"{}()=+\\_-><@`,?!":
+        if (p + " " in text or " " + p in text) or re.search(_COMMA_STRIP, text):
+            out = out.replace(p, "")
+        else:
+            out = out.replace(p, " ")
+    out = _PERIOD_STRIP.sub("", out)
+    return out
+
+
+def process_digit_article(text: str) -> str:
+    out: List[str] = []
+    for word in text.lower().split():
+        word = _NUMBER_MAP.get(word, word)
+        if word in _ARTICLES:
+            continue
+        out.append(_CONTRACTIONS.get(word, word))
+    return " ".join(out)
+
+
+def normalize_answer(ans: str) -> str:
+    ans = ans.replace("\n", " ").replace("\t", " ").strip()
+    return process_digit_article(process_punctuation(ans))
+
+
+def vqa_soft_accuracy(pred: str, gt_answers: Sequence[str]) -> float:
+    """min(1, #matching human answers / 3) with official normalization."""
+    p = normalize_answer(pred)
+    gts = [normalize_answer(a) for a in gt_answers]
+    matches = sum(1 for g in gts if g == p)
+    return min(1.0, matches / 3.0)
+
+
+class VQAEval:
+    """Accumulating evaluator (``vqaTools/vqaEval.py`` interface)."""
+
+    def __init__(self):
+        self.accuracies: List[float] = []
+        self.per_question: Dict[str, float] = {}
+
+    def update(self, qid, pred: str, gt_answers: Sequence[str]) -> float:
+        acc = vqa_soft_accuracy(pred, gt_answers)
+        self.accuracies.append(acc)
+        self.per_question[str(qid)] = acc
+        return acc
+
+    @property
+    def accuracy(self) -> float:
+        return 100.0 * sum(self.accuracies) / max(1, len(self.accuracies))
