@@ -1,0 +1,284 @@
+"""The VLMo attack orchestrator (the reference's ``VLMo.test_step``,
+``vlmo_module.py:1725-2093``).
+
+Differences from the ALBEF pipeline:
+
+- text is fixed-length (``max_text_len=40``) — everything is already
+  static-shape in the reference, a perfect fit for jit;
+- clean targets are (per-layer cls stack, masked token-feature stack)
+  (``Gen_ori_feats``, ``vlmo_module.py:1287-1312``);
+- the victim is the resident VQA-classifier head over the same trunk with
+  *victim* params (``vqa_test_step_after_pgd``, ``objectives.py:812-829``) —
+  the reference's surrogate<->victim full-model-reload churn every 10 samples
+  (``reload_pretrain``/``reload_vqa``) becomes two persistent param trees;
+- the MLM answer-recovery probe decodes argmax tokens at the masked
+  paraphrase positions between blocks (``vlmo_module.py:2036-2051``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import zlib
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vqattack_tpu.attacks import vlmo as vlmo_losses
+from vqattack_tpu.attacks.mar_labels import MarLabels, build_mar_labels
+from vqattack_tpu.attacks.orchestrator import AttackResult
+from vqattack_tpu.attacks.pgd import pgd_alternating, pgd_feature, pgd_vl_step
+from vqattack_tpu.attacks.text_attack import (
+    apply_substitutions_to_paraphrase,
+    generate_candidates,
+    select_substitutions,
+)
+from vqattack_tpu.config import RunConfig
+from vqattack_tpu.models.vlmo import VLMo
+from vqattack_tpu.text.similarity import SimilarityGate
+from vqattack_tpu.text.tokenizer import WordPieceTokenizer
+
+
+class VlmoAttackPipeline:
+    def __init__(
+        self,
+        cfg: RunConfig,
+        model: VLMo,
+        surrogate_params: Any,
+        victim_params: Any,
+        tokenizer: WordPieceTokenizer,
+        gate: SimilarityGate,
+        mlm_model: Any = None,         # candidate-generation BERT MLM
+        mlm_params: Any = None,
+        id2answer: Optional[Dict[int, str]] = None,
+        filter_words: Optional[frozenset] = None,
+        use_pallas: bool = True,
+    ):
+        self.cfg = cfg
+        self.model = model
+        self.surrogate_params = surrogate_params
+        self.victim_params = victim_params
+        self.tokenizer = tokenizer
+        self.gate = gate
+        self.mlm_model = mlm_model
+        self.mlm_params = mlm_params
+        self.id2answer = id2answer or {}
+        if filter_words is None:
+            from vqattack_tpu.text.filter_words import default_filter_words
+
+            filter_words = default_filter_words()
+        self.filter_words = filter_words
+        self.use_pallas = use_pallas
+
+        self._attack_feats = jax.jit(
+            lambda v, px, ids, m: model.apply(v, px, ids, m, method=VLMo.attack_feats)
+        )
+        self._attack_mlm = jax.jit(
+            lambda v, px, ids, m: model.apply(v, px, ids, m, method=VLMo.attack_mlm)
+        )
+        self._embed_text = jax.jit(
+            lambda v, ids: model.apply(v, ids, method=VLMo.embed_text)
+        )
+        self._vqa_logits = jax.jit(
+            lambda v, px, ids, m: model.apply(v, px, ids, m, method=VLMo.vqa_logits)
+        )
+        if mlm_model is not None:
+            self._cand_mlm_logits = jax.jit(
+                lambda v, ids: mlm_model.apply(v, ids, jnp.ones_like(ids), mode="text")[2]
+            )
+        self._feature_loss = vlmo_losses.make_feature_loss(model)
+        self._mlm_loss = vlmo_losses.make_mlm_loss(model)
+        self._vl_loss = vlmo_losses.make_vl_loss(model)
+
+    # ------------------------------------------------------------------ utils
+
+    @property
+    def max_text_len(self) -> int:
+        return self.model.cfg.max_text_len
+
+    def encode(self, text: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        ids, mask = self.tokenizer.encode(text, self.max_text_len)
+        return jnp.asarray(ids[None]), jnp.asarray(mask[None])
+
+    def candidate_mlm_logits(self, ids: np.ndarray) -> np.ndarray:
+        return np.asarray(self._cand_mlm_logits(self.mlm_params, jnp.asarray(ids)))
+
+    def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
+        ids, _ = self.tokenizer.encode_batch(texts, self.max_text_len)
+        return np.asarray(self._embed_text(self.surrogate_params, jnp.asarray(ids)))
+
+    def clean_targets(self, pixels, text_ids, text_mask):
+        """(tgt_layer_cls, tgt_tokens, tgt_token_mask) from the clean pair
+        (``Gen_ori_feats``)."""
+        _, layer_cls, tokens, token_mask = self._attack_feats(
+            self.surrogate_params, pixels, text_ids, text_mask
+        )
+        return layer_cls, tokens, token_mask.astype(jnp.float32)
+
+    # ---------------------------------------------------------------- attack
+
+    def attack_sample(
+        self,
+        pixels: np.ndarray,
+        question: str,
+        qid: str,
+        paraphrase: Optional[str],
+        target_answer: Optional[str],
+        all_correct_answers: Sequence[str] = (),
+        rng: Optional[jax.Array] = None,
+    ) -> AttackResult:
+        atk = self.cfg.attack
+        if rng is None:
+            rng = jax.random.key(self.cfg.seed)
+        qid_fold = int(qid) if str(qid).isdigit() else zlib.crc32(str(qid).encode())
+        r_pgd = jax.random.fold_in(rng, qid_fold % (2 ** 31))
+
+        ori_px = jnp.asarray(pixels)
+        ori_text = question
+        adv_text = question
+
+        if paraphrase is not None and target_answer is not None:
+            mar = build_mar_labels(
+                paraphrase, target_answer, all_correct_answers,
+                self.tokenizer, self.max_text_len, atk.max_answers,
+            )
+        else:
+            mar = MarLabels(1, None, None, None, [], [], [], 0)
+        old_alg = mar.old_alg
+
+        ori_ids, ori_mask = self.encode(question)
+        tgt_layer_cls, tgt_tokens, tgt_token_mask = self.clean_targets(
+            ori_px, ori_ids, ori_mask
+        )
+        ori_emb = np.asarray(self._embed_text(self.surrogate_params, ori_ids))[0]
+
+        cands = generate_candidates(
+            question, self.tokenizer, self.candidate_mlm_logits,
+            self.filter_words, total_iters=atk.num_iters,
+            top_k=atk.mlm_top_k, score_threshold=atk.mlm_score_threshold,
+        )
+        iter_list = cands.iter_list if cands.iter_list else [atk.num_iters]
+
+        mar_words = list(mar.paraphrase_words)
+        adv_px = ori_px
+        feat_losses: List[np.ndarray] = []
+        mlm_losses: List[np.ndarray] = []
+        all_ops: List[Tuple[str, str]] = []
+        first_block = True
+
+        for block_idx, block_iters in enumerate(iter_list):
+            ids, mask = self.encode(adv_text)
+            aux = {
+                "variables": self.surrogate_params,
+                "text_ids": ids,
+                "text_mask": mask,
+                "tgt_layer_cls": tgt_layer_cls,
+                "tgt_tokens": tgt_tokens,
+                "tgt_token_mask": tgt_token_mask,
+            }
+            r_pgd, r_block = jax.random.split(r_pgd)
+            rand_init = first_block and atk.rand_init
+
+            if old_alg == 1:
+                adv_px, losses = pgd_feature(
+                    self._feature_loss, adv_px, ori_px, r_block, aux,
+                    eps=atk.eps, eps_iter=atk.step_size, nb_iter=block_iters,
+                    clip_min=atk.clip_min, clip_max=atk.clip_max,
+                    rand_init=rand_init, use_pallas=self.use_pallas,
+                )
+                feat_losses.append(np.asarray(losses)[:, 0])
+            else:
+                cur_ids, cur_mask = self.tokenizer.encode(
+                    " ".join(mar_words), self.max_text_len
+                )
+                aligned = int(cur_mask.sum()) == mar.true_len
+                aux["mlm_ids"] = jnp.asarray(cur_ids[None])
+                aux["mlm_mask"] = jnp.asarray(cur_mask[None])
+                aux["mlm_labels"] = jnp.asarray(mar.labels[None])
+                second_loss = self._mlm_loss if aligned else self._feature_loss
+                adv_px, fl, ml = pgd_alternating(
+                    self._feature_loss, second_loss, adv_px, ori_px, r_block, aux,
+                    eps=atk.eps, eps_iter=atk.step_size, nb_iter=block_iters // 2,
+                    clip_min=atk.clip_min, clip_max=atk.clip_max,
+                    rand_init=rand_init, use_pallas=self.use_pallas,
+                )
+                feat_losses.append(np.asarray(fl)[:, 0])
+                mlm_losses.append(np.asarray(ml)[:, 0])
+            first_block = False
+
+            if block_idx == len(iter_list) - 1 or not cands.attack_word_indices:
+                break
+
+            adv_embeds = self._embed_text(self.surrogate_params, ids)
+            positions = jnp.asarray([cands.attack_positions])
+            r_pgd, r_vl = jax.random.split(r_pgd)
+            adv_px, text_grad = pgd_vl_step(
+                self._vl_loss, adv_px, adv_embeds, ori_px, positions, r_vl, aux,
+                eps=atk.eps, eps_iter=atk.step_size,
+                clip_min=atk.clip_min, clip_max=atk.clip_max,
+                use_pallas=self.use_pallas,
+            )
+            adv_text, ops = select_substitutions(
+                adv_text, ori_text, np.asarray(text_grad)[0], cands,
+                ori_emb, self.embed_texts, self.gate.scores,
+                sim_threshold=atk.sim_threshold, max_length=self.max_text_len,
+            )
+            all_ops.extend(ops)
+            if old_alg == 0 and ops:
+                mar_words = apply_substitutions_to_paraphrase(mar_words, ops)
+
+        return AttackResult(
+            qid=str(qid),
+            adv_image=np.asarray(adv_px),
+            adv_text=adv_text,
+            old_alg=old_alg,
+            feat_losses=np.concatenate(feat_losses) if feat_losses else np.zeros(0),
+            mlm_losses=np.concatenate(mlm_losses) if mlm_losses else None,
+            num_blocks=len(iter_list),
+            substitutions=all_ops,
+        )
+
+    # ------------------------------------------------------------------ eval
+
+    def recover_answer_probe(
+        self, adv_px: jnp.ndarray, mar: MarLabels
+    ) -> Optional[str]:
+        """MLM answer-recovery diagnostic (``vlmo_module.py:2036-2051``):
+        argmax-decode the masked paraphrase positions on the adversarial
+        image."""
+        if mar.old_alg == 1:
+            return None
+        ids = jnp.asarray(mar.mlm_ids[None])
+        mask = jnp.asarray(mar.mlm_mask[None])
+        logits, _, _, _ = self._attack_mlm(self.surrogate_params, adv_px, ids, mask)
+        out_ids = np.asarray(mar.mlm_ids).copy()
+        pos = np.where(out_ids == self.tokenizer.mask_token_id)[0]
+        pred = np.asarray(jnp.argmax(logits[0], axis=-1))
+        out_ids[pos] = pred[pos]
+        return self.tokenizer.decode(out_ids[1:])
+
+    def evaluate_victim(self, adv_image: np.ndarray, adv_text: str) -> Tuple[int, str]:
+        """Black-box check on the resident victim params: 3,129-way classifier
+        argmax -> id2answer (``vlmo_module.py:2063-2091``)."""
+        ids, mask = self.encode(adv_text)
+        logits = self._vqa_logits(self.victim_params, jnp.asarray(adv_image), ids, mask)
+        pred = int(np.asarray(jnp.argmax(logits, axis=-1))[0])
+        return pred, self.id2answer.get(pred, str(pred))
+
+
+def load_id2answer(path: str) -> Dict[int, str]:
+    """``id2answer.txt`` loader: the reference stores a dill-pickled
+    defaultdict (``objectives.py:818-820``); JSON accepted too."""
+    import json
+
+    try:
+        with open(path) as f:
+            d = json.load(f)
+        return {int(k): v for k, v in d.items()}
+    except (UnicodeDecodeError, json.JSONDecodeError):
+        import pickle
+
+        with open(path, "rb") as f:
+            d = pickle.load(f)
+        return {int(k): v for k, v in d.items()}
