@@ -1,0 +1,80 @@
+"""Smoke test of the top-level CLI driver on a synthetic miniature dataset."""
+
+import dataclasses
+import json
+
+import numpy as np
+import pytest
+
+from vqattack_tpu import config as cfg_mod
+from vqattack_tpu.text.tokenizer import SPECIAL_TOKENS
+
+
+def _write_vocab(path, words):
+    toks = list(SPECIAL_TOKENS) + words
+    for c in "abcdefghijklmnopqrstuvwxyz":
+        toks += [c, f"##{c}"]
+    path.write_text("\n".join(toks) + "\n")
+    return len(toks)
+
+
+@pytest.mark.parametrize("pipeline", ["albef", "vlmo"])
+def test_cli_smoke(tmp_path, pipeline):
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from vqattack_tpu.run import main
+
+    words = ["what", "color", "is", "the", "dog", "cat", "red", "blue"]
+    vocab_file = tmp_path / "vocab.txt"
+    vocab_size = _write_vocab(vocab_file, words)
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8)).save(
+        img_dir / "a.jpg"
+    )
+    ann = [{"image": "a.jpg", "question": "what color is the dog",
+            "question_id": 100}]
+    (tmp_path / "ann.json").write_text(json.dumps(ann))
+    (tmp_path / "answers.json").write_text(json.dumps(["red", "blue"]))
+
+    (tmp_path / "right.txt").write_text("100\n")
+    (tmp_path / "sur.json").write_text(json.dumps({"100": "red"}))
+    (tmp_path / "tgt.json").write_text(json.dumps({"100": "red"}))
+    (tmp_path / "para.json").write_text(json.dumps({"100": ["red", "the dog is red."]}))
+    (tmp_path / "allc.json").write_text(json.dumps({"100": ["red"]}))
+
+    base = cfg_mod.tiny_test_config()
+    bert = dataclasses.replace(base.albef.bert, vocab_size=vocab_size)
+    albef = dataclasses.replace(base.albef, bert=bert)
+    vlmo = dataclasses.replace(base.vlmo, vocab_size=vocab_size)
+    data = dataclasses.replace(base.data, image_size=32)
+    cfg = dataclasses.replace(
+        base, albef=albef, vlmo=vlmo, data=data, eval_every=1, k_test=2
+    )
+    cfg_path = tmp_path / "cfg.json"
+    cfg_mod.save_config(cfg, str(cfg_path))
+
+    out_dir = tmp_path / "out"
+    main([
+        "--pipeline", pipeline,
+        "--config", str(cfg_path),
+        "--vocab", str(vocab_file),
+        "--ann", str(tmp_path / "ann.json"),
+        "--image-root", str(img_dir),
+        "--answer-list", str(tmp_path / "answers.json"),
+        "--right-part", str(tmp_path / "right.txt"),
+        "--surrogate-ans", str(tmp_path / "sur.json"),
+        "--target-ans", str(tmp_path / "tgt.json"),
+        "--paraphrases", str(tmp_path / "para.json"),
+        "--all-correct", str(tmp_path / "allc.json"),
+        "--output", str(out_dir),
+        "--limit", "1",
+        "--no-pallas",
+    ])
+    assert (out_dir / "100.npy").exists()
+    adv = np.load(out_dir / "100.npy")
+    assert adv.shape == (1, 32, 32, 3)
+    assert (out_dir / "adv_txt_dict.json").exists()

@@ -1,0 +1,125 @@
+"""Param-tree persistence: orbax checkpoints + torch-checkpoint ingestion.
+
+The reference only ever *loads* torch checkpoints (SURVEY §5.4); the rebuild
+adds a first-class native format (orbax, async-capable, multi-host-safe) so
+converted trees load in seconds instead of re-running key surgery, plus the
+one-stop ``load_albef_*`` / ``load_vlmo`` ingestion helpers.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+
+def save_params(params: Any, path: str) -> None:
+    """Write a param tree as an orbax checkpoint directory."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, params)
+    ckptr.wait_until_finished()
+
+
+def load_params(path: str, like: Optional[Any] = None) -> Any:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if like is not None:
+        return ckptr.restore(path, like)
+    return ckptr.restore(path)
+
+
+def _maybe_cached(torch_path: str, cache_dir: Optional[str], build):
+    """Convert once, then reuse the orbax cache next to the torch file."""
+    if cache_dir is None:
+        return build()
+    key = os.path.basename(torch_path).replace(".", "_")
+    cache = os.path.join(cache_dir, key)
+    if os.path.isdir(cache):
+        return load_params(cache)
+    tree = build()
+    save_params(tree, cache)
+    return tree
+
+
+def load_albef_pretrain(
+    torch_path: str,
+    image_size: int = 480,
+    cache_dir: Optional[str] = None,
+) -> Any:
+    """ALBEF pre-trained surrogate ckpt -> flax tree (+pos-embed resize to
+    ``image_size``; ``adv_attack.py:83-92`` semantics)."""
+    from vqattack_tpu.checkpoint.convert import (
+        convert_albef_pretrain,
+        load_torch_checkpoint,
+    )
+
+    def build():
+        sd = load_torch_checkpoint(torch_path)
+        return convert_albef_pretrain(
+            sd, new_num_patches=(image_size // 16) ** 2
+        )
+
+    return {"params": _maybe_cached(torch_path, cache_dir, build)}
+
+
+def load_albef_vqa(
+    torch_path: str,
+    image_size: int = 480,
+    cache_dir: Optional[str] = None,
+) -> Any:
+    """ALBEF fine-tuned victim ckpt -> flax tree (``adv_attack.py:96-100``)."""
+    from vqattack_tpu.checkpoint.convert import (
+        convert_albef_vqa,
+        load_torch_checkpoint,
+    )
+
+    def build():
+        sd = load_torch_checkpoint(torch_path)
+        return convert_albef_vqa(sd, new_num_patches=(image_size // 16) ** 2)
+
+    return {"params": _maybe_cached(torch_path, cache_dir, build)}
+
+
+def load_vlmo(
+    torch_path: str,
+    image_size: int = 480,
+    src_image_size: Optional[int] = None,
+    cache_dir: Optional[str] = None,
+) -> Any:
+    """VLMo ckpt -> flax tree, with BEiT-style rel-pos-bias resize when the
+    checkpoint was trained at a different resolution
+    (``vlmo_module.py:741-804``)."""
+    from vqattack_tpu.checkpoint.convert import convert_vlmo, load_torch_checkpoint
+
+    def build():
+        sd = load_torch_checkpoint(torch_path)
+        kw = {}
+        if src_image_size is not None and src_image_size != image_size:
+            kw = dict(
+                new_window=image_size // 16, src_window=src_image_size // 16
+            )
+        return convert_vlmo(sd, **kw)
+
+    return {"params": _maybe_cached(torch_path, cache_dir, build)}
+
+
+def load_hf_bert_mlm(name_or_path: str = "bert-base-uncased") -> Any:
+    """The substitution-candidate MLM (``adv_attack.py:110``): load HF
+    BertForMaskedLM weights (local path or cached hub) into the FusionBert
+    (fusion disabled) tree."""
+    from transformers import BertForMaskedLM
+
+    from vqattack_tpu.checkpoint.convert import convert_fusion_bert
+
+    model = BertForMaskedLM.from_pretrained(name_or_path)
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    num_layers = model.config.num_hidden_layers
+    tree = convert_fusion_bert(
+        sd, prefix="bert.", num_layers=num_layers,
+        fusion_layer=num_layers, mlm_prefix="cls.",
+    )
+    return {"params": tree}

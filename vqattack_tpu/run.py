@@ -1,0 +1,286 @@
+"""Top-level attack driver (the L5 entry point).
+
+Replaces both reference drivers — ``ALBEF_attack/VQA.py`` (argparse + yaml)
+and ``VLMO_VQAttack/run.py`` (sacred + Lightning) — with one CLI::
+
+    python -m vqattack_tpu.run --pipeline albef \
+        --config run.json --vocab vocab.txt \
+        --surrogate-ckpt albef_pretrain.pth --victim-ckpt albef_vqa.pth \
+        --ann vqa_val.json --image-root /data/val2014 --answer-list answers.json \
+        --right-part right_part.txt --output attack_out
+
+Flow per sample (``adv_attack.py:385-735`` semantics): subset + alignment
+guards -> per-sample attack (PGD blocks + word substitution) -> artifact
+persistence -> black-box victim eval every ``eval_every`` samples with the
+running flip-rate printed every 50.
+
+Sharding: with multiple hosts/devices the qid list shards round-robin by
+``jax.process_index()`` and artifacts merge by directory (SURVEY §5.8).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native VQAttack sweep")
+    p.add_argument("--pipeline", choices=["albef", "vlmo"], default="albef")
+    p.add_argument("--config", default=None, help="RunConfig json/yaml")
+    p.add_argument("--vocab", required=False, help="WordPiece vocab.txt")
+    p.add_argument("--surrogate-ckpt", default=None)
+    p.add_argument("--victim-ckpt", default=None)
+    p.add_argument("--bert-mlm", default=None, help="HF dir for candidate MLM")
+    p.add_argument("--use-path", default=None, help="TF-hub USE dir (similarity gate)")
+    p.add_argument("--ann", nargs="*", default=[], help="VQA annotation json(s)")
+    p.add_argument("--image-root", default="")
+    p.add_argument("--answer-list", default=None)
+    p.add_argument("--arrow", nargs="*", default=[], help="VLMo arrow tables")
+    p.add_argument("--id2answer", default=None)
+    p.add_argument("--right-part", nargs="*", default=[])
+    p.add_argument("--surrogate-ans", nargs="*", default=[])
+    p.add_argument("--target-ans", nargs="*", default=[])
+    p.add_argument("--paraphrases", nargs="*", default=[])
+    p.add_argument("--all-correct", nargs="*", default=[])
+    p.add_argument("--output", default="attack_out")
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--no-pallas", action="store_true")
+    return p
+
+
+def main(argv: Optional[list] = None) -> None:
+    args = build_argparser().parse_args(argv)
+    os.environ.setdefault("HF_HUB_OFFLINE", "1")
+
+    import jax
+    import jax.numpy as jnp
+
+    from vqattack_tpu import config as cfg_mod
+    from vqattack_tpu.attacks.orchestrator import save_artifacts
+    from vqattack_tpu.data.side_tables import SideTables
+    from vqattack_tpu.data.transforms import test_transform
+    from vqattack_tpu.data.vqa import VQADataset
+    from vqattack_tpu.eval.metrics import AttackAccuracy
+    from vqattack_tpu.text.similarity import make_gate
+    from vqattack_tpu.text.tokenizer import WordPieceTokenizer
+    from vqattack_tpu.utils.meters import MetricLogger
+
+    cfg = cfg_mod.load_config(args.config) if args.config else cfg_mod.albef_attack_config()
+    if args.seed:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, seed=args.seed, output_dir=args.output)
+
+    tokenizer = WordPieceTokenizer.from_file(args.vocab) if args.vocab else None
+    assert tokenizer is not None, "--vocab is required for a real run"
+
+    side: Optional[SideTables] = None
+    if args.right_part:
+        side = SideTables.load(
+            args.right_part, args.surrogate_ans, args.target_ans,
+            args.paraphrases, args.all_correct,
+        )
+
+    use_pallas = not args.no_pallas and jax.default_backend() != "cpu"
+    pipeline = _build_pipeline(args, cfg, tokenizer, use_pallas)
+
+    # dataset
+    if args.pipeline == "vlmo" and args.arrow:
+        from vqattack_tpu.data.arrow import VQAv2ArrowDataset
+
+        dataset = VQAv2ArrowDataset(args.arrow, test_transform(cfg.data.image_size))
+        answer_list = []
+    else:
+        dataset = VQADataset(
+            args.ann, args.image_root, test_transform(cfg.data.image_size),
+            split="test", answer_list=args.answer_list,
+        )
+        answer_list = dataset.answer_list
+
+    answer_ids = answer_mask = None
+    if args.pipeline == "albef" and answer_list:
+        ids, mask = tokenizer.encode_batch(
+            [a + "[SEP]" for a in answer_list], max_length=8
+        )
+        answer_ids, answer_mask = jnp.asarray(ids), jnp.asarray(mask)
+
+    flip = AttackAccuracy(print_every=50)
+    logger = MetricLogger()
+    results, pending = [], []
+    rng = jax.random.key(cfg.seed)
+    n_done = 0
+
+    for item in logger.log_every(dataset.iter_batches(), 50, "attack:"):
+        qid = item["qid"]
+        info = side.attack_inputs(qid) if side else {
+            "paraphrase": None, "target_answer": None,
+            "all_correct_answers": [], "surrogate_answer": None,
+        }
+        if info is None:
+            continue  # not in the attack subset
+        t0 = time.time()
+        res = pipeline.attack_sample(
+            item["pixels"], item["question"], str(qid),
+            info["paraphrase"], info["target_answer"],
+            info["all_correct_answers"], rng=rng,
+        )
+        logger.update(attack_s=time.time() - t0, blocks=res.num_blocks)
+        results.append(res)
+        pending.append((res, info))
+        n_done += 1
+
+        if len(pending) >= cfg.eval_every:
+            for r, inf in pending:
+                clean_answer = inf.get("surrogate_answer")
+                if clean_answer is None:
+                    continue
+                if args.pipeline == "albef" and answer_ids is not None:
+                    topk_ids, topk_probs = pipeline.evaluate_victim(
+                        r.adv_image, r.adv_text, answer_ids, answer_mask
+                    )
+                    pred = answer_list[int(np.asarray(topk_ids)[0, 0])]
+                else:
+                    _, pred = pipeline.evaluate_victim(r.adv_image, r.adv_text)
+                flip.update(pred, clean_answer)
+                flip.maybe_log()
+            pending = []
+
+        if args.limit and n_done >= args.limit:
+            break
+
+    save_artifacts(results, args.output)
+    print(
+        json.dumps(
+            {
+                "samples": n_done,
+                "attack_accuracy": flip.value,
+                "mean_attack_s": logger.meters["attack_s"].global_avg if n_done else 0,
+                "output": args.output,
+            }
+        )
+    )
+
+
+def _build_pipeline(args, cfg, tokenizer, use_pallas):
+    import jax
+    import jax.numpy as jnp
+
+    from vqattack_tpu.checkpoint import io as ckpt_io
+    from vqattack_tpu.models.bert import FusionBert
+    from vqattack_tpu.text.similarity import make_gate
+    import dataclasses
+
+    # candidate-generation MLM (bert-base); random init if no weights given
+    mlm_cfg = dataclasses.replace(
+        cfg.albef.bert, fusion_layer=cfg.albef.bert.num_layers
+    )
+    mlm_model = FusionBert(mlm_cfg, with_mlm_head=True)
+    if args.bert_mlm:
+        mlm_params = ckpt_io.load_hf_bert_mlm(args.bert_mlm)
+    else:
+        ids = jnp.ones((1, 8), jnp.int32)
+        mlm_params = jax.jit(lambda k: mlm_model.init(k, ids, jnp.ones_like(ids)))(
+            jax.random.key(1)
+        )
+
+    if args.pipeline == "albef":
+        from vqattack_tpu.attacks.orchestrator import AlbefAttackPipeline
+        from vqattack_tpu.models.albef import AlbefPretrain, AlbefVQA
+
+        surrogate = AlbefPretrain(cfg.albef)
+        victim = AlbefVQA(cfg.albef)
+        size = cfg.albef.vit.image_size
+        if args.surrogate_ckpt:
+            sparams = ckpt_io.load_albef_pretrain(args.surrogate_ckpt, size)
+        else:
+            px = jnp.zeros((1, size, size, 3))
+            ids = jnp.ones((1, cfg.attack.max_text_len), jnp.int32)
+            sparams = jax.jit(surrogate.init)(jax.random.key(0), px, ids, jnp.ones_like(ids))
+        if args.victim_ckpt:
+            vparams = ckpt_io.load_albef_vqa(args.victim_ckpt, size)
+        else:
+            # random-init victim keeps the black-box eval loop exercisable in
+            # smoke runs; real sweeps pass --victim-ckpt
+            px = jnp.zeros((1, size, size, 3))
+            ids = jnp.ones((1, cfg.attack.max_text_len), jnp.int32)
+            a_ids = jnp.ones((2, 4), jnp.int32)
+            vparams = jax.jit(
+                lambda k: victim.init(
+                    k, px, ids, jnp.ones_like(ids), a_ids, jnp.ones_like(a_ids), 2
+                )
+            )(jax.random.key(3))
+        gate = _make_gate_from_args(args, surrogate, sparams, tokenizer, cfg)
+        return AlbefAttackPipeline(
+            cfg, surrogate, sparams, tokenizer, gate,
+            victim=victim, victim_params=vparams,
+            mlm_model=mlm_model, mlm_params=mlm_params, use_pallas=use_pallas,
+        )
+
+    from vqattack_tpu.attacks.vlmo_orchestrator import (
+        VlmoAttackPipeline,
+        load_id2answer,
+    )
+    from vqattack_tpu.models.vlmo import VLMo
+
+    model = VLMo(cfg.vlmo)
+    size = cfg.vlmo.image_size
+    if args.surrogate_ckpt:
+        sparams = ckpt_io.load_vlmo(args.surrogate_ckpt, size, src_image_size=224)
+    else:
+        px = jnp.zeros((1, size, size, 3))
+        ids = jnp.ones((1, cfg.vlmo.max_text_len), jnp.int32)
+        sparams = jax.jit(
+            lambda k: model.init(k, ids, jnp.ones_like(ids), px, method=VLMo.init_all)
+        )(jax.random.key(0))
+    vparams = ckpt_io.load_vlmo(args.victim_ckpt, size) if args.victim_ckpt else sparams
+    id2answer = load_id2answer(args.id2answer) if args.id2answer else {}
+    gate = _make_gate_from_args(args, model, sparams, tokenizer, cfg, vlmo=True)
+    return VlmoAttackPipeline(
+        cfg, model, sparams, vparams, tokenizer, gate,
+        mlm_model=mlm_model, mlm_params=mlm_params,
+        id2answer=id2answer, use_pallas=use_pallas,
+    )
+
+
+def _make_gate_from_args(args, model, params, tokenizer, cfg, vlmo=False):
+    import jax
+
+    from vqattack_tpu.text.similarity import make_gate
+
+    if args.use_path:
+        return make_gate("use", use_path=args.use_path)
+    if vlmo:
+        from vqattack_tpu.models.vlmo import VLMo
+
+        embed_fn = jax.jit(
+            lambda ids, mask: model.apply(
+                params, ids, mask, method=VLMo.infer_text
+            )["text_feats"]
+        )
+        max_len = cfg.vlmo.max_text_len
+    else:
+        embed_fn = jax.jit(
+            lambda ids, mask: model.apply(
+                params, ids, mask, method=_albef_text_tower
+            )
+        )
+        max_len = cfg.attack.max_text_len
+    return make_gate("bert", embed_fn=embed_fn, tokenizer=tokenizer, max_length=max_len)
+
+
+def _albef_text_tower(module, ids, mask):
+    """Text-only tower of the ALBEF surrogate (for the similarity gate):
+    last hidden states of the BERT text layers."""
+    last, _, _ = module.text_encoder(ids, attention_mask=mask, mode="text")
+    return last
+
+
+if __name__ == "__main__":
+    main()
