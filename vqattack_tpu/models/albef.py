@@ -145,6 +145,19 @@ class AlbefPretrain(nn.Module):
         """BERT embedding lookup (``adv_attack.py:369-384`` text_embeddings)."""
         return self.text_encoder.embed(text_ids)
 
+    def init_all(self, pixels, text_ids, text_mask):
+        """Init entry point touching every head (ITA/ITM projections are only
+        materialized when executed): use
+        ``model.init(key, px, ids, mask, method=AlbefPretrain.init_all)``."""
+        image_embeds, img_feats = self.visual_encoder(pixels)
+        _ = self.vision_proj(image_embeds[:, 0])
+        text_last, _, _ = self.text_encoder(
+            text_ids, attention_mask=text_mask, mode="text"
+        )
+        _ = self.text_proj(text_last[:, 0])
+        _ = self.itm_head(text_last[:, 0])
+        return self.gen_feats(pixels, text_ids, text_mask)
+
     def __call__(self, pixels, text_ids, text_mask):
         return self.gen_feats(pixels, text_ids, text_mask)
 

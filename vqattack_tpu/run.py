@@ -202,7 +202,11 @@ def _build_pipeline(args, cfg, tokenizer, use_pallas):
         else:
             px = jnp.zeros((1, size, size, 3))
             ids = jnp.ones((1, cfg.attack.max_text_len), jnp.int32)
-            sparams = jax.jit(surrogate.init)(jax.random.key(0), px, ids, jnp.ones_like(ids))
+            sparams = jax.jit(
+                lambda k: surrogate.init(
+                    k, px, ids, jnp.ones_like(ids), method=AlbefPretrain.init_all
+                )
+            )(jax.random.key(0))
         if args.victim_ckpt:
             vparams = ckpt_io.load_albef_vqa(args.victim_ckpt, size)
         else:

@@ -1,0 +1,224 @@
+"""Pre-training / fine-tuning objectives in jax.
+
+Re-derivations of the reference's task losses:
+
+- ALBEF pretrain (``models/model_pretrain.py:144-270``): image-text
+  contrastive (ITA) with a momentum feature queue, image-text matching (ITM)
+  with similarity-weighted hard negatives, masked-LM;
+- VLMo (``vlmo/modules/objectives.py``): ``compute_mlm:18``,
+  ``compute_itc:180`` (open_clip-style), ``compute_itm_hardneg:76``,
+  ``compute_vqa:375`` (BCE over 3,129 soft targets), ``compute_nlvr2:416``.
+
+Collectives: the reference mines hard negatives across GPUs with NCCL
+``all_gather`` (``objectives.py:91-124``); here pass ``axis_name`` when the
+loss runs under ``shard_map``/``pjit`` over a named mesh axis and
+``lax.all_gather`` rides ICI — single-device callers just omit it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+IGNORE_INDEX = -100
+
+
+def _maybe_gather(x: jnp.ndarray, axis_name: Optional[str]) -> jnp.ndarray:
+    if axis_name is None:
+        return x
+    return jax.lax.all_gather(x, axis_name, tiled=True)
+
+
+def masked_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Mean CE over labeled (!= -100) positions (HF convention)."""
+    valid = (labels != IGNORE_INDEX).astype(jnp.float32)
+    safe = jnp.where(labels == IGNORE_INDEX, 0, labels)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
+def contrastive_loss(
+    image_feat: jnp.ndarray,
+    text_feat: jnp.ndarray,
+    temp: jnp.ndarray,
+    queue_image: Optional[jnp.ndarray] = None,
+    queue_text: Optional[jnp.ndarray] = None,
+    axis_name: Optional[str] = None,
+) -> jnp.ndarray:
+    """ITA/ITC: symmetric InfoNCE.  With queues ([D, Q] memory banks,
+    ``model_pretrain.py:178-184``) the negatives extend past the batch."""
+    img = image_feat / jnp.linalg.norm(image_feat, axis=-1, keepdims=True)
+    txt = text_feat / jnp.linalg.norm(text_feat, axis=-1, keepdims=True)
+    img_all = _maybe_gather(img, axis_name)
+    txt_all = _maybe_gather(txt, axis_name)
+    if queue_text is not None:
+        txt_all = jnp.concatenate([txt_all, queue_text.T], axis=0)
+    if queue_image is not None:
+        img_all = jnp.concatenate([img_all, queue_image.T], axis=0)
+    sim_i2t = img @ txt_all.T / temp
+    sim_t2i = txt @ img_all.T / temp
+    n = img.shape[0]
+    offset = 0
+    if axis_name is not None:
+        offset = jax.lax.axis_index(axis_name) * n
+    labels = jnp.arange(n) + offset
+    loss_i2t = -jnp.mean(
+        jnp.take_along_axis(jax.nn.log_softmax(sim_i2t, -1), labels[:, None], 1)
+    )
+    loss_t2i = -jnp.mean(
+        jnp.take_along_axis(jax.nn.log_softmax(sim_t2i, -1), labels[:, None], 1)
+    )
+    return (loss_i2t + loss_t2i) / 2
+
+
+def sample_hard_negatives(
+    rng: jax.Array,
+    sim_i2t: jnp.ndarray,
+    sim_t2i: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Similarity-weighted negative indices (``model_pretrain.py:197-220``,
+    ``objectives.py:126-178``): for each text sample a negative image with
+    probability softmax(sim) (diagonal zeroed), and vice versa."""
+    n = sim_i2t.shape[0]
+    eye = jnp.eye(n, dtype=bool)
+    w_i2t = jnp.where(eye, -jnp.inf, sim_i2t)
+    w_t2i = jnp.where(eye, -jnp.inf, sim_t2i)
+    r1, r2 = jax.random.split(rng)
+    neg_text_idx = jax.random.categorical(r1, w_i2t, axis=-1)
+    neg_image_idx = jax.random.categorical(r2, w_t2i, axis=-1)
+    return neg_image_idx, neg_text_idx
+
+
+def itm_loss(pos_logits: jnp.ndarray, neg_logits: jnp.ndarray) -> jnp.ndarray:
+    """Binary match CE: positives labeled 1, negatives 0."""
+    logits = jnp.concatenate([pos_logits, neg_logits], axis=0)
+    labels = jnp.concatenate(
+        [jnp.ones(pos_logits.shape[0], jnp.int32),
+         jnp.zeros(neg_logits.shape[0], jnp.int32)]
+    )
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], 1))
+
+
+def vqa_bce_loss(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """BCE-with-logits x label_size, scaled by label count — the reference's
+    ``compute_vqa`` (``objectives.py:375-414``: ``binary_cross_entropy_with_
+    logits * label_size``)."""
+    logits = logits.astype(jnp.float32)
+    per = optax_sigmoid_bce(logits, targets)
+    return jnp.mean(per) * logits.shape[-1]
+
+
+def optax_sigmoid_bce(logits, targets):
+    log_p = jax.nn.log_sigmoid(logits)
+    log_not_p = jax.nn.log_sigmoid(-logits)
+    return -(targets * log_p + (1.0 - targets) * log_not_p)
+
+
+def nlvr2_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], 1))
+
+
+def update_feature_queue(
+    queue: jnp.ndarray, ptr: jnp.ndarray, feats: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Functional ring-buffer enqueue (``_dequeue_and_enqueue``,
+    ``model_pretrain.py:290-306``): queue [D, Q], feats [B, D] (already
+    all-gathered by the caller when distributed)."""
+    b = feats.shape[0]
+    q = queue.shape[1]
+    queue = jax.lax.dynamic_update_slice(queue, feats.T, (0, ptr))
+    return queue, (ptr + b) % q
+
+
+def momentum_update(params: Any, momentum_params: Any, m: float = 0.995) -> Any:
+    """EMA teacher update (``model_pretrain.py:282-287``)."""
+    return jax.tree_util.tree_map(
+        lambda p, mp: mp * m + p * (1.0 - m), params, momentum_params
+    )
+
+
+# ---------------------------------------------------------------------------
+# full ALBEF pretrain step loss (ITA + ITM + MLM)
+# ---------------------------------------------------------------------------
+
+
+def albef_pretrain_loss(
+    model,
+    params: Any,
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+    queue_state: Optional[Dict[str, jnp.ndarray]] = None,
+    axis_name: Optional[str] = None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """One ALBEF pre-training loss evaluation (``model_pretrain.py:144-270``,
+    momentum distillation at alpha=0 i.e. hard targets).
+
+    ``batch``: pixels [B,H,W,3], text_ids/text_mask [B,S], mlm_ids/mlm_labels.
+    Returns (total_loss, metrics).
+    """
+    from vqattack_tpu.models.albef import AlbefPretrain
+
+    def apply(method, *a, **kw):
+        return model.apply(params, *a, method=method, **kw)
+
+    m = model.bind(params)
+    image_embeds, _ = m.visual_encoder(batch["pixels"])
+    image_mask = jnp.ones(image_embeds.shape[:2], jnp.int32)
+    image_feat = m.vision_proj(image_embeds[:, 0])
+
+    text_last, _, _ = m.text_encoder(
+        batch["text_ids"], attention_mask=batch["text_mask"], mode="text"
+    )
+    text_feat = m.text_proj(text_last[:, 0])
+    temp = jnp.clip(m.temp, 0.001, 0.5)
+
+    qi = queue_state.get("image_queue") if queue_state else None
+    qt = queue_state.get("text_queue") if queue_state else None
+    loss_ita = contrastive_loss(image_feat, text_feat, temp, qi, qt, axis_name)
+
+    # ITM with in-batch hard negatives
+    imgn = image_feat / jnp.linalg.norm(image_feat, -1, keepdims=True)
+    txtn = text_feat / jnp.linalg.norm(text_feat, -1, keepdims=True)
+    sim = imgn @ txtn.T / temp
+    r_neg, r_mlm = jax.random.split(rng)
+    neg_img_idx, neg_txt_idx = sample_hard_negatives(r_neg, sim, sim.T)
+
+    def fusion_cls(text_embeds, tmask, img_embeds):
+        imask = jnp.ones(img_embeds.shape[:2], jnp.int32)
+        last, _ = m.text_encoder.encode(
+            text_embeds, tmask, img_embeds, imask, mode="fusion"
+        )
+        return last[:, 0]
+
+    pos_cls = fusion_cls(text_last, batch["text_mask"], image_embeds)
+    neg_cls_1 = fusion_cls(text_last, batch["text_mask"], image_embeds[neg_img_idx])
+    neg_cls_2 = fusion_cls(
+        text_last[neg_txt_idx], batch["text_mask"][neg_txt_idx], image_embeds
+    )
+    pos_logits = m.itm_head(pos_cls)
+    neg_logits = m.itm_head(jnp.concatenate([neg_cls_1, neg_cls_2], axis=0))
+    loss_itm = itm_loss(pos_logits, neg_logits)
+
+    # MLM over the fused encoder
+    _, _, mlm_logits = m.text_encoder(
+        batch["mlm_ids"],
+        attention_mask=batch["text_mask"],
+        encoder_states=image_embeds,
+        encoder_mask=image_mask,
+        mode="multi_modal",
+    )
+    loss_mlm = masked_lm_loss(mlm_logits, batch["mlm_labels"])
+
+    total = loss_ita + loss_itm + loss_mlm
+    metrics = {
+        "loss": total, "loss_ita": loss_ita, "loss_itm": loss_itm,
+        "loss_mlm": loss_mlm,
+        "image_feat": jax.lax.stop_gradient(imgn),
+        "text_feat": jax.lax.stop_gradient(txtn),
+    }
+    return total, metrics
