@@ -215,14 +215,32 @@ class FusionBert(nn.Module):
         if cfg.is_decoder:
             cb = causal_bias(hidden_states.shape[1], self.dtype)
             self_bias = cb if self_bias is None else self_bias + cb
-        cross_bias = None
-        if encoder_mask is not None:
-            cross_bias = mask_to_bias(encoder_mask, self.dtype)
+
+        # multi-stream cross-attention (NLVR: two images alternate per layer,
+        # xbert BertLayer ``encoder_hidden_states[(layer - fusion) % n]``)
+        multi_stream = isinstance(encoder_states, (tuple, list))
+        if multi_stream:
+            cross_biases = [
+                mask_to_bias(m, self.dtype) if m is not None else None
+                for m in (encoder_mask or [None] * len(encoder_states))
+            ]
+        else:
+            cross_bias = (
+                mask_to_bias(encoder_mask, self.dtype)
+                if encoder_mask is not None
+                else None
+            )
 
         x = hidden_states
         feats = [x]
         for i in range(start, stop):
-            x = self.layers[i](x, self_bias, encoder_states, cross_bias)
+            if multi_stream and i >= cfg.fusion_layer:
+                k = (i - cfg.fusion_layer) % len(encoder_states)
+                enc, cb2 = encoder_states[k], cross_biases[k]
+            else:
+                enc = None if multi_stream else encoder_states
+                cb2 = None if multi_stream else cross_bias
+            x = self.layers[i](x, self_bias, enc, cb2)
             feats.append(x)
         return x, jnp.stack(feats, axis=1)
 
