@@ -12,7 +12,8 @@ model/geometry (batch=1, per-iter host syncs).  ``vs_baseline`` is measured
 throughput / that nominal 2.0 it/s.
 
 Env knobs: BENCH_BATCH (default 4), BENCH_ITERS (default 8),
-BENCH_DTYPE (float32|bfloat16, default float32).
+BENCH_DTYPE (float32|bfloat16, default float32),
+BENCH_ATTN (xla|flash, default xla).
 """
 
 from __future__ import annotations
@@ -72,8 +73,13 @@ def main() -> None:
     }
     atk = cfg.attack
 
+    from vqattack_tpu.ops.attention import attention_impl
+
+    attn_kind = os.environ.get("BENCH_ATTN", "xla")
+
     def run(key):
-        return pgd_feature(
+        with attention_impl(attn_kind):
+            return pgd_feature(
             albef_losses.make_feature_loss(model), px, px, key, aux,
             eps=atk.eps, eps_iter=atk.step_size, nb_iter=iters,
             clip_min=atk.clip_min, clip_max=atk.clip_max,

@@ -102,11 +102,17 @@ class MultiHeadAttention(nn.Module):
 
         q, k, v = split(q), split(k), split(v)
         scale = self.head_dim ** -0.5
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
-        if bias is not None:
-            attn = attn + bias.astype(attn.dtype)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+
+        from vqattack_tpu.ops import attention as attn_backend
+
+        if attn_backend.get_impl() == "flash" and q.shape[1] >= 128:
+            out = attn_backend.flash_attention(q, k, v, bias, scale)
+        else:
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+            if bias is not None:
+                attn = attn + bias.astype(attn.dtype)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
         out = out.reshape(out.shape[0], out.shape[1], d)
         if not self.use_out_proj:
             return out
