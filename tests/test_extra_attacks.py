@@ -1,0 +1,37 @@
+"""Attack-zoo extras: CW-L2 against a toy classifier (upstream-cleverhans
+test style), noise and semantic baselines."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vqattack_tpu.attacks.extra import carlini_wagner_l2, noise, semantic
+
+W = jnp.asarray(np.random.default_rng(0).normal(size=(8, 3)), jnp.float32)
+
+
+def toy_logits(x):
+    return x.reshape(x.shape[0], -1) @ W
+
+
+def test_semantic_and_noise():
+    x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (2, 2, 2, 2)), jnp.float32)
+    np.testing.assert_allclose(np.asarray(semantic(x)), -np.asarray(x))
+    out = noise(x, jax.random.key(0), eps=0.1)
+    assert np.abs(np.asarray(out - x)).max() <= 0.1 + 1e-6
+    assert np.asarray(out).max() <= 1.0
+
+
+def test_carlini_wagner_flips_labels():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(-0.5, 0.5, (4, 2, 2, 2)), jnp.float32)
+    y = jnp.argmax(toy_logits(x), axis=-1)
+    adv = carlini_wagner_l2(
+        toy_logits, x, y, n_classes=3, rng=jax.random.key(0),
+        max_iterations=80, binary_search_steps=4, initial_const=1.0, lr=5e-2,
+    )
+    adv_pred = jnp.argmax(toy_logits(adv), axis=-1)
+    flips = int(np.sum(np.asarray(adv_pred) != np.asarray(y)))
+    assert flips >= 3, f"CW flipped only {flips}/4"
+    # stays in range
+    assert np.asarray(adv).max() <= 1 + 1e-5 and np.asarray(adv).min() >= -1 - 1e-5

@@ -1,0 +1,131 @@
+"""Additional attack kernels from the vendored cleverhans surface.
+
+The reference ships these upstream, unmodified and unused by the VQAttack
+path (SURVEY §2.3 "Upstream torch attacks"): Carlini-Wagner L2, uniform-noise
+perturbation, and the semantic (pixel-inversion) attack.  Re-derived here as
+jittable jax programs so the framework exposes the same attack-zoo surface.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("center",))
+def semantic(x: jnp.ndarray, center: bool = True, max_val: float = 1.0) -> jnp.ndarray:
+    """Semantic attack: negate centered pixels (``semantic.py``)."""
+    if center:
+        return -x
+    return max_val - x
+
+
+@partial(jax.jit, static_argnames=("eps",))
+def noise(
+    x: jnp.ndarray, rng: jax.Array, eps: float = 0.3,
+    clip_min: float = -1.0, clip_max: float = 1.0,
+) -> jnp.ndarray:
+    """Uniform-noise 'attack' baseline (``noise.py``)."""
+    eta = jax.random.uniform(rng, x.shape, x.dtype, -eps, eps)
+    return jnp.clip(x + eta, clip_min, clip_max)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "loss_grad_fn", "n_classes", "max_iterations", "binary_search_steps",
+        "targeted", "lr",
+    ),
+)
+def carlini_wagner_l2(
+    loss_grad_fn: Callable,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    n_classes: int,
+    rng: jax.Array,
+    max_iterations: int = 100,
+    binary_search_steps: int = 5,
+    initial_const: float = 1e-2,
+    confidence: float = 0.0,
+    lr: float = 5e-3,
+    clip_min: float = -1.0,
+    clip_max: float = 1.0,
+    targeted: bool = False,
+) -> jnp.ndarray:
+    """Carlini-Wagner L2 (``carlini_wagner_l2.py``): optimize in tanh space
+    with Adam, binary-search the const c, keep the best (lowest-L2
+    successful) adversarial example.
+
+    ``loss_grad_fn(adv_x) -> logits [B, n_classes]`` must be a stable jit-
+    static callable.
+    """
+    del rng
+    batch = x.shape[0]
+    # map x into tanh space
+    x_clip = jnp.clip(x, clip_min, clip_max)
+    scaled = (x_clip - clip_min) / (clip_max - clip_min)
+    scaled = jnp.clip(scaled, 1e-6, 1 - 1e-6)
+    x_tanh = jnp.arctanh(scaled * 2 - 1)
+
+    y_onehot = jax.nn.one_hot(y, n_classes)
+
+    def from_tanh(w):
+        return (jnp.tanh(w) + 1) / 2 * (clip_max - clip_min) + clip_min
+
+    def cw_objective(w, const):
+        adv = from_tanh(w)
+        logits = loss_grad_fn(adv)
+        real = jnp.sum(y_onehot * logits, axis=-1)
+        other = jnp.max(logits - y_onehot * 1e9, axis=-1)
+        if targeted:
+            f = jnp.maximum(other - real + confidence, 0.0)
+        else:
+            f = jnp.maximum(real - other + confidence, 0.0)
+        l2 = jnp.sum((adv - x_clip) ** 2, axis=tuple(range(1, x.ndim)))
+        return jnp.sum(l2 + const * f), (l2, f, adv)
+
+    grad_fn = jax.grad(cw_objective, has_aux=True)
+
+    def binary_step(carry, _):
+        lo, hi, const, best_adv, best_l2 = carry
+
+        def adam_step(state, _):
+            w, m, v, t = state
+            g, _ = grad_fn(w, const)
+            t = t + 1
+            m = 0.9 * m + 0.1 * g
+            v = 0.999 * v + 0.001 * g * g
+            mh = m / (1 - 0.9 ** t)
+            vh = v / (1 - 0.999 ** t)
+            w = w - lr * mh / (jnp.sqrt(vh) + 1e-8)
+            return (w, m, v, t), None
+
+        init = (x_tanh, jnp.zeros_like(x), jnp.zeros_like(x), jnp.zeros((), jnp.float32))
+        (w, _, _, _), _ = jax.lax.scan(adam_step, init, None, length=max_iterations)
+        _, (l2, f, adv) = cw_objective(w, const)
+        success = f <= 0.0
+
+        improved = success & (l2 < best_l2)
+        bshape = (batch,) + (1,) * (x.ndim - 1)
+        best_adv = jnp.where(improved.reshape(bshape), adv, best_adv)
+        best_l2 = jnp.where(improved, l2, best_l2)
+        # binary search: success -> shrink const, else grow
+        hi = jnp.where(success, jnp.minimum(hi, const), hi)
+        lo = jnp.where(success, lo, jnp.maximum(lo, const))
+        const = jnp.where(
+            hi < 1e9, (lo + hi) / 2, const * 10
+        )
+        return (lo, hi, const, best_adv, best_l2), None
+
+    lo = jnp.zeros(batch)
+    hi = jnp.full((batch,), 1e10)
+    const = jnp.full((batch,), initial_const)
+    best_l2 = jnp.full((batch,), jnp.inf)
+    carry = (lo, hi, const, x_clip, best_l2)
+    (_, _, _, best_adv, _), _ = jax.lax.scan(
+        binary_step, carry, None, length=binary_search_steps
+    )
+    return best_adv

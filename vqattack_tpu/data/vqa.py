@@ -62,6 +62,20 @@ class VQADataset:
         return len(self.ann)
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:
+        """Failure-tolerant read: corrupt/missing images retry with a random
+        resample (reference ``base_dataset.get_suite``, ``:149-168``)."""
+        import random as _random
+
+        for attempt in range(8):
+            try:
+                return self._get_item(idx)
+            except (OSError, KeyError, ValueError) as e:
+                if attempt == 7:
+                    raise
+                idx = _random.Random(idx + attempt).randrange(len(self))
+        raise RuntimeError("unreachable")
+
+    def _get_item(self, idx: int) -> Dict[str, Any]:
         ann = self.ann[idx]
         from PIL import Image
 

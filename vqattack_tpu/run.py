@@ -52,6 +52,12 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no-pallas", action="store_true")
+    p.add_argument(
+        "--resume", action="store_true",
+        help="skip qids whose adversarial artifact already exists in --output "
+             "(the qid-keyed layout makes the sweep trivially resumable, "
+             "SURVEY §5.4)",
+    )
     return p
 
 
@@ -125,6 +131,8 @@ def main(argv: Optional[list] = None) -> None:
         }
         if info is None:
             continue  # not in the attack subset
+        if args.resume and os.path.exists(os.path.join(args.output, f"{qid}.npy")):
+            continue  # already attacked in a previous run
         t0 = time.time()
         res = pipeline.attack_sample(
             item["pixels"], item["question"], str(qid),
