@@ -1,0 +1,68 @@
+"""Retrieval recall, caption scorers, Grad-CAM probe."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vqattack_tpu.eval.caption_scorers import bleu, cider, rouge_l
+from vqattack_tpu.eval.retrieval_eval import (
+    irtr_recall,
+    irtr_recall_with_rerank,
+    recall_at_k,
+)
+
+
+def test_recall_at_k():
+    scores = np.array([[0.9, 0.1, 0.0], [0.2, 0.1, 0.8], [0.5, 0.6, 0.4]])
+    gt = np.array([0, 2, 0])
+    r = recall_at_k(scores, gt, ks=(1, 2))
+    assert r["r@1"] == pytest.approx(2 / 3)
+    assert r["r@2"] == pytest.approx(1.0)
+
+
+def test_irtr_recall_perfect():
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(5, 8))
+    img /= np.linalg.norm(img, axis=1, keepdims=True)
+    txt = img + 0.01 * rng.normal(size=(5, 8))
+    txt /= np.linalg.norm(txt, axis=1, keepdims=True)
+    res = irtr_recall(img, txt, np.arange(5))
+    assert res["t2i_r@1"] == 1.0 and res["i2t_r@1"] == 1.0
+
+    def itm_fn(t_idx, i_idx):
+        return np.asarray([(txt[t] @ img[i]) for t, i in zip(t_idx, i_idx)])
+
+    rr = irtr_recall_with_rerank(img, txt, np.arange(5), itm_fn, k_test=3)
+    assert rr["rerank_t2i_r@1"] == 1.0
+
+
+def test_caption_scorers():
+    cands = ["the dog runs fast", "a cat sits"]
+    refs = [["the dog runs fast", "a dog runs"], ["a cat sits on the mat"]]
+    assert bleu(cands, refs) > 0.5
+    assert rouge_l(cands, refs) > 0.5
+    assert cider(cands, refs) > 0.0
+    # degenerate: no overlap
+    assert bleu(["xyz"], [["abc def"]]) == 0.0
+    assert rouge_l(["xyz"], [["abc def"]]) == 0.0
+
+
+def test_gradcam_probe():
+    from vqattack_tpu.config import tiny_test_config
+    from vqattack_tpu.models.albef import AlbefPretrain
+    from vqattack_tpu.utils.gradcam import albef_question_gradcam
+
+    cfg = tiny_test_config().albef
+    model = AlbefPretrain(cfg)
+    px = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (1, 32, 32, 3)), jnp.float32
+    )
+    ids = jnp.ones((1, 8), jnp.int32)
+    mask = jnp.ones_like(ids)
+    params = jax.jit(model.init)(jax.random.key(0), px, ids, mask)
+    cam = albef_question_gradcam(model, params, px, ids, mask, layer=3)
+    g = cfg.vit.image_size // cfg.vit.patch_size
+    assert cam.shape == (1, g, g)
+    assert np.isfinite(cam).all() and (cam >= 0).all()
+    assert cam.max() > 0  # some attention mass reaches the patches

@@ -101,6 +101,7 @@ class BertLayer(nn.Module):
         self_bias: Optional[jnp.ndarray],
         encoder_states: Optional[jnp.ndarray] = None,
         cross_bias: Optional[jnp.ndarray] = None,
+        cross_attn_scale: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         cfg = self.cfg
         attn_out = MultiHeadAttention(
@@ -122,7 +123,7 @@ class BertLayer(nn.Module):
                 use_out_proj=False,
                 dtype=self.dtype,
                 name="crossattention_self",
-            )(x, kv=encoder_states, bias=cross_bias)
+            )(x, kv=encoder_states, bias=cross_bias, attn_scale=cross_attn_scale)
             x = _AttentionOutput(cfg, dtype=self.dtype, name="crossattention_output")(
                 cross_out, x
             )
@@ -193,11 +194,18 @@ class FusionBert(nn.Module):
         encoder_states: Optional[jnp.ndarray] = None,
         encoder_mask: Optional[jnp.ndarray] = None,
         mode: str = "multi_modal",
+        cross_attn_scale: Optional[jnp.ndarray] = None,
+        cross_attn_scale_layer: Optional[int] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Run the layer range selected by ``mode``.
 
         Returns ``(last_hidden, feats)`` where ``feats`` stacks the input plus
         every executed layer's output: ``[B, n_layers_run+1, S, D]``.
+
+        ``cross_attn_scale``/``cross_attn_scale_layer``: multiplicative probe
+        on one layer's cross-attention probabilities — differentiating a score
+        w.r.t. the probe at ones yields grad x attention (Grad-CAM,
+        ``utils/gradcam.py``).
         """
         cfg = self.cfg
         if mode == "text":
@@ -240,7 +248,12 @@ class FusionBert(nn.Module):
             else:
                 enc = None if multi_stream else encoder_states
                 cb2 = None if multi_stream else cross_bias
-            x = self.layers[i](x, self_bias, enc, cb2)
+            probe = (
+                cross_attn_scale
+                if cross_attn_scale is not None and i == cross_attn_scale_layer
+                else None
+            )
+            x = self.layers[i](x, self_bias, enc, cb2, cross_attn_scale=probe)
             feats.append(x)
         return x, jnp.stack(feats, axis=1)
 

@@ -89,6 +89,7 @@ class MultiHeadAttention(nn.Module):
         x: jnp.ndarray,
         kv: Optional[jnp.ndarray] = None,
         bias: Optional[jnp.ndarray] = None,
+        attn_scale: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         kv = x if kv is None else kv
         d = self.num_heads * self.head_dim
@@ -112,6 +113,10 @@ class MultiHeadAttention(nn.Module):
             if bias is not None:
                 attn = attn + bias.astype(attn.dtype)
             attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+            if attn_scale is not None:
+                # differentiable probe: d(score)/d(attn_scale) at ones equals
+                # grad x attention — the Grad-CAM product (utils/gradcam.py)
+                attn = attn * attn_scale
             out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
         out = out.reshape(out.shape[0], out.shape[1], d)
         if not self.use_out_proj:
