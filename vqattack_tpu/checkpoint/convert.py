@@ -340,6 +340,47 @@ def convert_vlmo(
     return tree
 
 
+def convert_textpt_state_dict(
+    sd: Dict[str, np.ndarray],
+    all_num_relative_distance: int,
+    num_heads_times_layers: int,
+) -> Dict[str, np.ndarray]:
+    """BEiT/text-pretrain checkpoint -> VLMo key layout
+    (``vlmo_module.py:convert_to_textpt_ckpt:47-85``):
+
+    - per-layer ``blocks.N.attn.relative_position_bias_table`` tensors merge
+      column-wise into the single fused table (zero-padded to the joint
+      text+image distance count);
+    - ``mlp``/``norm2`` keys re-target the image expert (``mlp_imag`` /
+      ``norm2_imag``); everything gains the ``transformer.`` prefix.
+
+    Returns a torch-layout state dict consumable by :func:`convert_vlmo`.
+    """
+    out: Dict[str, np.ndarray] = {}
+    per_layer_tables = {}
+    for key, value in sd.items():
+        if "relative_position_bias_table" in key and ".attn." in key:
+            layer_idx = int(key.split(".attn.")[0].split(".")[-1])
+            per_layer_tables[layer_idx] = value
+            continue
+        if "mlp" in key:
+            out["transformer." + key.replace("mlp", "mlp_imag")] = value
+        elif "norm2" in key:
+            out["transformer." + key.replace("norm2", "norm2_imag")] = value
+        else:
+            out["transformer." + key] = value
+    if per_layer_tables:
+        merged = np.concatenate(
+            [per_layer_tables[i] for i in sorted(per_layer_tables)], axis=1
+        )
+        full = np.zeros(
+            (all_num_relative_distance, num_heads_times_layers), merged.dtype
+        )
+        full[: merged.shape[0], :] = merged
+        out["relative_position_bias_table"] = full
+    return out
+
+
 def resize_vlmo_rel_pos_table(
     table: np.ndarray, src_window: int, dst_window: int
 ) -> np.ndarray:

@@ -147,6 +147,52 @@ def momentum_update(params: Any, momentum_params: Any, m: float = 0.995) -> Any:
 # ---------------------------------------------------------------------------
 
 
+def soft_contrastive_loss(
+    image_feat, text_feat, temp, t_image_feat, t_text_feat, alpha,
+    queue_image=None, queue_text=None,
+) -> jnp.ndarray:
+    """ITA with momentum distillation (``model_pretrain.py:158-184``):
+    targets blend the one-hot diagonal with the EMA teacher's softmax
+    similarities at weight ``alpha``."""
+    def norm(x):
+        return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+
+    img, txt = norm(image_feat), norm(text_feat)
+    t_img, t_txt = norm(t_image_feat), norm(t_text_feat)
+    txt_all = jnp.concatenate([t_txt, queue_text.T], 0) if queue_text is not None else t_txt
+    img_all = jnp.concatenate([t_img, queue_image.T], 0) if queue_image is not None else t_img
+
+    sim_i2t = img @ txt_all.T / temp
+    sim_t2i = txt @ img_all.T / temp
+    t_i2t = jax.lax.stop_gradient(jax.nn.softmax(t_img @ txt_all.T / temp, -1))
+    t_t2i = jax.lax.stop_gradient(jax.nn.softmax(t_txt @ img_all.T / temp, -1))
+    n = img.shape[0]
+    onehot = jax.nn.one_hot(jnp.arange(n), sim_i2t.shape[1])
+    tgt_i2t = alpha * t_i2t + (1 - alpha) * onehot
+    tgt_t2i = alpha * t_t2i + (1 - alpha) * onehot
+    loss_i2t = -jnp.mean(jnp.sum(jax.nn.log_softmax(sim_i2t, -1) * tgt_i2t, -1))
+    loss_t2i = -jnp.mean(jnp.sum(jax.nn.log_softmax(sim_t2i, -1) * tgt_t2i, -1))
+    return (loss_i2t + loss_t2i) / 2
+
+
+def soft_masked_lm_loss(
+    logits: jnp.ndarray, labels: jnp.ndarray, teacher_logits: jnp.ndarray,
+    alpha: float,
+) -> jnp.ndarray:
+    """MLM with soft-label distillation (``xbert.py:1445-1453``): blend the
+    hard-label CE with KL to the teacher's distribution on masked positions."""
+    hard = masked_lm_loss(logits, labels)
+    valid = (labels != IGNORE_INDEX).astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+    soft_tgt = jax.lax.stop_gradient(
+        jax.nn.softmax(teacher_logits.astype(jnp.float32), -1)
+    )
+    soft = -jnp.sum(jnp.sum(soft_tgt * logp, -1) * valid) / jnp.maximum(
+        jnp.sum(valid), 1.0
+    )
+    return (1 - alpha) * hard + alpha * soft
+
+
 def albef_pretrain_loss(
     model,
     params: Any,
@@ -154,9 +200,15 @@ def albef_pretrain_loss(
     rng: jax.Array,
     queue_state: Optional[Dict[str, jnp.ndarray]] = None,
     axis_name: Optional[str] = None,
+    teacher_params: Optional[Any] = None,
+    alpha: float = 0.0,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """One ALBEF pre-training loss evaluation (``model_pretrain.py:144-270``,
-    momentum distillation at alpha=0 i.e. hard targets).
+    """One ALBEF pre-training loss evaluation (``model_pretrain.py:144-270``).
+
+    ``teacher_params`` (the EMA momentum copy, updated by the caller via
+    :func:`momentum_update`) + ``alpha`` enable the reference's momentum
+    distillation: soft ITA targets and soft MLM labels.  ``alpha=0`` or no
+    teacher reproduces the hard-target path.
 
     ``batch``: pixels [B,H,W,3], text_ids/text_mask [B,S], mlm_ids/mlm_labels.
     Returns (total_loss, metrics).
@@ -179,7 +231,19 @@ def albef_pretrain_loss(
 
     qi = queue_state.get("image_queue") if queue_state else None
     qt = queue_state.get("text_queue") if queue_state else None
-    loss_ita = contrastive_loss(image_feat, text_feat, temp, qi, qt, axis_name)
+    if teacher_params is not None and alpha > 0:
+        tm = model.bind(teacher_params)
+        t_image_embeds, _ = tm.visual_encoder(batch["pixels"])
+        t_image_feat = tm.vision_proj(t_image_embeds[:, 0])
+        t_text_last, _, _ = tm.text_encoder(
+            batch["text_ids"], attention_mask=batch["text_mask"], mode="text"
+        )
+        t_text_feat = tm.text_proj(t_text_last[:, 0])
+        loss_ita = soft_contrastive_loss(
+            image_feat, text_feat, temp, t_image_feat, t_text_feat, alpha, qi, qt
+        )
+    else:
+        loss_ita = contrastive_loss(image_feat, text_feat, temp, qi, qt, axis_name)
 
     # ITM with in-batch hard negatives
     imgn = image_feat / jnp.linalg.norm(image_feat, -1, keepdims=True)
@@ -212,7 +276,20 @@ def albef_pretrain_loss(
         encoder_mask=image_mask,
         mode="multi_modal",
     )
-    loss_mlm = masked_lm_loss(mlm_logits, batch["mlm_labels"])
+    if teacher_params is not None and alpha > 0:
+        t_img_embeds, _ = tm.visual_encoder(batch["pixels"])
+        _, _, t_mlm_logits = tm.text_encoder(
+            batch["mlm_ids"],
+            attention_mask=batch["text_mask"],
+            encoder_states=t_img_embeds,
+            encoder_mask=image_mask,
+            mode="multi_modal",
+        )
+        loss_mlm = soft_masked_lm_loss(
+            mlm_logits, batch["mlm_labels"], t_mlm_logits, alpha
+        )
+    else:
+        loss_mlm = masked_lm_loss(mlm_logits, batch["mlm_labels"])
 
     total = loss_ita + loss_itm + loss_mlm
     metrics = {
@@ -222,3 +299,89 @@ def albef_pretrain_loss(
         "text_feat": jax.lax.stop_gradient(txtn),
     }
     return total, metrics
+
+
+def indexed_contrastive_loss(
+    image_feat: jnp.ndarray,
+    text_feat: jnp.ndarray,
+    temp: jnp.ndarray,
+    idx: jnp.ndarray,
+) -> jnp.ndarray:
+    """ITA with identity-aware positives (the retrieval/grounding training
+    path — ``Grounding.py:55`` / ``model_retrieval.py``): samples sharing the
+    same image index ``idx`` are mutual positives, so the target distribution
+    spreads over all matching columns instead of the diagonal."""
+    img = image_feat / jnp.linalg.norm(image_feat, -1, keepdims=True)
+    txt = text_feat / jnp.linalg.norm(text_feat, -1, keepdims=True)
+    sim_i2t = img @ txt.T / temp
+    sim_t2i = txt @ img.T / temp
+    pos = (idx[:, None] == idx[None, :]).astype(jnp.float32)
+    tgt = pos / jnp.maximum(pos.sum(-1, keepdims=True), 1.0)
+    loss_i2t = -jnp.mean(jnp.sum(jax.nn.log_softmax(sim_i2t, -1) * tgt, -1))
+    loss_t2i = -jnp.mean(jnp.sum(jax.nn.log_softmax(sim_t2i, -1) * tgt, -1))
+    return (loss_i2t + loss_t2i) / 2
+
+
+def retrieval_train_loss(
+    model,
+    params: Any,
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Retrieval/grounding fine-tuning: identity-aware ITA + hard-negative
+    ITM over :class:`~vqattack_tpu.models.albef_tasks.AlbefRetrieval`
+    (``Grounding.py:32-72`` trains exactly this pair; grounding *evaluation*
+    is the Grad-CAM probe, ``utils/gradcam.py``)."""
+    m = model.bind(params)
+    img_feat, image_embeds = m.image_features(batch["pixels"])
+    txt_feat, text_embeds = m.text_features(batch["text_ids"], batch["text_mask"])
+    temp = jnp.clip(m.temp, 0.001, 0.5)
+    idx = batch.get("idx")
+    if idx is None:
+        idx = jnp.arange(img_feat.shape[0])
+    loss_ita = indexed_contrastive_loss(img_feat, txt_feat, temp, idx)
+
+    sim = (img_feat @ txt_feat.T) / temp
+    neg_img_idx, neg_txt_idx = sample_hard_negatives(rng, sim, sim.T)
+    pos_logits = m.itm_score(text_embeds, batch["text_mask"], image_embeds)
+    neg1 = m.itm_score(text_embeds, batch["text_mask"], image_embeds[neg_img_idx])
+    neg2 = m.itm_score(
+        text_embeds[neg_txt_idx], batch["text_mask"][neg_txt_idx], image_embeds
+    )
+    loss_itm = itm_loss(pos_logits, jnp.concatenate([neg1, neg2], 0))
+    total = loss_ita + loss_itm
+    return total, {"loss": total, "loss_ita": loss_ita, "loss_itm": loss_itm}
+
+
+def albef_vqa_train_loss(
+    victim,
+    params: Any,
+    batch: Dict[str, jnp.ndarray],
+    pad_token_id: int = 0,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """ALBEF VQA fine-tuning loss (``model_vqa.py:49-119``): per-question
+    answer sets decoded against the (question,image) states, weighted by the
+    answer-frequency weights, normalized by the image batch size.
+
+    Static-shape formulation: every question carries ``A_max`` answer slots
+    (``answer_ids [B, A, L]``, ``answer_weights [B, A]`` zero-padded) — the
+    reference's ragged ``k``-repetition becomes a weighted sum over slots.
+    """
+    from vqattack_tpu.models.albef import AlbefVQA
+
+    states = victim.apply(
+        params, batch["pixels"], batch["text_ids"], batch["text_mask"],
+        method=AlbefVQA.encode_question,
+    )
+    b, a, l = batch["answer_ids"].shape
+    flat_ids = batch["answer_ids"].reshape(b * a, l)
+    flat_mask = batch["answer_mask"].reshape(b * a, l)
+    states_rep = jnp.repeat(states, a, axis=0)
+    qmask_rep = jnp.repeat(batch["text_mask"], a, axis=0)
+    nll = victim.apply(
+        params, flat_ids, flat_mask, states_rep, qmask_rep, pad_token_id,
+        method=AlbefVQA.answer_nll,
+    )
+    seq_nll = jnp.sum(nll, axis=-1).reshape(b, a)
+    loss = jnp.sum(batch["answer_weights"] * seq_nll) / b
+    return loss, {"loss": loss}
