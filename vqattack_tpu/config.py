@@ -38,6 +38,7 @@ class ViTConfig:
     mlp_ratio: float = 4.0
     layer_norm_eps: float = 1e-6
     qkv_bias: bool = True
+    remat: bool = False  # jax.checkpoint each block (memory for FLOPs)
 
     @property
     def num_patches(self) -> int:
@@ -70,6 +71,7 @@ class BertConfig:
     encoder_width: int = 768  # width of the cross-attended (image) states
     is_decoder: bool = False  # causal self-attention (answer decoder)
     pad_token_id: int = 0
+    remat: bool = False  # jax.checkpoint each layer
 
     @property
     def head_dim(self) -> int:
@@ -121,6 +123,7 @@ class VLMoConfig:
     type_vocab_size: int = 2  # token type embeddings reused as modality embeds
     vqa_label_size: int = 3129  # config.py:37 vqav2_label_size
     drop_path_rate: float = 0.0
+    remat: bool = False  # jax.checkpoint each block
 
     @property
     def num_patches(self) -> int:

@@ -170,8 +170,9 @@ class FusionBert(nn.Module):
     def setup(self):
         cfg = self.cfg
         self.embeddings = BertEmbeddings(cfg, dtype=self.dtype)
+        layer_cls = nn.remat(BertLayer) if cfg.remat else BertLayer
         self.layers = [
-            BertLayer(
+            layer_cls(
                 cfg,
                 has_cross_attention=(i >= cfg.fusion_layer),
                 dtype=self.dtype,

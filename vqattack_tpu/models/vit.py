@@ -59,9 +59,11 @@ class VisionTransformer(nn.Module):
         # reference truncates pos_embed to the actual sequence (vit.py:168)
         x = x + pos_embed[:, : x.shape[1], :].astype(self.dtype)
 
+        # remat trades recompute for activation memory in the attack backward
+        block_cls = nn.remat(ViTBlock) if cfg.remat else ViTBlock
         feats = [x]
         for i in range(cfg.depth):
-            x = ViTBlock(
+            x = block_cls(
                 num_heads=cfg.num_heads,
                 mlp_ratio=cfg.mlp_ratio,
                 layer_norm_eps=cfg.layer_norm_eps,

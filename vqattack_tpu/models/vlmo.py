@@ -246,8 +246,15 @@ class VLMo(nn.Module):
                 (1, cfg.image_seq_len, cfg.hidden_size),
                 jnp.float32,
             )
+        # static_argnums=(2,): the modality string (self=0, x=1); block
+        # calls must pass it positionally for the remat transform
+        block_cls = (
+            nn.remat(MultiWayBlock, static_argnums=(2,))
+            if cfg.remat
+            else MultiWayBlock
+        )
         self.blocks = [
-            MultiWayBlock(
+            block_cls(
                 cfg,
                 with_vlffn=(i >= cfg.vlffn_start_layer),
                 dtype=self.dtype,
@@ -330,7 +337,7 @@ class VLMo(nn.Module):
                 bias = bias + mask_bias
             else:
                 bias = mask_bias
-            x = blk(x, modality="vl", attn_bias=bias)
+            x = blk(x, "vl", bias)
             feats.append(x)
         xn = self.norm(x)
         return xn, jnp.stack(feats, axis=1), co_masks
@@ -360,7 +367,7 @@ class VLMo(nn.Module):
         for i, blk in enumerate(self.blocks):
             bias = self._rel_bias(i, "text")
             bias = mask_bias if bias is None else bias + mask_bias
-            x = blk(x, modality="text", attn_bias=bias)
+            x = blk(x, "text", bias)
             feats.append(x)
         xn = self.norm(x)
         return {
@@ -377,7 +384,7 @@ class VLMo(nn.Module):
         x = x + self.token_type_embeddings(jnp.ones_like(masks))
         feats = [x]
         for i, blk in enumerate(self.blocks):
-            x = blk(x, modality="image", attn_bias=self._rel_bias(i, "image"))
+            x = blk(x, "image", self._rel_bias(i, "image"))
             feats.append(x)
         xn = self.norm(x)
         return {
@@ -432,7 +439,7 @@ class VLMo(nn.Module):
         for i, blk in enumerate(self.blocks):
             bias = self._rel_bias(i, "joint")
             bias = mask_bias if bias is None else bias + mask_bias
-            x = blk(x, modality="vl", attn_bias=bias)
+            x = blk(x, "vl", bias)
             feats.append(x)
         xn = self.norm(x)
         feats = jnp.stack(feats, axis=1)
