@@ -78,3 +78,42 @@ def test_cli_smoke(tmp_path, pipeline):
     adv = np.load(out_dir / "100.npy")
     assert adv.shape == (1, 32, 32, 3)
     assert (out_dir / "adv_txt_dict.json").exists()
+
+
+def test_transfer_eval_smoke(tmp_path):
+    """Offline transfer eval over artifacts produced by the attack CLI."""
+    pytest.importorskip("PIL")
+    import numpy as np
+
+    from vqattack_tpu.transfer_eval import main as te_main
+
+    words = ["what", "color", "is", "the", "dog", "cat", "red", "blue"]
+    vocab_file = tmp_path / "vocab.txt"
+    vocab_size = _write_vocab(vocab_file, words)
+
+    base = cfg_mod.tiny_test_config()
+    import dataclasses
+
+    bert = dataclasses.replace(base.albef.bert, vocab_size=vocab_size)
+    albef = dataclasses.replace(base.albef, bert=bert)
+    cfg = dataclasses.replace(base, albef=albef, k_test=2)
+    cfg_path = tmp_path / "cfg.json"
+    cfg_mod.save_config(cfg, str(cfg_path))
+
+    art = tmp_path / "artifacts"
+    art.mkdir()
+    np.save(art / "100.npy", np.zeros((1, 32, 32, 3), np.float32))
+    (art / "adv_txt_dict.json").write_text(json.dumps({"100": "what color is the cat"}))
+    (tmp_path / "sur.json").write_text(json.dumps({"100": "red"}))
+    (tmp_path / "answers.json").write_text(json.dumps(["red", "blue"]))
+    (tmp_path / "gt.json").write_text(json.dumps({"100": ["red"] * 5}))
+
+    te_main([
+        "--pipeline", "albef",
+        "--artifacts", str(art),
+        "--config", str(cfg_path),
+        "--vocab", str(vocab_file),
+        "--answer-list", str(tmp_path / "answers.json"),
+        "--surrogate-ans", str(tmp_path / "sur.json"),
+        "--gt-answers", str(tmp_path / "gt.json"),
+    ])
