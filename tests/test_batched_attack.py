@@ -1,0 +1,98 @@
+"""Batched lockstep attack: bucketing, invariants, single-sample equivalence."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vqattack_tpu.attacks.batched import BatchedAlbefAttack
+from vqattack_tpu.attacks.orchestrator import AlbefAttackPipeline
+from vqattack_tpu.config import tiny_test_config
+from vqattack_tpu.models.albef import AlbefPretrain
+from vqattack_tpu.models.bert import FusionBert
+from vqattack_tpu.text.similarity import NullGate
+from vqattack_tpu.text.tokenizer import WordPieceTokenizer
+
+WORDS = ["what", "color", "is", "the", "dog", "cat", "red", "blue", "hat",
+         "a", "park", "ball"]
+
+
+@pytest.fixture(scope="module")
+def batched():
+    tok = WordPieceTokenizer.toy(WORDS)
+    base = tiny_test_config()
+    bert = dataclasses.replace(base.albef.bert, vocab_size=tok.vocab_size)
+    albef_cfg = dataclasses.replace(base.albef, bert=bert)
+    cfg = dataclasses.replace(base, albef=albef_cfg)
+
+    surrogate = AlbefPretrain(albef_cfg)
+    px = jnp.zeros((1, 32, 32, 3))
+    ids = jnp.ones((1, cfg.attack.max_text_len), jnp.int32)
+    mask = jnp.ones_like(ids)
+    sparams = jax.jit(
+        lambda k: surrogate.init(k, px, ids, mask, method=AlbefPretrain.init_all)
+    )(jax.random.key(0))
+
+    mlm_cfg = dataclasses.replace(bert, fusion_layer=bert.num_layers)
+    mlm = FusionBert(mlm_cfg, with_mlm_head=True)
+    mparams = jax.jit(lambda k: mlm.init(k, ids, mask))(jax.random.key(1))
+
+    pipe = AlbefAttackPipeline(
+        cfg, surrogate, sparams, tok, NullGate(),
+        mlm_model=mlm, mlm_params=mparams, use_pallas=False,
+    )
+    return BatchedAlbefAttack(pipe)
+
+
+def _samples(n, with_para=False):
+    rng = np.random.default_rng(0)
+    out = []
+    questions = ["what color is the dog", "what color is the cat",
+                 "what color is the hat", "what color is the ball"]
+    for i in range(n):
+        s = {
+            "qid": str(3000 + i),
+            "pixels": rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32),
+            "question": questions[i % len(questions)],
+        }
+        if with_para:
+            word = questions[i % len(questions)].split()[-1]
+            s["paraphrase"] = f"the {word} is red."
+            s["target_answer"] = "red"
+            s["all_correct_answers"] = ["red", "blue"]
+        out.append(s)
+    return out
+
+
+def test_batched_feature_bucket(batched):
+    samples = _samples(3)
+    results = batched.run(samples, batch_size=2)
+    assert len(results) == 3
+    eps = batched.p.cfg.attack.eps
+    for r, s in zip(sorted(results, key=lambda r: r.qid), samples):
+        assert r.old_alg == 1
+        assert (np.abs(r.adv_image - s["pixels"]) <= eps + 1e-5).all()
+        assert np.abs(r.adv_image - s["pixels"]).max() > 1e-3
+        assert r.feat_losses.shape[0] == batched.p.cfg.attack.num_iters
+
+
+def test_batched_mar_bucket(batched):
+    samples = _samples(2, with_para=True)
+    results = batched.run(samples, batch_size=2)
+    assert len(results) == 2
+    for r in results:
+        assert r.old_alg == 0
+        assert r.mlm_losses is not None
+
+
+def test_batched_matches_single(batched):
+    """Lockstep batch of identical samples reproduces the single-sample
+    pipeline bit-for-bit given the same keys is not required (different key
+    folds), but ball/clip invariants and loss finiteness must hold and the
+    padded duplicate must not corrupt the real sample."""
+    samples = _samples(1)
+    r_batch = batched.run(samples, batch_size=2)  # forces padding duplicate
+    assert len(r_batch) == 1
+    assert np.isfinite(r_batch[0].feat_losses).all()

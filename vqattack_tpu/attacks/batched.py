@@ -1,0 +1,300 @@
+"""Batched multi-sample ALBEF attack: the sweep's throughput engine.
+
+The reference attacks one (image, question) pair at a time (batch hard-fixed
+to 1 — SURVEY §6).  Here samples sharing a block schedule run in lockstep:
+one jitted PGD scan advances the whole batch, the VL step harvests every
+sample's text-embedding gradients at once, and candidate scoring embeds all
+samples' candidate sentences in a single device call.  The host only does
+WordPiece bookkeeping between blocks.
+
+Bucketing: the schedule is determined by ``k`` = number of substitutable
+words (``compute_iter_schedule``), so a bucket = samples with equal
+``(old_alg, k)``.  Buckets pad to a fixed batch size by repeating the last
+sample (padding results are dropped), keeping one compiled program per
+(bucket-shape, k).
+
+MAR-label alignment can drift per sample mid-attack (a substitution changes
+the masked paraphrase's token count); a mixed bucket switches its second PGD
+step to a per-sample convex mix ``w*MAR + (1-w)*feature`` (one extra forward,
+only when actually mixed).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vqattack_tpu.attacks import albef as albef_losses
+from vqattack_tpu.attacks.albef import _masked_ids
+from vqattack_tpu.attacks.losses import (
+    per_sample_feature_loss,
+    per_sample_mlm_loss,
+)
+from vqattack_tpu.attacks.mar_labels import MarLabels, build_mar_labels
+from vqattack_tpu.attacks.orchestrator import AlbefAttackPipeline, AttackResult
+from vqattack_tpu.attacks.pgd import pgd_alternating, pgd_feature, pgd_vl_step
+from vqattack_tpu.attacks.text_attack import (
+    WordCandidates,
+    apply_substitutions_to_paraphrase,
+    generate_candidates,
+    select_substitutions,
+)
+from vqattack_tpu.models.albef import AlbefPretrain
+
+
+@functools.lru_cache(maxsize=None)
+def make_mixed_second_loss(model: AlbefPretrain):
+    """Per-sample convex mix of the MAR and feature losses, weighted by
+    ``aux['mlm_weight'] [B]`` — the batched analogue of the reference's
+    per-sample shape-fallback (``fgm:102-118``)."""
+
+    feat = albef_losses.make_feature_loss(model)
+    mlm = albef_losses.make_mlm_loss(model)
+
+    def loss_fn(adv_px, key, aux):
+        k1, k2 = jax.random.split(key)
+        _, ps_feat = feat(adv_px, k1, aux)
+        _, ps_mlm = mlm(adv_px, k2, aux)
+        w = aux["mlm_weight"]
+        ps = w * ps_mlm + (1.0 - w) * ps_feat
+        return jnp.sum(ps), ps
+
+    return loss_fn
+
+
+@dataclasses.dataclass
+class _SampleState:
+    qid: str
+    question: str
+    adv_text: str
+    mar: MarLabels
+    mar_words: List[str]
+    cands: WordCandidates
+    ori_emb: np.ndarray
+    substitutions: List[Tuple[str, str]]
+
+
+class BatchedAlbefAttack:
+    """Lockstep attack over a bucket of same-schedule samples."""
+
+    def __init__(self, pipeline: AlbefAttackPipeline):
+        self.p = pipeline
+        self._mixed_loss = make_mixed_second_loss(pipeline.surrogate)
+
+    # ------------------------------------------------------------------ prep
+
+    def _prepare(self, sample: Dict[str, Any]) -> _SampleState:
+        p, atk = self.p, self.p.cfg.attack
+        if sample.get("paraphrase") and sample.get("target_answer"):
+            mar = build_mar_labels(
+                sample["paraphrase"], sample["target_answer"],
+                sample.get("all_correct_answers", ()),
+                p.tokenizer, atk.max_text_len, atk.max_answers,
+            )
+        else:
+            mar = MarLabels(1, None, None, None, [], [], [], 0)
+        cands = generate_candidates(
+            sample["question"], p.tokenizer, p.candidate_mlm_logits,
+            p.filter_words, total_iters=atk.num_iters,
+            top_k=atk.mlm_top_k, score_threshold=atk.mlm_score_threshold,
+        )
+        ids, _ = p.encode(sample["question"])
+        ori_emb = np.asarray(p._embed_text(p.surrogate_params, ids))[0]
+        return _SampleState(
+            qid=str(sample["qid"]), question=sample["question"],
+            adv_text=sample["question"], mar=mar,
+            mar_words=list(mar.paraphrase_words), cands=cands,
+            ori_emb=ori_emb, substitutions=[],
+        )
+
+    @staticmethod
+    def bucket_key(state: _SampleState) -> Tuple[int, int]:
+        return (state.mar.old_alg, len(state.cands.iter_list))
+
+    def _encode_batch(self, texts: Sequence[str]):
+        ids, mask = self.p.tokenizer.encode_batch(
+            texts, self.p.cfg.attack.max_text_len
+        )
+        return jnp.asarray(ids), jnp.asarray(mask)
+
+    # ---------------------------------------------------------------- attack
+
+    def attack_bucket(
+        self,
+        pixels: np.ndarray,           # [B, H, W, 3]
+        states: List[_SampleState],
+        rng: jax.Array,
+    ) -> List[AttackResult]:
+        p, atk = self.p, self.p.cfg.attack
+        b = len(states)
+        assert pixels.shape[0] == b
+        old_alg = states[0].mar.old_alg
+        iter_list = states[0].cands.iter_list or [atk.num_iters]
+        assert all(self.bucket_key(s) == self.bucket_key(states[0]) for s in states)
+
+        ori_px = jnp.asarray(pixels)
+        adv_px = ori_px
+        ori_ids, ori_mask = self._encode_batch([s.question for s in states])
+        r_tgt, r_pgd = jax.random.split(rng)
+        tgt_img, tgt_txt = p.clean_targets(ori_px, ori_ids, ori_mask, r_tgt)
+        n_ori = np.asarray(ori_mask).sum(1)
+
+        feat_losses = [[] for _ in range(b)]
+        mlm_losses = [[] for _ in range(b)]
+        first_block = True
+
+        # padded attack positions [B, P] + validity
+        max_p = max((len(s.cands.attack_positions) for s in states), default=0)
+
+        for block_idx, block_iters in enumerate(iter_list):
+            ids, mask = self._encode_batch([s.adv_text for s in states])
+            n_adv = np.asarray(mask).sum(1)
+            n = np.minimum(n_adv, n_ori)
+            token_mask = (np.arange(atk.max_text_len)[None] < n[:, None]).astype(np.float32)
+            aux = {
+                "variables": p.surrogate_params,
+                "text_ids": ids,
+                "text_mask": mask,
+                "tgt_txt": tgt_txt,
+                "tgt_img": tgt_img,
+                "txt_token_mask": jnp.asarray(token_mask),
+                "special_ids": p._special,
+            }
+            r_pgd, r_block = jax.random.split(r_pgd)
+            rand_init = first_block and atk.rand_init
+
+            if old_alg == 1:
+                adv_px, losses = pgd_feature(
+                    p._feature_loss, adv_px, ori_px, r_block, aux,
+                    eps=atk.eps, eps_iter=atk.step_size, nb_iter=block_iters,
+                    clip_min=atk.clip_min, clip_max=atk.clip_max,
+                    rand_init=rand_init, use_pallas=p.use_pallas,
+                )
+                ln = np.asarray(losses)
+                for j in range(b):
+                    feat_losses[j].append(ln[:, j])
+            else:
+                mlm_ids, mlm_mask, weights = [], [], []
+                for s in states:
+                    ci, cm = p.tokenizer.encode(" ".join(s.mar_words), atk.max_text_len)
+                    mlm_ids.append(ci)
+                    mlm_mask.append(cm)
+                    weights.append(1.0 if int(cm.sum()) == s.mar.true_len else 0.0)
+                aux["mlm_ids"] = jnp.asarray(np.stack(mlm_ids))
+                aux["mlm_mask"] = jnp.asarray(np.stack(mlm_mask))
+                aux["mlm_labels"] = jnp.asarray(
+                    np.stack([s.mar.labels for s in states])
+                )
+                if all(w == 1.0 for w in weights):
+                    second = p._mlm_loss
+                else:
+                    second = self._mixed_loss
+                    aux["mlm_weight"] = jnp.asarray(weights, jnp.float32)
+                adv_px, fl, ml = pgd_alternating(
+                    p._feature_loss, second, adv_px, ori_px, r_block, aux,
+                    eps=atk.eps, eps_iter=atk.step_size, nb_iter=block_iters // 2,
+                    clip_min=atk.clip_min, clip_max=atk.clip_max,
+                    rand_init=rand_init, use_pallas=p.use_pallas,
+                )
+                fln, mln = np.asarray(fl), np.asarray(ml)
+                for j in range(b):
+                    feat_losses[j].append(fln[:, j])
+                    mlm_losses[j].append(mln[:, j])
+            first_block = False
+
+            if block_idx == len(iter_list) - 1 or max_p == 0:
+                break
+
+            # --- VL step: every sample's text gradient in one program ------
+            adv_embeds = p._embed_text(p.surrogate_params, ids)
+            pos = np.zeros((b, max_p), np.int32)
+            for j, s in enumerate(states):
+                ap = s.cands.attack_positions
+                pos[j, : len(ap)] = ap
+            r_pgd, r_vl = jax.random.split(r_pgd)
+            adv_px, text_grad = pgd_vl_step(
+                p._vl_loss, adv_px, adv_embeds, ori_px, jnp.asarray(pos), r_vl, aux,
+                eps=atk.eps, eps_iter=atk.step_size,
+                clip_min=atk.clip_min, clip_max=atk.clip_max,
+                use_pallas=p.use_pallas,
+            )
+            tg = np.asarray(text_grad)
+
+            # --- substitution selection (host; embeddings batched inside) --
+            for j, s in enumerate(states):
+                if not s.cands.attack_word_indices:
+                    continue
+                np_grad = tg[j, : len(s.cands.attack_positions)]
+                new_text, ops = select_substitutions(
+                    s.adv_text, s.question, np_grad, s.cands, s.ori_emb,
+                    p.embed_texts, p.gate.scores,
+                    sim_threshold=atk.sim_threshold, max_length=atk.max_text_len,
+                )
+                s.adv_text = new_text
+                s.substitutions.extend(ops)
+                if old_alg == 0 and ops:
+                    s.mar_words = apply_substitutions_to_paraphrase(s.mar_words, ops)
+
+        adv_np = np.asarray(adv_px)
+        results = []
+        for j, s in enumerate(states):
+            results.append(
+                AttackResult(
+                    qid=s.qid,
+                    adv_image=adv_np[j : j + 1],
+                    adv_text=s.adv_text,
+                    old_alg=old_alg,
+                    feat_losses=np.concatenate(feat_losses[j]) if feat_losses[j] else np.zeros(0),
+                    mlm_losses=np.concatenate(mlm_losses[j]) if mlm_losses[j] else None,
+                    num_blocks=len(iter_list),
+                    substitutions=s.substitutions,
+                )
+            )
+        return results
+
+    # ------------------------------------------------------------------ sweep
+
+    def run(
+        self,
+        samples: Sequence[Dict[str, Any]],
+        batch_size: int = 8,
+        rng: Optional[jax.Array] = None,
+    ) -> List[AttackResult]:
+        """Bucket by (old_alg, k), pad chunks to ``batch_size`` by repeating
+        the last sample, run lockstep, drop padding results."""
+        if rng is None:
+            rng = jax.random.key(self.p.cfg.seed)
+        prepared = [(self._prepare(s), s) for s in samples]
+        buckets: Dict[Tuple[int, int], List[Tuple[_SampleState, dict]]] = {}
+        for st, s in prepared:
+            buckets.setdefault(self.bucket_key(st), []).append((st, s))
+
+        results: List[AttackResult] = []
+        step = 0
+        for key in sorted(buckets):
+            entries = buckets[key]
+            for i in range(0, len(entries), batch_size):
+                chunk = entries[i : i + batch_size]
+                n_real = len(chunk)
+                while len(chunk) < batch_size:
+                    chunk.append(chunk[-1])
+                px = np.concatenate([np.asarray(s["pixels"]) for _, s in chunk])
+                # padding copies get fresh mutable state so their (discarded)
+                # substitutions can't leak into the real sample they mirror
+                states = [
+                    dataclasses.replace(
+                        st, mar_words=list(st.mar_words), substitutions=[]
+                    )
+                    if idx >= n_real
+                    else st
+                    for idx, (st, _) in enumerate(chunk)
+                ]
+                step += 1
+                out = self.attack_bucket(px, states, jax.random.fold_in(rng, step))
+                results.extend(out[:n_real])
+        return results
