@@ -58,6 +58,12 @@ def build_argparser() -> argparse.ArgumentParser:
              "(the qid-keyed layout makes the sweep trivially resumable, "
              "SURVEY §5.4)",
     )
+    p.add_argument(
+        "--distributed", action="store_true",
+        help="multi-host: jax.distributed.initialize(); each process attacks "
+             "its round-robin shard of the qid stream and writes its own "
+             "artifacts (host-0 merge is a directory union — SURVEY §5.8)",
+    )
     return p
 
 
@@ -66,6 +72,9 @@ def main(argv: Optional[list] = None) -> None:
     os.environ.setdefault("HF_HUB_OFFLINE", "1")
 
     import jax
+
+    if args.distributed:
+        jax.distributed.initialize()
     import jax.numpy as jnp
 
     from vqattack_tpu import config as cfg_mod
@@ -123,8 +132,13 @@ def main(argv: Optional[list] = None) -> None:
     rng = jax.random.key(cfg.seed)
     n_done = 0
 
+    n_seen = 0
     for item in logger.log_every(dataset.iter_batches(), 50, "attack:"):
         qid = item["qid"]
+        n_seen += 1
+        # multi-host: round-robin shard of the sample stream per process
+        if jax.process_count() > 1 and (n_seen - 1) % jax.process_count() != jax.process_index():
+            continue
         info = side.attack_inputs(qid) if side else {
             "paraphrase": None, "target_answer": None,
             "all_correct_answers": [], "surrogate_answer": None,
