@@ -157,3 +157,28 @@ def test_attack_accuracy_and_vqascore():
     targets = np.array([[0.0, 1.0], [0.3, 0.0]])
     vs.update_logits(logits, targets)
     assert vs.compute() == pytest.approx((1.0 + 0.3) / 2)
+
+
+def test_device_preprocess_matches_pil():
+    pytest.importorskip("PIL")
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from vqattack_tpu.data.device_transforms import device_preprocess
+
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 255, (60, 44, 3), np.uint8)
+    out = np.asarray(device_preprocess(jnp.asarray(raw[None]), out_size=32))[0]
+    ref = make_eval_transform(32)(Image.fromarray(raw))
+    # PIL rounds to uint8 after EACH separable pass and clips negative cubic
+    # lobes per pass; the device path computes in float. Mean agreement is
+    # sub-level; outliers stay within ~10 uint8 levels.
+    assert out.shape == ref.shape
+    d = np.abs(out - ref)
+    assert d.mean() < 0.01 and d.max() < 0.1, (d.mean(), d.max())
+    # upsample path too
+    raw2 = rng.integers(0, 255, (20, 20, 3), np.uint8)
+    out2 = np.asarray(device_preprocess(jnp.asarray(raw2[None]), out_size=32))[0]
+    ref2 = make_eval_transform(32)(Image.fromarray(raw2))
+    d2 = np.abs(out2 - ref2)
+    assert d2.mean() < 0.01 and d2.max() < 0.12, (d2.mean(), d2.max())

@@ -1,0 +1,69 @@
+"""On-device image preprocessing: resize + normalize inside the attack graph.
+
+The reference decodes and resizes on CPU workers (torchvision/PIL).  Here the
+host only decodes JPEG bytes to uint8; the bicubic resize runs on-device as
+two dense matmuls (separable kernel: ``out = W_h @ img @ W_w^T``) fused by
+XLA straight into the normalization and the first conv — raw uint8 crosses
+host->device (3x less transfer than f32) and the MXU does the filtering.
+
+Weights reproduce PIL's BICUBIC filter (Keys cubic a=-0.5, half-pixel
+centers, antialias support scaling on downsample) — the exact filter behind
+the reference's ``transforms.Resize(..., Image.BICUBIC)`` on PIL inputs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _pil_cubic(x: np.ndarray, a: float = -0.5) -> np.ndarray:
+    ax = np.abs(x)
+    return np.where(
+        ax < 1,
+        (a + 2) * ax ** 3 - (a + 3) * ax ** 2 + 1,
+        np.where(ax < 2, a * ax ** 3 - 5 * a * ax ** 2 + 8 * a * ax - 4 * a, 0.0),
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def resize_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """[out, in] PIL-parity bicubic resampling matrix (antialiased)."""
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    support = 2.0 * filterscale
+    w = np.zeros((out_size, in_size), np.float32)
+    for i in range(out_size):
+        center = (i + 0.5) * scale
+        lo = max(int(center - support + 0.5), 0)
+        hi = min(int(center + support + 0.5), in_size)
+        js = np.arange(lo, hi)
+        weights = _pil_cubic((js + 0.5 - center) / filterscale)
+        s = weights.sum()
+        if s != 0:
+            w[i, lo:hi] = weights / s
+    return w
+
+
+@functools.partial(jax.jit, static_argnames=("out_size",))
+def device_preprocess(
+    raw: jnp.ndarray, out_size: int = 480
+) -> jnp.ndarray:
+    """uint8 [B, H, W, 3] -> normalized float32 [B, out, out, 3].
+
+    Bicubic resize as two MXU matmuls + inception normalization (mean=std=0.5,
+    the reference's [-1,1] pixel space).
+    """
+    b, h, w, c = raw.shape
+    wh = jnp.asarray(resize_matrix(h, out_size))
+    ww = jnp.asarray(resize_matrix(w, out_size))
+    x = raw.astype(jnp.float32)
+    # rows: [out,H] @ [B,H,W,C] over H -> einsum; cols likewise
+    x = jnp.einsum("oh,bhwc->bowc", wh, x)
+    x = jnp.einsum("pw,bowc->bopc", ww, x)
+    x = jnp.clip(x, 0.0, 255.0)
+    return (x / 255.0 - 0.5) / 0.5
