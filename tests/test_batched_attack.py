@@ -96,3 +96,50 @@ def test_batched_matches_single(batched):
     r_batch = batched.run(samples, batch_size=2)  # forces padding duplicate
     assert len(r_batch) == 1
     assert np.isfinite(r_batch[0].feat_losses).all()
+
+
+def test_batched_vlmo(batched):
+    """VLMo lockstep bucket via the adapter subclass."""
+    import dataclasses as dc
+
+    from vqattack_tpu.attacks.batched import BatchedVlmoAttack
+    from vqattack_tpu.attacks.vlmo_orchestrator import VlmoAttackPipeline
+    from vqattack_tpu.models.vlmo import VLMo
+
+    tok = WordPieceTokenizer.toy(WORDS)
+    base = tiny_test_config()
+    vcfg = dc.replace(base.vlmo, vocab_size=tok.vocab_size)
+    cfg = dc.replace(base, vlmo=vcfg)
+    model = VLMo(vcfg)
+    px = jnp.zeros((1, 32, 32, 3))
+    ids = jnp.ones((1, vcfg.max_text_len), jnp.int32)
+    mask = jnp.ones_like(ids)
+    sparams = jax.jit(
+        lambda k: model.init(k, ids, mask, px, method=VLMo.init_all)
+    )(jax.random.key(0))
+    mlm_cfg = dc.replace(base.albef.bert, vocab_size=tok.vocab_size,
+                         fusion_layer=base.albef.bert.num_layers)
+    from vqattack_tpu.models.bert import FusionBert
+
+    mlm = FusionBert(mlm_cfg, with_mlm_head=True)
+    mparams = jax.jit(lambda k: mlm.init(k, ids[:, :8], mask[:, :8]))(jax.random.key(1))
+    pipe = VlmoAttackPipeline(
+        cfg, model, sparams, sparams, tok, NullGate(),
+        mlm_model=mlm, mlm_params=mparams, use_pallas=False,
+    )
+    b = BatchedVlmoAttack(pipe)
+
+    rng = np.random.default_rng(0)
+    samples = [
+        {"qid": str(4000 + i),
+         "pixels": rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32),
+         "question": "what color is the dog",
+         "paraphrase": "the dog is red.", "target_answer": "red",
+         "all_correct_answers": ["red"]}
+        for i in range(2)
+    ]
+    results = b.run(samples, batch_size=2)
+    assert len(results) == 2
+    for r in results:
+        assert r.old_alg == 0 and r.mlm_losses is not None
+        assert (np.abs(r.adv_image) <= 1 + 1e-6).all()

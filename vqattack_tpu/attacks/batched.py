@@ -80,11 +80,37 @@ class _SampleState:
 
 
 class BatchedAlbefAttack:
-    """Lockstep attack over a bucket of same-schedule samples."""
+    """Lockstep attack over a bucket of same-schedule samples.
+
+    Subclassable: :class:`BatchedVlmoAttack` overrides the target/aux
+    adapters to reuse the identical block-loop over the VLMo pipeline.
+    """
 
     def __init__(self, pipeline: AlbefAttackPipeline):
         self.p = pipeline
         self._mixed_loss = make_mixed_second_loss(pipeline.surrogate)
+
+    # -- adapter surface (overridden per family) ---------------------------
+
+    def _clean_targets(self, ori_px, ids, mask, rng):
+        return {"tgt": self.p.clean_targets(ori_px, ids, mask, rng)}
+
+    def _block_aux(self, targets, ids, mask, n, max_len):
+        tgt_img, tgt_txt = targets["tgt"]
+        token_mask = (np.arange(max_len)[None] < n[:, None]).astype(np.float32)
+        return {
+            "variables": self.p.surrogate_params,
+            "text_ids": ids,
+            "text_mask": mask,
+            "tgt_txt": tgt_txt,
+            "tgt_img": tgt_img,
+            "txt_token_mask": jnp.asarray(token_mask),
+            "special_ids": self.p._special,
+        }
+
+    @property
+    def _max_text_len(self) -> int:
+        return self.p.cfg.attack.max_text_len
 
     # ------------------------------------------------------------------ prep
 
@@ -94,7 +120,7 @@ class BatchedAlbefAttack:
             mar = build_mar_labels(
                 sample["paraphrase"], sample["target_answer"],
                 sample.get("all_correct_answers", ()),
-                p.tokenizer, atk.max_text_len, atk.max_answers,
+                p.tokenizer, self._max_text_len, atk.max_answers,
             )
         else:
             mar = MarLabels(1, None, None, None, [], [], [], 0)
@@ -103,7 +129,7 @@ class BatchedAlbefAttack:
             p.filter_words, total_iters=atk.num_iters,
             top_k=atk.mlm_top_k, score_threshold=atk.mlm_score_threshold,
         )
-        ids, _ = p.encode(sample["question"])
+        ids, _ = self._encode_batch([sample["question"]])
         ori_emb = np.asarray(p._embed_text(p.surrogate_params, ids))[0]
         return _SampleState(
             qid=str(sample["qid"]), question=sample["question"],
@@ -117,9 +143,7 @@ class BatchedAlbefAttack:
         return (state.mar.old_alg, len(state.cands.iter_list))
 
     def _encode_batch(self, texts: Sequence[str]):
-        ids, mask = self.p.tokenizer.encode_batch(
-            texts, self.p.cfg.attack.max_text_len
-        )
+        ids, mask = self.p.tokenizer.encode_batch(texts, self._max_text_len)
         return jnp.asarray(ids), jnp.asarray(mask)
 
     # ---------------------------------------------------------------- attack
@@ -141,7 +165,7 @@ class BatchedAlbefAttack:
         adv_px = ori_px
         ori_ids, ori_mask = self._encode_batch([s.question for s in states])
         r_tgt, r_pgd = jax.random.split(rng)
-        tgt_img, tgt_txt = p.clean_targets(ori_px, ori_ids, ori_mask, r_tgt)
+        targets = self._clean_targets(ori_px, ori_ids, ori_mask, r_tgt)
         n_ori = np.asarray(ori_mask).sum(1)
 
         feat_losses = [[] for _ in range(b)]
@@ -155,16 +179,7 @@ class BatchedAlbefAttack:
             ids, mask = self._encode_batch([s.adv_text for s in states])
             n_adv = np.asarray(mask).sum(1)
             n = np.minimum(n_adv, n_ori)
-            token_mask = (np.arange(atk.max_text_len)[None] < n[:, None]).astype(np.float32)
-            aux = {
-                "variables": p.surrogate_params,
-                "text_ids": ids,
-                "text_mask": mask,
-                "tgt_txt": tgt_txt,
-                "tgt_img": tgt_img,
-                "txt_token_mask": jnp.asarray(token_mask),
-                "special_ids": p._special,
-            }
+            aux = self._block_aux(targets, ids, mask, n, self._max_text_len)
             r_pgd, r_block = jax.random.split(r_pgd)
             rand_init = first_block and atk.rand_init
 
@@ -181,7 +196,7 @@ class BatchedAlbefAttack:
             else:
                 mlm_ids, mlm_mask, weights = [], [], []
                 for s in states:
-                    ci, cm = p.tokenizer.encode(" ".join(s.mar_words), atk.max_text_len)
+                    ci, cm = p.tokenizer.encode(" ".join(s.mar_words), self._max_text_len)
                     mlm_ids.append(ci)
                     mlm_mask.append(cm)
                     weights.append(1.0 if int(cm.sum()) == s.mar.true_len else 0.0)
@@ -233,7 +248,7 @@ class BatchedAlbefAttack:
                 new_text, ops = select_substitutions(
                     s.adv_text, s.question, np_grad, s.cands, s.ori_emb,
                     p.embed_texts, p.gate.scores,
-                    sim_threshold=atk.sim_threshold, max_length=atk.max_text_len,
+                    sim_threshold=atk.sim_threshold, max_length=self._max_text_len,
                 )
                 s.adv_text = new_text
                 s.substitutions.extend(ops)
@@ -298,3 +313,54 @@ class BatchedAlbefAttack:
                 out = self.attack_bucket(px, states, jax.random.fold_in(rng, step))
                 results.extend(out[:n_real])
         return results
+
+
+@functools.lru_cache(maxsize=None)
+def make_vlmo_mixed_second_loss(model):
+    """Per-sample MAR/feature mix for VLMo buckets (see
+    :func:`make_mixed_second_loss`)."""
+    from vqattack_tpu.attacks import vlmo as vlmo_losses
+
+    feat = vlmo_losses.make_feature_loss(model)
+    mlm = vlmo_losses.make_mlm_loss(model)
+
+    def loss_fn(adv_px, key, aux):
+        k1, k2 = jax.random.split(key)
+        _, ps_feat = feat(adv_px, k1, aux)
+        _, ps_mlm = mlm(adv_px, k2, aux)
+        w = aux["mlm_weight"]
+        ps = w * ps_mlm + (1.0 - w) * ps_feat
+        return jnp.sum(ps), ps
+
+    return loss_fn
+
+
+class BatchedVlmoAttack(BatchedAlbefAttack):
+    """Lockstep VLMo buckets: same block loop, VLMo target/aux adapters."""
+
+    def __init__(self, pipeline):
+        # note: VlmoAttackPipeline, not Albef — duck-typed member surface
+        self.p = pipeline
+        self._mixed_loss = make_vlmo_mixed_second_loss(pipeline.model)
+
+    @property
+    def _max_text_len(self) -> int:
+        return self.p.max_text_len
+
+    def _clean_targets(self, ori_px, ids, mask, rng):
+        del rng  # VLMo's attack forward has no stochastic masking
+        layer_cls, tokens, token_mask = self.p.clean_targets(ori_px, ids, mask)
+        return {
+            "tgt_layer_cls": layer_cls,
+            "tgt_tokens": tokens,
+            "tgt_token_mask": token_mask,
+        }
+
+    def _block_aux(self, targets, ids, mask, n, max_len):
+        del n, max_len  # VLMo token masking rides tgt_token_mask x adv mask
+        return {
+            "variables": self.p.surrogate_params,
+            "text_ids": ids,
+            "text_mask": mask,
+            **targets,
+        }
