@@ -173,3 +173,28 @@ def test_sharded_train_step():
     state2, metrics = step(state, batch, jax.random.key(1))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state2.step) == 1
+
+
+def test_train_state_checkpointing(tmp_path):
+    from vqattack_tpu.checkpoint.io import (
+        restore_latest_train_state,
+        save_train_state,
+    )
+    from vqattack_tpu.train.trainer import TrainState
+
+    state = TrainState(
+        jnp.asarray(7, jnp.int32),
+        {"w": jnp.arange(4, dtype=jnp.float32)},
+        {"m": jnp.zeros(4)},
+    )
+    save_train_state(state, str(tmp_path), 7)
+    save_train_state(state, str(tmp_path), 9)
+    restored = restore_latest_train_state(str(tmp_path), state)
+    assert int(restored.step) == 7  # same content; newest dir restored
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]), np.arange(4))
+    # keep pruning
+    for s in (11, 13, 15):
+        save_train_state(state, str(tmp_path), s, keep=2)
+    from vqattack_tpu.checkpoint.io import find_train_steps
+
+    assert sorted(find_train_steps(str(tmp_path))) == [13, 15]

@@ -134,3 +134,24 @@ def test_vlmo_mask_affects_output(vlmo_setup):
     assert not np.allclose(
         np.asarray(out1["cls_feats"]), np.asarray(out2["cls_feats"]), atol=1e-6
     )
+
+
+def test_vlmo_nlvr2_head():
+    import dataclasses as dc
+
+    cfg = dc.replace(CFG, type_vocab_size=3)
+    model = VLMo(cfg, with_nlvr2_head=True)
+    b, t = 2, cfg.max_text_len
+    rng = np.random.default_rng(0)
+    px1 = jnp.asarray(rng.uniform(-1, 1, (b, 32, 32, 3)), jnp.float32)
+    px2 = jnp.asarray(rng.uniform(-1, 1, (b, 32, 32, 3)), jnp.float32)
+    ids = jnp.ones((b, t), jnp.int32)
+    mask = jnp.ones_like(ids)
+    params = jax.jit(
+        lambda k: model.init(k, ids, mask, px1, method=VLMo.init_all)
+    )(jax.random.key(0))
+    logits = model.apply(params, px1, px2, ids, mask, method=VLMo.nlvr2_logits)
+    assert logits.shape == (b, 2)
+    # image order matters (distinct modality-type rows)
+    logits_sw = model.apply(params, px2, px1, ids, mask, method=VLMo.nlvr2_logits)
+    assert not np.allclose(np.asarray(logits), np.asarray(logits_sw), atol=1e-6)

@@ -107,6 +107,41 @@ def load_vlmo(
     return {"params": _maybe_cached(torch_path, cache_dir, build)}
 
 
+def save_train_state(state: Any, ckpt_dir: str, step: int, keep: int = 3) -> str:
+    """Write a training checkpoint ``{ckpt_dir}/step_{N}`` and prune old ones
+    (the ModelCheckpoint surface, ``run.py:88-94``)."""
+    path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step:08d}")
+    save_params(state, path)
+    steps = sorted(find_train_steps(ckpt_dir))
+    for s in steps[:-keep]:
+        import shutil
+
+        shutil.rmtree(os.path.join(ckpt_dir, f"step_{s:08d}"), ignore_errors=True)
+    return path
+
+
+def find_train_steps(ckpt_dir: str):
+    if not os.path.isdir(ckpt_dir):
+        return []
+    out = []
+    for name in os.listdir(ckpt_dir):
+        if name.startswith("step_"):
+            try:
+                out.append(int(name.split("_")[1]))
+            except ValueError:
+                pass
+    return out
+
+
+def restore_latest_train_state(ckpt_dir: str, like: Any) -> Optional[Any]:
+    """``resume_during_training`` last-checkpoint scan (``run.py:118-124``):
+    restore the newest ``step_*`` checkpoint, or None."""
+    steps = sorted(find_train_steps(ckpt_dir))
+    if not steps:
+        return None
+    return load_params(os.path.join(ckpt_dir, f"step_{steps[-1]:08d}"), like)
+
+
 def load_hf_bert_mlm(name_or_path: str = "bert-base-uncased") -> Any:
     """The substitution-candidate MLM (``adv_attack.py:110``): load HF
     BertForMaskedLM weights (local path or cached hub) into the FusionBert

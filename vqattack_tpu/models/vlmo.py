@@ -213,6 +213,7 @@ class VQAClassifier(nn.Module):
 class VLMo(nn.Module):
     cfg: VLMoConfig
     with_vqa_head: bool = True
+    with_nlvr2_head: bool = False
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -272,6 +273,12 @@ class VLMo(nn.Module):
             self.vqa_classifier = VQAClassifier(
                 cfg.hidden_size, cfg.vqa_label_size, dtype=self.dtype
             )
+        if self.with_nlvr2_head:
+            # nlvr2 widens token types to 3 (second image stream) and
+            # classifies the concatenated pair cls feats (vlvo_module:283-296)
+            self.nlvr2_classifier = VQAClassifier(
+                cfg.hidden_size, 2, dtype=self.dtype, name="nlvr2_classifier"
+            )
 
         if cfg.need_relative_position_embed:
             tables = build_relative_position_index(cfg.window_size, cfg.max_text_len)
@@ -312,10 +319,12 @@ class VLMo(nn.Module):
         return x
 
     def _joint_trunk(
-        self, text_ids, text_masks, pixels
+        self, text_ids, text_masks, pixels, image_token_type_idx: int = 1
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Shared VL forward: returns (normed_x, feats [B, L+1, S, D],
-        co_masks [B, S]) with S = max_text_len + image_seq_len."""
+        co_masks [B, S]) with S = max_text_len + image_seq_len.
+        ``image_token_type_idx``: modality-type row (2 = the second NLVR2
+        image stream, ``vlmo_module.py:884-916`` imgkey handling)."""
         cfg = self.cfg
         text_embeds = self.text_embeddings(text_ids)
         image_embeds = self.visual_embed(pixels)
@@ -324,7 +333,7 @@ class VLMo(nn.Module):
             jnp.zeros_like(text_masks)
         )
         image_embeds = image_embeds + self.token_type_embeddings(
-            jnp.ones_like(image_masks)
+            jnp.full_like(image_masks, image_token_type_idx)
         )
         x = jnp.concatenate([text_embeds, image_embeds], axis=1)
         co_masks = jnp.concatenate([text_masks, image_masks], axis=1)
@@ -458,6 +467,16 @@ class VLMo(nn.Module):
         xn, _, _ = self._joint_trunk(text_ids, text_masks, pixels)
         return self.vqa_classifier(self.pooler(xn))
 
+    def nlvr2_logits(self, pixels1, pixels2, text_ids, text_masks) -> jnp.ndarray:
+        """NLVR2: encode the statement with each image (modality rows 1 and
+        2), classify the concatenated pooled pair
+        (``objectives.py:416-475``).  Requires ``type_vocab_size >= 3`` and
+        ``with_nlvr2_head=True``."""
+        x1, _, _ = self._joint_trunk(text_ids, text_masks, pixels1, 1)
+        x2, _, _ = self._joint_trunk(text_ids, text_masks, pixels2, 2)
+        pooled = jnp.concatenate([self.pooler(x1), self.pooler(x2)], axis=-1)
+        return self.nlvr2_classifier(pooled)
+
     def init_all(self, text_ids, text_masks, pixels):
         """Initialization entry point touching every head (flax materializes
         only executed params): use ``model.init(key, ids, masks, px,
@@ -474,6 +493,8 @@ class VLMo(nn.Module):
         _ = self.itc_image_proj(out["image_feats"][:, 0])
         if self.with_vqa_head:
             _ = self.vqa_classifier(out["cls_feats"])
+        if self.with_nlvr2_head:
+            _ = self.nlvr2_logits(pixels, pixels, text_ids, text_masks)
         return out
 
     def __call__(self, text_ids, text_masks, pixels):
