@@ -13,7 +13,9 @@ throughput / that nominal 2.0 it/s.
 
 Env knobs: BENCH_BATCH (default 4), BENCH_ITERS (default 8),
 BENCH_DTYPE (float32|bfloat16, default float32),
-BENCH_ATTN (xla|flash, default xla).
+BENCH_ATTN (xla|flash, default xla),
+BENCH_PRECISION (default|high|highest — TPU matmul passes for f32 inputs;
+'highest' = true f32 accumulation for strict gradient parity).
 """
 
 from __future__ import annotations
@@ -44,6 +46,10 @@ def main() -> None:
     from vqattack_tpu.config import albef_attack_config
     from vqattack_tpu.models.albef import AlbefPretrain
 
+    if os.environ.get("BENCH_PRECISION"):
+        jax.config.update(
+            "jax_default_matmul_precision", os.environ["BENCH_PRECISION"]
+        )
     batch = int(os.environ.get("BENCH_BATCH", "4"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE") == "bfloat16" else jnp.float32

@@ -49,6 +49,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--paraphrases", nargs="*", default=[])
     p.add_argument("--all-correct", nargs="*", default=[])
     p.add_argument("--output", default="attack_out")
+    p.add_argument("--answer-max-len", type=int, default=16,
+                   help="token budget for answer-list tokenization (the "
+                        "reference pads to the longest answer)")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no-pallas", action="store_true")
@@ -122,7 +125,7 @@ def main(argv: Optional[list] = None) -> None:
     answer_ids = answer_mask = None
     if args.pipeline == "albef" and answer_list:
         ids, mask = tokenizer.encode_batch(
-            [a + "[SEP]" for a in answer_list], max_length=8
+            [a + "[SEP]" for a in answer_list], max_length=args.answer_max_len
         )
         answer_ids, answer_mask = jnp.asarray(ids), jnp.asarray(mask)
 

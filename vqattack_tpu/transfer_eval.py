@@ -40,6 +40,7 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="clean answers to measure flips against")
     p.add_argument("--gt-answers", default=None,
                    help="json {qid: [human answers]} for soft accuracy")
+    p.add_argument("--answer-max-len", type=int, default=16)
     p.add_argument("--limit", type=int, default=None)
     return p
 
@@ -90,7 +91,7 @@ def main(argv=None) -> None:
         with open(args.answer_list) as f:
             answer_list = json.load(f)
         ids, mask = tokenizer.encode_batch(
-            [a + "[SEP]" for a in answer_list], max_length=8
+            [a + "[SEP]" for a in answer_list], max_length=args.answer_max_len
         )
         answer_ids, answer_mask = jnp.asarray(ids), jnp.asarray(mask)
 
