@@ -11,7 +11,8 @@ per-iteration cost on the reference's assumed 1x A100 is ~2 it/s for this
 model/geometry (batch=1, per-iter host syncs).  ``vs_baseline`` is measured
 throughput / that nominal 2.0 it/s.
 
-Env knobs: BENCH_BATCH (default 4), BENCH_ITERS (default 8),
+Env knobs: BENCH_BATCH (default 1), BENCH_ITERS (default 40 — one full
+reference attack budget per scan),
 BENCH_DTYPE (float32|bfloat16, default float32),
 BENCH_ATTN (xla|flash, default xla),
 BENCH_PRECISION (default|high|highest — TPU matmul passes for f32 inputs;
@@ -50,8 +51,8 @@ def main() -> None:
         jax.config.update(
             "jax_default_matmul_precision", os.environ["BENCH_PRECISION"]
         )
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
-    iters = int(os.environ.get("BENCH_ITERS", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    iters = int(os.environ.get("BENCH_ITERS", "40"))
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE") == "bfloat16" else jnp.float32
 
     cfg = albef_attack_config()

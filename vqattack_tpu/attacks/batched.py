@@ -30,11 +30,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from vqattack_tpu.attacks import albef as albef_losses
-from vqattack_tpu.attacks.albef import _masked_ids
-from vqattack_tpu.attacks.losses import (
-    per_sample_feature_loss,
-    per_sample_mlm_loss,
-)
 from vqattack_tpu.attacks.mar_labels import MarLabels, build_mar_labels
 from vqattack_tpu.attacks.orchestrator import AlbefAttackPipeline, AttackResult
 from vqattack_tpu.attacks.pgd import pgd_alternating, pgd_feature, pgd_vl_step
