@@ -56,6 +56,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument(
+        "--batch-size", type=int, default=1,
+        help=">1 runs same-schedule samples in lockstep batches "
+             "(attacks/batched.py) instead of the reference's one-at-a-time loop",
+    )
+    p.add_argument(
         "--resume", action="store_true",
         help="skip qids whose adversarial artifact already exists in --output "
              "(the qid-keyed layout makes the sweep trivially resumable, "
@@ -135,6 +140,52 @@ def main(argv: Optional[list] = None) -> None:
     rng = jax.random.key(cfg.seed)
     n_done = 0
 
+    batched = None
+    sample_buffer: list = []
+    if args.batch_size > 1:
+        if args.pipeline == "albef":
+            from vqattack_tpu.attacks.batched import BatchedAlbefAttack
+
+            batched = BatchedAlbefAttack(pipeline)
+        else:
+            from vqattack_tpu.attacks.batched import BatchedVlmoAttack
+
+            batched = BatchedVlmoAttack(pipeline)
+
+    def eval_pending():
+        nonlocal pending
+        for r, inf in pending:
+            clean_answer = inf.get("surrogate_answer")
+            if clean_answer is None:
+                continue
+            if args.pipeline == "albef" and answer_ids is not None:
+                topk_ids, _ = pipeline.evaluate_victim(
+                    r.adv_image, r.adv_text, answer_ids, answer_mask
+                )
+                pred = answer_list[int(np.asarray(topk_ids)[0, 0])]
+            else:
+                _, pred = pipeline.evaluate_victim(r.adv_image, r.adv_text)
+            flip.update(pred, clean_answer)
+            flip.maybe_log()
+        pending = []
+
+    def flush_buffer():
+        nonlocal n_done
+        if not sample_buffer:
+            return
+        t0 = time.time()
+        out = batched.run(sample_buffer, batch_size=args.batch_size, rng=rng)
+        dt = (time.time() - t0) / max(1, len(out))
+        by_qid = {s["qid"]: s["_info"] for s in sample_buffer}
+        for r in out:
+            logger.update(attack_s=dt, blocks=r.num_blocks)
+            results.append(r)
+            pending.append((r, by_qid[r.qid]))
+            n_done += 1
+        sample_buffer.clear()
+        if len(pending) >= cfg.eval_every:
+            eval_pending()
+
     n_seen = 0
     for item in logger.log_every(dataset.iter_batches(), 50, "attack:"):
         qid = item["qid"]
@@ -150,6 +201,21 @@ def main(argv: Optional[list] = None) -> None:
             continue  # not in the attack subset
         if args.resume and os.path.exists(os.path.join(args.output, f"{qid}.npy")):
             continue  # already attacked in a previous run
+        if batched is not None:
+            sample_buffer.append({
+                "qid": str(qid), "pixels": item["pixels"],
+                "question": item["question"],
+                "paraphrase": info["paraphrase"],
+                "target_answer": info["target_answer"],
+                "all_correct_answers": info["all_correct_answers"],
+                "_info": info,
+            })
+            if len(sample_buffer) >= 4 * args.batch_size:
+                flush_buffer()
+            if args.limit and n_done + len(sample_buffer) >= args.limit:
+                flush_buffer()
+                break
+            continue
         t0 = time.time()
         res = pipeline.attack_sample(
             item["pixels"], item["question"], str(qid),
@@ -162,24 +228,14 @@ def main(argv: Optional[list] = None) -> None:
         n_done += 1
 
         if len(pending) >= cfg.eval_every:
-            for r, inf in pending:
-                clean_answer = inf.get("surrogate_answer")
-                if clean_answer is None:
-                    continue
-                if args.pipeline == "albef" and answer_ids is not None:
-                    topk_ids, topk_probs = pipeline.evaluate_victim(
-                        r.adv_image, r.adv_text, answer_ids, answer_mask
-                    )
-                    pred = answer_list[int(np.asarray(topk_ids)[0, 0])]
-                else:
-                    _, pred = pipeline.evaluate_victim(r.adv_image, r.adv_text)
-                flip.update(pred, clean_answer)
-                flip.maybe_log()
-            pending = []
+            eval_pending()
 
         if args.limit and n_done >= args.limit:
             break
 
+    if batched is not None:
+        flush_buffer()
+    eval_pending()
     save_artifacts(results, args.output)
     print(
         json.dumps(
