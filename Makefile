@@ -1,0 +1,19 @@
+# Common targets. Tests run on a virtual 8-device CPU mesh (tests/conftest.py).
+
+test:
+	python -m pytest tests/ -q
+
+test-fast:
+	python -m pytest tests/test_pgd.py tests/test_text.py tests/test_models_basic.py -q
+
+bench:
+	python bench.py
+
+bench-bf16:
+	BENCH_DTYPE=bfloat16 python bench.py
+
+dryrun-multichip:
+	JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+	python -c "import __graft_entry__ as g; g.dryrun_multichip(8); print('ok')"
+
+.PHONY: test test-fast bench bench-bf16 dryrun-multichip
