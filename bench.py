@@ -16,7 +16,8 @@ reference attack budget per scan),
 BENCH_DTYPE (float32|bfloat16, default float32),
 BENCH_ATTN (xla|flash, default xla),
 BENCH_PRECISION (default|high|highest — TPU matmul passes for f32 inputs;
-'highest' = true f32 accumulation for strict gradient parity).
+'highest' = true f32 accumulation for strict gradient parity),
+BENCH_REMAT (1 = jax.checkpoint each transformer block).
 """
 
 from __future__ import annotations
@@ -56,6 +57,16 @@ def main() -> None:
     dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE") == "bfloat16" else jnp.float32
 
     cfg = albef_attack_config()
+    if os.environ.get("BENCH_REMAT") == "1":
+        import dataclasses
+
+        albef = cfg.albef
+        albef = dataclasses.replace(
+            albef,
+            vit=dataclasses.replace(albef.vit, remat=True),
+            bert=dataclasses.replace(albef.bert, remat=True),
+        )
+        cfg = dataclasses.replace(cfg, albef=albef)
     model = AlbefPretrain(cfg.albef, dtype=dtype)
     s = cfg.attack.max_text_len
     rng = np.random.default_rng(0)
