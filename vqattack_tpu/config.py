@@ -233,14 +233,25 @@ class RunConfig:
 
 
 def albef_attack_config() -> RunConfig:
-    """The reference ALBEF attack configuration (VQA.yaml + Pretrain.yaml)."""
-    return RunConfig()
+    """The reference ALBEF attack configuration (VQA.yaml + Pretrain.yaml).
+
+    remat is on for the full-size trunks: measured faster on v5e (96 vs 91
+    PGD it/s — recomputing activations beats their HBM round-trip) while
+    keeping gradients identical (tests/test_remat.py)."""
+    base = RunConfig()
+    albef = _replace(
+        base.albef,
+        vit=_replace(base.albef.vit, remat=True),
+        bert=_replace(base.albef.bert, remat=True),
+    )
+    return _replace(base, albef=albef)
 
 
 def vlmo_attack_config() -> RunConfig:
     """The reference VLMo attack configuration
     (``task_finetune_vqa_base_image480``)."""
-    return RunConfig()
+    base = RunConfig()
+    return _replace(base, vlmo=_replace(base.vlmo, remat=True))
 
 
 def tiny_test_config(image_size: int = 32, vocab_size: int = 64) -> RunConfig:
