@@ -35,3 +35,27 @@ def test_carlini_wagner_flips_labels():
     assert flips >= 3, f"CW flipped only {flips}/4"
     # stays in range
     assert np.asarray(adv).max() <= 1 + 1e-5 and np.asarray(adv).min() >= -1 - 1e-5
+
+
+def test_classifier_fgm_pgd():
+    from vqattack_tpu.attacks.extra import fgm_classifier, pgd_classifier
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.uniform(-0.5, 0.5, (8, 2, 2, 2)), jnp.float32)
+    y = jnp.argmax(toy_logits(x), axis=-1)
+
+    adv_f = fgm_classifier(toy_logits, x, y, eps=0.2)
+    assert (np.abs(np.asarray(adv_f - x)) <= 0.2 + 1e-6).all()
+
+    adv_p = pgd_classifier(toy_logits, x, y, jax.random.key(0),
+                           eps=0.3, eps_iter=0.05, nb_iter=20)
+    assert (np.abs(np.asarray(adv_p - x)) <= 0.3 + 1e-6).all()
+    flips = int((jnp.argmax(toy_logits(adv_p), -1) != y).sum())
+    assert flips >= 6, flips  # untargeted PGD flips most of the toy batch
+
+    # targeted variant moves toward the target class
+    tgt = (y + 1) % 3
+    adv_t = pgd_classifier(toy_logits, x, tgt, jax.random.key(1),
+                           eps=0.5, eps_iter=0.05, nb_iter=30, targeted=True)
+    hits = int((jnp.argmax(toy_logits(adv_t), -1) == tgt).sum())
+    assert hits >= 6, hits

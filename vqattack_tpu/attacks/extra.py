@@ -15,6 +15,76 @@ import jax
 import jax.numpy as jnp
 
 
+def _ce_loss(logits, y):
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
+
+
+@partial(
+    jax.jit, static_argnames=("logits_fn", "eps", "norm", "targeted")
+)
+def fgm_classifier(
+    logits_fn: Callable,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    eps: float = 0.3,
+    norm: str = "linf",
+    clip_min: float = -1.0,
+    clip_max: float = 1.0,
+    targeted: bool = False,
+) -> jnp.ndarray:
+    """Plain classifier FGM (the upstream ``cleverhans/jax/attacks/
+    fast_gradient_method.py`` surface): one CE sign/steepest step."""
+    from vqattack_tpu.attacks.norms import optimize_linear
+
+    def loss(px):
+        l = jnp.sum(_ce_loss(logits_fn(px), y))
+        return -l if targeted else l
+
+    g = jax.grad(loss)(x)
+    return jnp.clip(x + optimize_linear(g, eps, norm), clip_min, clip_max)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("logits_fn", "eps", "eps_iter", "nb_iter", "norm", "targeted"),
+)
+def pgd_classifier(
+    logits_fn: Callable,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    rng: jax.Array,
+    eps: float = 0.3,
+    eps_iter: float = 0.01,
+    nb_iter: int = 40,
+    norm: str = "linf",
+    clip_min: float = -1.0,
+    clip_max: float = 1.0,
+    targeted: bool = False,
+) -> jnp.ndarray:
+    """Plain classifier PGD (upstream ``cleverhans/jax`` semantics:
+    rand-init + iterated FGM + ball projection) as one fused scan."""
+    from vqattack_tpu.attacks.norms import clip_eta, optimize_linear
+    from vqattack_tpu.attacks.pgd import rand_init_eta
+
+    adv = jnp.clip(
+        x + rand_init_eta(rng, x.shape, eps, norm, x.dtype), clip_min, clip_max
+    )
+
+    def loss(px):
+        l = jnp.sum(_ce_loss(logits_fn(px), y))
+        return -l if targeted else l
+
+    def step(adv, _):
+        g = jax.grad(loss)(adv)
+        adv = jnp.clip(adv + optimize_linear(g, eps_iter, norm), clip_min, clip_max)
+        eta = clip_eta(adv - x, norm, eps)
+        return jnp.clip(x + eta, clip_min, clip_max), None
+
+    adv, _ = jax.lax.scan(step, adv, None, length=nb_iter)
+    return adv
+
+
 @partial(jax.jit, static_argnames=("center",))
 def semantic(x: jnp.ndarray, center: bool = True, max_val: float = 1.0) -> jnp.ndarray:
     """Semantic attack: negate centered pixels (``semantic.py``)."""
