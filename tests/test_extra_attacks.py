@@ -59,3 +59,23 @@ def test_classifier_fgm_pgd():
                            eps=0.5, eps_iter=0.05, nb_iter=30, targeted=True)
     hits = int((jnp.argmax(toy_logits(adv_t), -1) == tgt).sum())
     assert hits >= 6, hits
+
+
+def test_mim_and_spsa():
+    from vqattack_tpu.attacks.extra import momentum_iterative_method, spsa
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-0.5, 0.5, (6, 2, 2, 2)), jnp.float32)
+    y = jnp.argmax(toy_logits(x), axis=-1)
+
+    adv_m = momentum_iterative_method(toy_logits, x, y, eps=0.3, eps_iter=0.05,
+                                      nb_iter=15)
+    assert (np.abs(np.asarray(adv_m - x)) <= 0.3 + 1e-6).all()
+    flips_m = int((jnp.argmax(toy_logits(adv_m), -1) != y).sum())
+    assert flips_m >= 4, flips_m
+
+    adv_s = spsa(toy_logits, x, y, jax.random.key(0), eps=0.4, nb_iter=40,
+                 spsa_samples=64, lr=0.02)
+    assert (np.abs(np.asarray(adv_s - x)) <= 0.4 + 1e-6).all()
+    flips_s = int((jnp.argmax(toy_logits(adv_s), -1) != y).sum())
+    assert flips_s >= 4, flips_s  # gradient-free still breaks the toy model

@@ -85,6 +85,90 @@ def pgd_classifier(
     return adv
 
 
+@partial(
+    jax.jit,
+    static_argnames=("logits_fn", "eps", "eps_iter", "nb_iter", "decay", "targeted"),
+)
+def momentum_iterative_method(
+    logits_fn: Callable,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    eps: float = 0.3,
+    eps_iter: float = 0.06,
+    nb_iter: int = 10,
+    decay: float = 1.0,
+    clip_min: float = -1.0,
+    clip_max: float = 1.0,
+    targeted: bool = False,
+) -> jnp.ndarray:
+    """MIM (upstream tf2 zoo): L1-normalized gradient accumulates with decay
+    ``mu``; sign steps follow the momentum buffer."""
+
+    def loss(px):
+        l = jnp.sum(_ce_loss(logits_fn(px), y))
+        return -l if targeted else l
+
+    def step(carry, _):
+        adv, m = carry
+        g = jax.grad(loss)(adv)
+        g = g / jnp.maximum(
+            jnp.mean(jnp.abs(g), axis=tuple(range(1, g.ndim)), keepdims=True), 1e-12
+        )
+        m = decay * m + g
+        adv = jnp.clip(adv + eps_iter * jnp.sign(m), clip_min, clip_max)
+        adv = jnp.clip(x + jnp.clip(adv - x, -eps, eps), clip_min, clip_max)
+        return (adv, m), None
+
+    (adv, _), _ = jax.lax.scan(step, (x, jnp.zeros_like(x)), None, length=nb_iter)
+    return adv
+
+
+@partial(
+    jax.jit,
+    static_argnames=("logits_fn", "eps", "nb_iter", "spsa_samples", "lr", "delta"),
+)
+def spsa(
+    logits_fn: Callable,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    rng: jax.Array,
+    eps: float = 0.3,
+    nb_iter: int = 40,
+    spsa_samples: int = 32,
+    lr: float = 0.01,
+    delta: float = 0.01,
+    clip_min: float = -1.0,
+    clip_max: float = 1.0,
+) -> jnp.ndarray:
+    """Gradient-free SPSA (upstream tf2 zoo): antithetic Rademacher
+    perturbations estimate the margin-loss gradient; Adam-free sign ascent
+    with ball projection.  Useful against gradient-masked models."""
+
+    def margin_loss(px):
+        logits = logits_fn(px)
+        real = jnp.take_along_axis(logits, y[:, None], axis=1)[:, 0]
+        other = jnp.max(logits - jax.nn.one_hot(y, logits.shape[-1]) * 1e9, axis=-1)
+        return real - other  # minimize => misclassify
+
+    def step(adv, key):
+        def one_sample(k):
+            v = jax.random.rademacher(k, adv.shape, dtype=adv.dtype)
+            lp = margin_loss(jnp.clip(adv + delta * v, clip_min, clip_max))
+            lm = margin_loss(jnp.clip(adv - delta * v, clip_min, clip_max))
+            bshape = (adv.shape[0],) + (1,) * (adv.ndim - 1)
+            return ((lp - lm) / (2 * delta)).reshape(bshape) * v
+
+        keys = jax.random.split(key, spsa_samples)
+        g = jnp.mean(jax.vmap(one_sample)(keys), axis=0)
+        adv = jnp.clip(adv - lr * jnp.sign(g), clip_min, clip_max)  # descend margin
+        adv = jnp.clip(x + jnp.clip(adv - x, -eps, eps), clip_min, clip_max)
+        return adv, None
+
+    keys = jax.random.split(rng, nb_iter)
+    adv, _ = jax.lax.scan(step, x, keys)
+    return adv
+
+
 @partial(jax.jit, static_argnames=("center",))
 def semantic(x: jnp.ndarray, center: bool = True, max_val: float = 1.0) -> jnp.ndarray:
     """Semantic attack: negate centered pixels (``semantic.py``)."""
