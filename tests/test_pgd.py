@@ -193,3 +193,28 @@ def test_cosine_sim_matches_torch_semantics():
     b = jnp.ones((1, 3))
     out = cosine_sim(a, b)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pgd_multi_restart_picks_best():
+    from vqattack_tpu.attacks.pgd import pgd_multi_restart
+
+    x = jnp.zeros((3, 6))
+    aux = {"w": jnp.ones((3, 6))}
+    adv, losses = pgd_multi_restart(
+        linear_loss, x, x, jax.random.key(0), aux, n_restarts=3,
+        eps=0.5, eps_iter=0.1, nb_iter=4,
+    )
+    assert adv.shape == (3, 6) and losses.shape == (4, 3)
+    assert (np.abs(np.asarray(adv)) <= 0.5 + 1e-6).all()
+    # internal consistency: the selected trajectory dominates every restart
+    # it was chosen from (same split keys as the vmapped run)
+    keys = jax.random.split(jax.random.key(0), 3)
+    finals = []
+    for k in np.asarray(jax.random.key_data(keys)):
+        _, sl = pgd_feature(
+            linear_loss, x, x, jax.random.wrap_key_data(jnp.asarray(k)), aux,
+            eps=0.5, eps_iter=0.1, nb_iter=4, rand_init=True,
+        )
+        finals.append(np.asarray(sl)[-1])
+    best_single = np.max(np.stack(finals), axis=0)
+    np.testing.assert_allclose(np.asarray(losses)[-1], best_single, atol=1e-5)

@@ -166,6 +166,33 @@ def pgd_alternating(
     return adv, feat_losses, mlm_losses
 
 
+def pgd_multi_restart(
+    loss_fn: LossFn,
+    x: jnp.ndarray,
+    ori_x: jnp.ndarray,
+    rng: jax.Array,
+    aux: Any = None,
+    n_restarts: int = 4,
+    **kw,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Random-restart PGD (the upstream suite's multi-restart behavior,
+    ``test_attacks.py:520`` family): run ``n_restarts`` independent
+    rand-init trajectories in one vmapped program and keep, per sample, the
+    restart with the highest final loss.
+
+    Returns ``(adv_x [B, ...], best_losses [T, B])``.
+    """
+    keys = jax.random.split(rng, n_restarts)
+    advs, losses = jax.vmap(
+        lambda k: pgd_feature(loss_fn, x, ori_x, k, aux, rand_init=True, **kw)
+    )(keys)  # advs [R, B, ...], losses [R, T, B]
+    best = jnp.argmax(losses[:, -1, :], axis=0)  # [B]
+    b = x.shape[0]
+    adv = advs[best, jnp.arange(b)]
+    best_losses = jnp.transpose(losses[best, :, jnp.arange(b)])  # [T, B]
+    return adv, best_losses
+
+
 @partial(jax.jit, static_argnames=("vl_loss_fn", "norm", "use_pallas",
                                    "eps", "eps_iter", "clip_min", "clip_max"))
 def pgd_vl_step(
