@@ -108,9 +108,10 @@ class AlbefAttackPipeline:
             )
         if victim is not None:
             self._rank_answer = jax.jit(
-                lambda v, px, ids, m, a_ids, a_mask: victim.apply(
-                    v, px, ids, m, a_ids, a_mask, cfg.k_test
-                )
+                lambda v, px, ids, m, a_ids, a_mask, k: victim.apply(
+                    v, px, ids, m, a_ids, a_mask, k
+                ),
+                static_argnums=(6,),
             )
         self._feature_loss = albef_losses.make_feature_loss(surrogate)
         self._mlm_loss = albef_losses.make_mlm_loss(surrogate)
@@ -304,11 +305,13 @@ class AlbefAttackPipeline:
         answer_mask: jnp.ndarray,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Black-box check: victim's ranked answers on the adversarial pair
-        (``adv_attack.py:717-733``)."""
+        (``adv_attack.py:717-733``).  ``k_test`` clamps to the answer-list
+        size (the reference assumes 3,129 >= 128)."""
         ids, mask = self.encode(adv_text)
+        k = min(self.cfg.k_test, int(answer_ids.shape[0]))
         return self._rank_answer(
             self.victim_params, jnp.asarray(adv_image), ids, mask,
-            answer_ids, answer_mask,
+            answer_ids, answer_mask, k,
         )
 
 
