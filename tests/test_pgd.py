@@ -218,3 +218,27 @@ def test_pgd_multi_restart_picks_best():
         finals.append(np.asarray(sl)[-1])
     best_single = np.max(np.stack(finals), axis=0)
     np.testing.assert_allclose(np.asarray(losses)[-1], best_single, atol=1e-5)
+
+
+def test_invalid_norm_raises():
+    x = jnp.zeros((1, 4))
+    try:
+        clip_eta(x, "l7", 0.1)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+    try:
+        optimize_linear(x, 0.1, "l7")
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_eps_zero_is_identity():
+    """eps=0: rand-init collapses to zero and every projection pins adv to x
+    (upstream identity-at-eps-0 behavior, test_attacks.py:291)."""
+    x = jnp.full((2, 4), 0.25)
+    aux = {"w": jnp.ones((2, 4))}
+    adv, _ = pgd_feature(linear_loss, x, x, jax.random.key(0), aux,
+                         eps=0.0, eps_iter=0.0, nb_iter=3, rand_init=True)
+    np.testing.assert_allclose(np.asarray(adv), np.asarray(x), atol=1e-7)

@@ -1,0 +1,103 @@
+"""Training CLI smoke tests on a synthetic miniature dataset."""
+
+import dataclasses
+import json
+
+import numpy as np
+import pytest
+
+from vqattack_tpu import config as cfg_mod
+from vqattack_tpu.text.tokenizer import SPECIAL_TOKENS
+
+
+def _setup(tmp_path, n_images=4):
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    words = ["what", "color", "is", "the", "dog", "red", "blue"]
+    toks = list(SPECIAL_TOKENS) + words
+    for c in "abcdefghijklmnopqrstuvwxyz":
+        toks += [c, f"##{c}"]
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text("\n".join(toks) + "\n")
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    ann = []
+    for i in range(n_images):
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8)).save(
+            img_dir / f"{i}.jpg"
+        )
+        ann.append({
+            "image": f"{i}.jpg", "question": "what color is the dog",
+            "question_id": i, "answer": ["red", "red", "blue"],
+            "label": i % 2,
+            "answer_labels": [i % 4], "answer_scores": [1.0],
+        })
+    (tmp_path / "ann.json").write_text(json.dumps(ann))
+
+    base = cfg_mod.tiny_test_config()
+    bert = dataclasses.replace(base.albef.bert, vocab_size=len(toks))
+    albef = dataclasses.replace(base.albef, bert=bert)
+    vlmo = dataclasses.replace(base.vlmo, vocab_size=len(toks))
+    data = dataclasses.replace(base.data, image_size=32)
+    cfg = dataclasses.replace(base, albef=albef, vlmo=vlmo, data=data)
+    cfg_path = tmp_path / "cfg.json"
+    cfg_mod.save_config(cfg, str(cfg_path))
+    return vocab, img_dir, cfg_path
+
+
+@pytest.mark.parametrize("task", ["albef_pretrain", "albef_vqa", "vlmo_vqa"])
+def test_train_cli_tasks(tmp_path, task):
+    from vqattack_tpu.train.cli import main
+
+    vocab, img_dir, cfg_path = _setup(tmp_path)
+    ckpt_dir = tmp_path / "ckpts"
+    main([
+        "--task", task,
+        "--config", str(cfg_path),
+        "--vocab", str(vocab),
+        "--ann", str(tmp_path / "ann.json"),
+        "--image-root", str(img_dir),
+        "--steps", "3",
+        "--batch-size", "2",
+        "--lr", "1e-4",
+        "--ckpt-dir", str(ckpt_dir),
+        "--ckpt-every", "2",
+        "--log-every", "1",
+    ])
+    from vqattack_tpu.checkpoint.io import find_train_steps
+
+    assert find_train_steps(str(ckpt_dir))
+
+    # resume path: continue to 4 steps from the saved state
+    main([
+        "--task", task,
+        "--config", str(cfg_path),
+        "--vocab", str(vocab),
+        "--ann", str(tmp_path / "ann.json"),
+        "--image-root", str(img_dir),
+        "--steps", "4",
+        "--batch-size", "2",
+        "--ckpt-dir", str(ckpt_dir),
+        "--log-every", "1",
+    ])
+    assert max(find_train_steps(str(ckpt_dir))) >= 4
+
+
+@pytest.mark.parametrize("task", ["retrieval", "ve", "nlvr2"])
+def test_train_cli_aux_tasks(tmp_path, task):
+    from vqattack_tpu.train.cli import main
+
+    vocab, img_dir, cfg_path = _setup(tmp_path)
+    main([
+        "--task", task,
+        "--config", str(cfg_path),
+        "--vocab", str(vocab),
+        "--ann", str(tmp_path / "ann.json"),
+        "--image-root", str(img_dir),
+        "--steps", "2",
+        "--batch-size", "2",
+        "--log-every", "1",
+    ])

@@ -88,6 +88,10 @@ class VQADataset:
             "question": pre_question(ann["question"], self.max_ques_words),
             "qid": ann.get("question_id"),
         }
+        # task annotations pass through (VE/NLVR labels, VLMo soft targets)
+        for key in ("label", "answer_labels", "answer_scores", "sentence"):
+            if key in ann:
+                item[key] = ann[key]
         if self.split == "test":
             return item
         # train: answer-frequency weights (vqa_dataset.py:55-66)

@@ -1,0 +1,299 @@
+"""Training driver CLI — the reference's task scripts
+(``Pretrain.py``/``VQA.py::train``/``Retrieval.py``/``VE.py``/``NLVR.py`` and
+VLMo's ``run.py`` fit path) as one SPMD loop::
+
+    python -m vqattack_tpu.train.cli --task albef_pretrain \
+        --config configs/albef_attack.json --vocab vocab.txt \
+        --ann train.json --image-root images/ \
+        --steps 1000 --batch-size 32 --ckpt-dir ckpts
+
+Tasks: ``albef_pretrain`` (ITA+ITM+MLM, optional EMA distillation),
+``albef_vqa`` (weighted answer NLL), ``retrieval`` (identity-aware ITA +
+hard-neg ITM), ``ve`` / ``nlvr2`` (classifier CE), ``vlmo_vqa`` (BCE over the
+3,129-label space).  The loop: threaded host data pipeline -> jitted train
+step (GSPMD over the data mesh) -> metric meters -> periodic orbax
+checkpoints with latest-restore resume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import os
+from typing import Any, Dict, Iterator, Optional
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native training loop")
+    p.add_argument("--task", required=True,
+                   choices=["albef_pretrain", "albef_vqa", "retrieval",
+                            "ve", "nlvr2", "vlmo_vqa"])
+    p.add_argument("--config", default=None)
+    p.add_argument("--vocab", required=True)
+    p.add_argument("--ann", nargs="+", required=True)
+    p.add_argument("--image-root", required=True)
+    p.add_argument("--answer-list", default=None)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--lr", type=float, default=2e-5)
+    p.add_argument("--weight-decay", type=float, default=0.02)
+    p.add_argument("--warmup-steps", type=int, default=0)
+    p.add_argument("--schedule", default="cosine")
+    p.add_argument("--opt", default="adamw")
+    p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--ckpt-every", type=int, default=500)
+    p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--init-ckpt", default=None, help="torch ckpt to start from")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max-answers", type=int, default=4)
+    p.add_argument("--mlm-prob", type=float, default=0.15)
+    p.add_argument("--image-size", type=int, default=None,
+                   help="override config image size (e.g. 224 for pretrain)")
+    return p
+
+
+def _batches(dataset, batch_size: int, seed: int) -> Iterator[list]:
+    rng = np.random.default_rng(seed)
+    while True:
+        order = rng.permutation(len(dataset))
+        for i in range(0, len(order) - batch_size + 1, batch_size):
+            yield [dataset[int(j)] for j in order[i : i + batch_size]]
+
+
+def main(argv=None) -> None:
+    args = build_argparser().parse_args(argv)
+    os.environ.setdefault("HF_HUB_OFFLINE", "1")
+
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from vqattack_tpu import config as cfg_mod
+    from vqattack_tpu.checkpoint.io import (
+        restore_latest_train_state,
+        save_train_state,
+    )
+    from vqattack_tpu.data.collators import mlm_collate
+    from vqattack_tpu.data.transforms import train_transform
+    from vqattack_tpu.data.vqa import VQADataset
+    from vqattack_tpu.models.albef import AlbefPretrain, AlbefVQA
+    from vqattack_tpu.models.albef_tasks import AlbefNLVR, AlbefRetrieval, AlbefVE
+    from vqattack_tpu.models.vlmo import VLMo
+    from vqattack_tpu.text.tokenizer import WordPieceTokenizer
+    from vqattack_tpu.train import objectives as obj
+    from vqattack_tpu.train.optim import create_optimizer, create_schedule
+    from vqattack_tpu.train.trainer import create_train_state, make_train_step
+    from vqattack_tpu.utils.meters import MetricLogger
+
+    cfg = cfg_mod.load_config(args.config) if args.config else cfg_mod.albef_attack_config()
+    if args.image_size:
+        albef = cfg.albef
+        albef = dataclasses.replace(
+            albef, vit=dataclasses.replace(albef.vit, image_size=args.image_size)
+        )
+        cfg = dataclasses.replace(
+            cfg, albef=albef,
+            vlmo=dataclasses.replace(cfg.vlmo, image_size=args.image_size),
+            data=dataclasses.replace(cfg.data, image_size=args.image_size),
+        )
+    tok = WordPieceTokenizer.from_file(args.vocab)
+    size = cfg.data.image_size
+    max_len = cfg.attack.max_text_len
+
+    split = "train"
+    dataset = VQADataset(
+        args.ann, args.image_root, train_transform(size), split=split,
+        answer_list=args.answer_list,
+    )
+
+    # ----------------------------------------------------------- model/loss
+    rng_np = np.random.default_rng(args.seed)
+    px0 = jnp.zeros((args.batch_size, size, size, 3))
+    ids0 = jnp.ones((args.batch_size, max_len), jnp.int32)
+    m0 = jnp.ones_like(ids0)
+
+    if args.task == "albef_pretrain":
+        model = AlbefPretrain(cfg.albef)
+        params = jax.jit(
+            lambda k: model.init(k, px0, ids0, m0, method=AlbefPretrain.init_all)
+        )(jax.random.key(args.seed))
+
+        def loss_fn(p, batch, key):
+            return obj.albef_pretrain_loss(model, p, batch, key)
+
+        def collate(items):
+            texts = [i.get("question", "") for i in items]
+            c = mlm_collate(texts, tok, max_len, args.mlm_prob, rng=rng_np)
+            return {
+                "pixels": jnp.asarray(np.concatenate([i["pixels"] for i in items])),
+                "text_ids": jnp.asarray(c["text_ids"]),
+                "text_mask": jnp.asarray(c["text_masks"]),
+                "mlm_ids": jnp.asarray(c["text_ids_mlm"]),
+                "mlm_labels": jnp.asarray(c["text_labels_mlm"]),
+            }
+
+    elif args.task == "albef_vqa":
+        model = AlbefVQA(cfg.albef)
+        a0 = jnp.ones((2, 4), jnp.int32)
+        params = jax.jit(
+            lambda k: model.init(k, px0, ids0, m0, a0, jnp.ones_like(a0), 2)
+        )(jax.random.key(args.seed))
+
+        def loss_fn(p, batch, key):
+            del key
+            return obj.albef_vqa_train_loss(model, p, batch)
+
+        def collate(items):
+            texts = [i.get("question", "") for i in items]
+            ids, mask = tok.encode_batch(texts, max_len)
+            a = args.max_answers
+            ans_ids = np.zeros((len(items), a, 8), np.int32)
+            ans_mask = np.zeros((len(items), a, 8), np.int32)
+            weights = np.zeros((len(items), a), np.float32)
+            for b, item in enumerate(items):
+                for j, (ans, w) in enumerate(
+                    zip(item.get("answers", []), item.get("weights", []))
+                ):
+                    if j >= a:
+                        break
+                    ai, am = tok.encode(ans, 8)
+                    ans_ids[b, j], ans_mask[b, j] = ai, am
+                    weights[b, j] = w
+            return {
+                "pixels": jnp.asarray(np.concatenate([i["pixels"] for i in items])),
+                "text_ids": jnp.asarray(ids), "text_mask": jnp.asarray(mask),
+                "answer_ids": jnp.asarray(ans_ids),
+                "answer_mask": jnp.asarray(ans_mask),
+                "answer_weights": jnp.asarray(weights),
+            }
+
+    elif args.task == "retrieval":
+        model = AlbefRetrieval(cfg.albef)
+        params = jax.jit(model.init)(jax.random.key(args.seed), px0, ids0, m0)
+
+        def loss_fn(p, batch, key):
+            return obj.retrieval_train_loss(model, p, batch, key)
+
+        def collate(items):
+            texts = [i.get("question", "") for i in items]
+            ids, mask = tok.encode_batch(texts, max_len)
+            return {
+                "pixels": jnp.asarray(np.concatenate([i["pixels"] for i in items])),
+                "text_ids": jnp.asarray(ids), "text_mask": jnp.asarray(mask),
+                "idx": jnp.arange(len(items)),
+            }
+
+    elif args.task in ("ve", "nlvr2"):
+        n_cls = 3 if args.task == "ve" else 2
+        if args.task == "ve":
+            model = AlbefVE(cfg.albef)
+            params = jax.jit(model.init)(jax.random.key(args.seed), px0, ids0, m0)
+        else:
+            model = AlbefNLVR(cfg.albef)
+            params = jax.jit(model.init)(
+                jax.random.key(args.seed),
+                jnp.concatenate([px0, px0]), ids0, m0,
+            )
+
+        def loss_fn(p, batch, key):
+            del key
+            logits = model.apply(p, batch["pixels"], batch["text_ids"], batch["text_mask"])
+            loss = obj.nlvr2_loss(logits, batch["labels"])
+            return loss, {"loss": loss}
+
+        def collate(items):
+            texts = [i.get("question", "") for i in items]
+            ids, mask = tok.encode_batch(texts, max_len)
+            px = np.concatenate([i["pixels"] for i in items])
+            if args.task == "nlvr2":
+                px = np.concatenate([px, px])  # second image stream
+            labels = np.asarray([int(i.get("label", 0)) % n_cls for i in items])
+            return {
+                "pixels": jnp.asarray(px),
+                "text_ids": jnp.asarray(ids), "text_mask": jnp.asarray(mask),
+                "labels": jnp.asarray(labels),
+            }
+
+    else:  # vlmo_vqa
+        model = VLMo(cfg.vlmo)
+        ids0v = jnp.ones((args.batch_size, cfg.vlmo.max_text_len), jnp.int32)
+        params = jax.jit(
+            lambda k: model.init(k, ids0v, jnp.ones_like(ids0v), px0, method=VLMo.init_all)
+        )(jax.random.key(args.seed))
+
+        def loss_fn(p, batch, key):
+            del key
+            logits = model.apply(
+                p, batch["pixels"], batch["text_ids"], batch["text_mask"],
+                method=VLMo.vqa_logits,
+            )
+            loss = obj.vqa_bce_loss(logits, batch["targets"])
+            return loss, {"loss": loss}
+
+        def collate(items):
+            texts = [i.get("question", "") for i in items]
+            ids, mask = tok.encode_batch(texts, cfg.vlmo.max_text_len)
+            targets = np.zeros((len(items), cfg.vlmo.vqa_label_size), np.float32)
+            for b, item in enumerate(items):
+                for l, s in zip(item.get("answer_labels", []),
+                                item.get("answer_scores", [])):
+                    targets[b, int(l)] = float(s)
+            return {
+                "pixels": jnp.asarray(np.concatenate([i["pixels"] for i in items])),
+                "text_ids": jnp.asarray(ids), "text_mask": jnp.asarray(mask),
+                "targets": jnp.asarray(targets),
+            }
+
+    if args.init_ckpt:
+        from vqattack_tpu.checkpoint import io as ckpt_io
+
+        if args.task.startswith("albef") or args.task in ("retrieval", "ve", "nlvr2"):
+            loaded = ckpt_io.load_albef_pretrain(args.init_ckpt, size)
+        else:
+            loaded = ckpt_io.load_vlmo(args.init_ckpt, size)
+        # graft shared trunks; task heads stay at init
+        def merge(dst, src):
+            for k, v in src.items():
+                if isinstance(v, dict) and k in dst and isinstance(dst[k], dict):
+                    merge(dst[k], v)
+                elif k in dst:
+                    dst[k] = v
+        merge(params["params"], loaded["params"])
+
+    # ------------------------------------------------------------ optimizer
+    sched = create_schedule(args.schedule, args.lr, total_steps=args.steps,
+                            warmup_steps=args.warmup_steps)
+    tx = create_optimizer(params, args.opt, sched, weight_decay=args.weight_decay)
+    state = create_train_state(params, tx)
+    if args.ckpt_dir:
+        restored = restore_latest_train_state(args.ckpt_dir, state)
+        if restored is not None:
+            state = restored
+            print(f"resumed at step {int(state.step)}")
+    step_fn = make_train_step(loss_fn, tx, donate=False)
+
+    logger = MetricLogger()
+    key = jax.random.key(args.seed + 1)
+    data = _batches(dataset, args.batch_size, args.seed)
+    start = int(state.step)
+    for step in range(start, args.steps):
+        batch = collate(next(data))
+        key, k = jax.random.split(key)
+        state, metrics = step_fn(state, batch, k)
+        logger.update(loss=float(metrics["loss"]),
+                      grad_norm=float(metrics["grad_norm"]),
+                      lr=float(sched(step)))
+        if step % args.log_every == 0:
+            print(f"step {step}: {logger}")
+        if args.ckpt_dir and (step + 1) % args.ckpt_every == 0:
+            save_train_state(state, args.ckpt_dir, step + 1)
+    if args.ckpt_dir:
+        save_train_state(state, args.ckpt_dir, int(state.step))
+    print(f"done at step {int(state.step)}; final {logger}")
+
+
+if __name__ == "__main__":
+    main()
