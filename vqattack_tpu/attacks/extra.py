@@ -9,7 +9,7 @@ jittable jax programs so the framework exposes the same attack-zoo surface.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ Static-shape formulation: labels are padded to ``[A_max, S]`` with all
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 

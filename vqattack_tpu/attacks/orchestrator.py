@@ -27,7 +27,6 @@ from vqattack_tpu.attacks import albef as albef_losses
 from vqattack_tpu.attacks.mar_labels import MarLabels, build_mar_labels
 from vqattack_tpu.attacks.pgd import pgd_alternating, pgd_feature, pgd_vl_step
 from vqattack_tpu.attacks.text_attack import (
-    WordCandidates,
     apply_substitutions_to_paraphrase,
     generate_candidates,
     select_substitutions,

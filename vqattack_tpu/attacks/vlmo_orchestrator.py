@@ -17,7 +17,6 @@ Differences from the ALBEF pipeline:
 
 from __future__ import annotations
 
-import dataclasses
 import zlib
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 

@@ -12,7 +12,7 @@ reproduces the reference's ``make_arrow`` schema.
 from __future__ import annotations
 
 import io
-from typing import Any, Callable, Dict, List, Optional, Sequence
+from typing import Any, Callable, Dict, List, Sequence
 
 import numpy as np
 

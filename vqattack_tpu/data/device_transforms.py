@@ -14,7 +14,6 @@ the reference's ``transforms.Resize(..., Image.BICUBIC)`` on PIL inputs.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ channel-first tensors anywhere.
 from __future__ import annotations
 
 import random
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional
 
 import numpy as np
 

@@ -21,8 +21,6 @@ import threading
 import queue as queue_mod
 from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
 
-import numpy as np
-
 
 def pre_question(question: str, max_words: int = 50) -> str:
     """Lowercase, strip punctuation/underscores, collapse whitespace, cap

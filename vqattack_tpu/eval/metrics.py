@@ -10,7 +10,7 @@ distributed runtime is initialized.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

@@ -10,7 +10,7 @@ is one jitted matmul and the shortlist re-rank is a batched fusion call.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict
 
 import numpy as np
 

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vqattack_tpu.config import ALBEFConfig
-from vqattack_tpu.models.bert import BertPredictionHead, FusionBert
+from vqattack_tpu.models.bert import FusionBert
 from vqattack_tpu.models.vit import VisionTransformer
 
 Dtype = Any

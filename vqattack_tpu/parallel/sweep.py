@@ -15,7 +15,7 @@ from typing import Any, Callable, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from vqattack_tpu.attacks.pgd import pgd_alternating, pgd_feature
+from vqattack_tpu.attacks.pgd import pgd_feature
 from vqattack_tpu.parallel.mesh import shard_batch, shard_params
 
 

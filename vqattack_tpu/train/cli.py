@@ -18,9 +18,8 @@ checkpoints with latest-restore resume.
 from __future__ import annotations
 
 import argparse
-import itertools
 import os
-from typing import Any, Dict, Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

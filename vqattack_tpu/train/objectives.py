@@ -213,11 +213,6 @@ def albef_pretrain_loss(
     ``batch``: pixels [B,H,W,3], text_ids/text_mask [B,S], mlm_ids/mlm_labels.
     Returns (total_loss, metrics).
     """
-    from vqattack_tpu.models.albef import AlbefPretrain
-
-    def apply(method, *a, **kw):
-        return model.apply(params, *a, method=method, **kw)
-
     m = model.bind(params)
     image_embeds, _ = m.visual_encoder(batch["pixels"])
     image_mask = jnp.ones(image_embeds.shape[:2], jnp.int32)

@@ -21,7 +21,6 @@ import argparse
 import glob
 import json
 import os
-from typing import Optional
 
 import numpy as np
 

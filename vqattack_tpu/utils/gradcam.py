@@ -12,7 +12,7 @@ product — with no extra forward cost (one ordinary VJP).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
