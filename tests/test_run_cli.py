@@ -167,3 +167,56 @@ def test_cli_batched_mode(tmp_path):
     ])
     for qid in (200, 201, 202):
         assert (out_dir / f"{qid}.npy").exists()
+
+
+def test_cli_vlmo_arrow_path(tmp_path):
+    """VLMo pipeline over pyarrow tables (--arrow), end to end."""
+    pytest.importorskip("PIL")
+    pytest.importorskip("pyarrow")
+    from PIL import Image
+
+    from vqattack_tpu.data.arrow_writer import write_vqa_arrow
+    from vqattack_tpu.run import main
+
+    words = ["what", "color", "is", "the", "dog", "cat", "red", "blue"]
+    vocab_file = tmp_path / "vocab.txt"
+    vocab_size = _write_vocab(vocab_file, words)
+
+    img_dir = tmp_path / "val2014"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8)).save(
+        img_dir / "COCO_val2014_000000000001.jpg"
+    )
+    (tmp_path / "q.json").write_text(json.dumps({"questions": [
+        {"question": "what color is the dog", "question_id": 500, "image_id": 1},
+    ]}))
+    (tmp_path / "a.json").write_text(json.dumps({"annotations": [
+        {"question_id": 500, "answers": [{"answer": "red"}] * 10},
+    ]}))
+    arrow_path = tmp_path / "vqa.arrow"
+    write_vqa_arrow(str(tmp_path / "q.json"), str(tmp_path / "a.json"),
+                    str(img_dir), str(arrow_path))
+
+    import dataclasses
+
+    base = cfg_mod.tiny_test_config()
+    vlmo = dataclasses.replace(base.vlmo, vocab_size=vocab_size)
+    bert = dataclasses.replace(base.albef.bert, vocab_size=vocab_size)
+    albef = dataclasses.replace(base.albef, bert=bert)
+    data = dataclasses.replace(base.data, image_size=32)
+    cfg = dataclasses.replace(base, vlmo=vlmo, albef=albef, data=data, eval_every=1)
+    cfg_path = tmp_path / "cfg.json"
+    cfg_mod.save_config(cfg, str(cfg_path))
+
+    out_dir = tmp_path / "out"
+    main([
+        "--pipeline", "vlmo",
+        "--config", str(cfg_path),
+        "--vocab", str(vocab_file),
+        "--arrow", str(arrow_path),
+        "--output", str(out_dir),
+        "--limit", "1",
+        "--no-pallas",
+    ])
+    assert (out_dir / "500.npy").exists()

@@ -65,6 +65,12 @@ class ArrowDataset:
         caps = self._texts[i]
         return caps[j] if isinstance(caps, list) else caps
 
+    def iter_batches(self, indices=None, num_workers: int = 4, prefetch: int = 8):
+        """Threaded prefetching iterator (same surface as VQADataset)."""
+        from vqattack_tpu.data.iter_utils import threaded_iter
+
+        yield from threaded_iter(self, indices, num_workers, prefetch)
+
 
 class VQAv2ArrowDataset(ArrowDataset):
     """VQAv2 over arrow (``vqav2_dataset.py``): item carries the question,
