@@ -124,6 +124,9 @@ class VLMoConfig:
     vqa_label_size: int = 3129  # config.py:37 vqav2_label_size
     drop_path_rate: float = 0.0
     remat: bool = False  # jax.checkpoint each block
+    # False = single shared FFN per block (the ViLT single-stream family —
+    # the paper's black-box transfer target — is VLMo minus the experts)
+    moe: bool = True
 
     @property
     def num_patches(self) -> int:
@@ -252,6 +255,22 @@ def vlmo_attack_config() -> RunConfig:
     (``task_finetune_vqa_base_image480``)."""
     base = RunConfig()
     return _replace(base, vlmo=_replace(base.vlmo, remat=True))
+
+
+def vilt_base_config(image_size: int = 384) -> VLMoConfig:
+    """ViLT-B/32 (the reference paper's main black-box transfer target):
+    single-stream transformer = shared FFN, absolute pos embeds, no rel-pos
+    bias, no layer scale, patch 32."""
+    return VLMoConfig(
+        image_size=image_size,
+        patch_size=32,
+        moe=False,
+        use_abs_pos_emb=True,
+        need_relative_position_embed=False,
+        layer_scale_init=None,
+        vlffn_start_layer=12,
+        max_text_len=40,
+    )
 
 
 def tiny_test_config(image_size: int = 32, vocab_size: int = 64) -> RunConfig:

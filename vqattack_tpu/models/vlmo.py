@@ -159,6 +159,13 @@ class MultiWayBlock(nn.Module):
             t = nn.LayerNorm(epsilon=eps, dtype=self.dtype, name="norm2_imag")(t)
             return Mlp(int(dim * cfg.mlp_ratio), dim, dtype=self.dtype, name="mlp_imag")(t)
 
+        if not cfg.moe:
+            # single-stream (ViLT): one shared FFN regardless of modality
+            h = nn.LayerNorm(epsilon=eps, dtype=self.dtype, name="norm2")(x)
+            return x + g2 * Mlp(
+                int(dim * cfg.mlp_ratio), dim, dtype=self.dtype, name="mlp"
+            )(h)
+
         if modality == "image":
             x = x + g2 * imag_ffn(x)
         elif modality == "text":
