@@ -257,6 +257,19 @@ def vlmo_attack_config() -> RunConfig:
     return _replace(base, vlmo=_replace(base.vlmo, remat=True))
 
 
+def blip_vqa_config(image_size: int = 480) -> ALBEFConfig:
+    """BLIP-VQA (the paper's other black-box transfer target): structurally
+    an ALBEF-VQA with image-grounded cross-attention at *every* text layer
+    (``fusion_layer=0``) and a 12-layer causal answer decoder.  Checkpoints
+    convert via :func:`~vqattack_tpu.checkpoint.convert.convert_albef_vqa`
+    with ``fusion_layer=0`` (BLIP's text stack uses the same HF key naming)."""
+    return ALBEFConfig(
+        vit=ViTConfig(image_size=image_size),
+        bert=BertConfig(fusion_layer=0),
+        decoder_layers=12,
+    )
+
+
 def vilt_base_config(image_size: int = 384) -> VLMoConfig:
     """ViLT-B/32 (the reference paper's main black-box transfer target):
     single-stream transformer = shared FFN, absolute pos embeds, no rel-pos
