@@ -17,7 +17,8 @@ BENCH_DTYPE (float32|bfloat16, default float32),
 BENCH_ATTN (xla|flash, default xla),
 BENCH_PRECISION (default|high|highest — TPU matmul passes for f32 inputs;
 'highest' = true f32 accumulation for strict gradient parity),
-BENCH_REMAT (1 = jax.checkpoint each transformer block).
+BENCH_REMAT (1 = jax.checkpoint each transformer block),
+BENCH_MODEL (albef|vlmo, default albef).
 """
 
 from __future__ import annotations
@@ -43,9 +44,14 @@ def main() -> None:
     except Exception:
         pass
 
-    from vqattack_tpu.attacks import albef as albef_losses
     from vqattack_tpu.attacks.pgd import pgd_feature
-    from vqattack_tpu.config import albef_attack_config
+    from vqattack_tpu.config import albef_attack_config, vlmo_attack_config
+
+    if os.environ.get("BENCH_MODEL", "albef") == "vlmo":
+        _vlmo_bench()
+        return
+
+    from vqattack_tpu.attacks import albef as albef_losses
     from vqattack_tpu.models.albef import AlbefPretrain
 
     if os.environ.get("BENCH_PRECISION"):
@@ -129,6 +135,72 @@ def main() -> None:
                 "metric": "albef_pgd_attack_iters_per_sec_per_chip",
                 "value": round(iters_per_s, 3),
                 "unit": f"iters/s (batch={batch}, fwd+bwd ViT-B@480 + 12L fusion BERT, {jnp.dtype(dtype).name})",
+                "vs_baseline": round(iters_per_s / NOMINAL_REFERENCE_ITERS_PER_S, 2),
+            }
+        )
+    )
+
+
+def _vlmo_bench() -> None:
+    """VLMo MoME surrogate PGD throughput (BENCH_MODEL=vlmo)."""
+    import time
+
+    from vqattack_tpu.attacks import vlmo as vlmo_losses
+    from vqattack_tpu.attacks.pgd import pgd_feature
+    from vqattack_tpu.config import vlmo_attack_config
+    from vqattack_tpu.models.vlmo import VLMo
+
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
+    iters = int(os.environ.get("BENCH_ITERS", "40"))
+    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE") == "bfloat16" else jnp.float32
+
+    cfg = vlmo_attack_config()
+    model = VLMo(cfg.vlmo, dtype=dtype)
+    t = cfg.vlmo.max_text_len
+    rng = np.random.default_rng(0)
+    px = jnp.asarray(rng.uniform(-1, 1, (batch, 480, 480, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(1000, 20000, (batch, t)), jnp.int32).at[:, 0].set(101)
+    mask = jnp.ones_like(ids)
+    params = jax.jit(
+        lambda k: model.init(k, ids, mask, px, method=VLMo.init_all)
+    )(jax.random.key(0))
+    attack_feats = jax.jit(
+        lambda v, p, i, m: model.apply(v, p, i, m, method=VLMo.attack_feats)
+    )
+    _, layer_cls, tokens, token_mask = attack_feats(params, px, ids, mask)
+    aux = {
+        "variables": params, "text_ids": ids, "text_mask": mask,
+        "tgt_layer_cls": layer_cls, "tgt_tokens": tokens,
+        "tgt_token_mask": token_mask.astype(jnp.float32),
+    }
+    atk = cfg.attack
+
+    def hard_sync(x):
+        np.asarray(jax.device_get(x.reshape(-1)[:1]))
+
+    def run(key):
+        return pgd_feature(
+            vlmo_losses.make_feature_loss(model), px, px, key, aux,
+            eps=atk.eps, eps_iter=atk.step_size, nb_iter=iters,
+            clip_min=atk.clip_min, clip_max=atk.clip_max,
+            rand_init=True, use_pallas=jax.default_backend() not in ("cpu",),
+        )
+
+    adv, _ = run(jax.random.key(1))
+    hard_sync(adv)
+    t0 = time.perf_counter()
+    reps = 3
+    for r in range(reps):
+        adv, _ = run(jax.random.key(2 + r))
+        hard_sync(adv)
+    dt = (time.perf_counter() - t0) / reps
+    iters_per_s = iters * batch / dt
+    print(
+        json.dumps(
+            {
+                "metric": "vlmo_pgd_attack_iters_per_sec_per_chip",
+                "value": round(iters_per_s, 3),
+                "unit": f"iters/s (batch={batch}, fwd+bwd MoME@480, {jnp.dtype(dtype).name})",
                 "vs_baseline": round(iters_per_s / NOMINAL_REFERENCE_ITERS_PER_S, 2),
             }
         )
