@@ -116,8 +116,10 @@ def main() -> None:
         # reliable sync (see vqattack_tpu/utils/profiling.py)
         np.asarray(jax.device_get(x.reshape(-1)[:1]))
 
-    # warmup/compile
-    adv, losses = run(jax.random.key(1))
+    # warmup/compile (retry transient relay aborts; compiles are cached)
+    from vqattack_tpu.utils.retry import with_retries
+
+    adv, losses = with_retries(lambda: run(jax.random.key(1)))
     hard_sync(adv)
 
     t0 = time.perf_counter()
@@ -186,7 +188,9 @@ def _vlmo_bench() -> None:
             rand_init=True, use_pallas=jax.default_backend() not in ("cpu",),
         )
 
-    adv, _ = run(jax.random.key(1))
+    from vqattack_tpu.utils.retry import with_retries
+
+    adv, _ = with_retries(lambda: run(jax.random.key(1)))
     hard_sync(adv)
     t0 = time.perf_counter()
     reps = 3

@@ -174,7 +174,11 @@ def main(argv: Optional[list] = None) -> None:
         if not sample_buffer:
             return
         t0 = time.time()
-        out = batched.run(sample_buffer, batch_size=args.batch_size, rng=rng)
+        from vqattack_tpu.utils.retry import with_retries
+
+        out = with_retries(
+            lambda: batched.run(sample_buffer, batch_size=args.batch_size, rng=rng)
+        )
         dt = (time.time() - t0) / max(1, len(out))
         by_qid = {s["qid"]: s["_info"] for s in sample_buffer}
         for r in out:
@@ -217,11 +221,13 @@ def main(argv: Optional[list] = None) -> None:
                 break
             continue
         t0 = time.time()
-        res = pipeline.attack_sample(
+        from vqattack_tpu.utils.retry import with_retries
+
+        res = with_retries(lambda: pipeline.attack_sample(
             item["pixels"], item["question"], str(qid),
             info["paraphrase"], info["target_answer"],
             info["all_correct_answers"], rng=rng,
-        )
+        ))
         logger.update(attack_s=time.time() - t0, blocks=res.num_blocks)
         results.append(res)
         pending.append((res, info))
