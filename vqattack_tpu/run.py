@@ -79,6 +79,9 @@ def main(argv: Optional[list] = None) -> None:
     args = build_argparser().parse_args(argv)
     os.environ.setdefault("HF_HUB_OFFLINE", "1")
 
+    from vqattack_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax
 
     if args.distributed:

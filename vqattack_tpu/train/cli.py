@@ -67,6 +67,9 @@ def main(argv=None) -> None:
 
     import dataclasses
 
+    from vqattack_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax
     import jax.numpy as jnp
 

@@ -48,6 +48,9 @@ def main(argv=None) -> None:
     args = build_argparser().parse_args(argv)
     os.environ.setdefault("HF_HUB_OFFLINE", "1")
 
+    from vqattack_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from vqattack_tpu import config as cfg_mod
