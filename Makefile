@@ -17,3 +17,8 @@ dryrun-multichip:
 	python -c "import __graft_entry__ as g; g.dryrun_multichip(8); print('ok')"
 
 .PHONY: test test-fast bench bench-bf16 dryrun-multichip
+
+bench-vlmo:
+	BENCH_MODEL=vlmo python bench.py
+
+.PHONY: bench-vlmo
