@@ -170,10 +170,14 @@ def _vlmo_bench() -> None:
         lambda v, p, i, m: model.apply(v, p, i, m, method=VLMo.attack_feats)
     )
     _, layer_cls, tokens, token_mask = attack_feats(params, px, ids, mask)
+    rel_biases = jax.jit(
+        lambda v: model.apply(v, method=VLMo.precompute_joint_biases)
+    )(params)
     aux = {
         "variables": params, "text_ids": ids, "text_mask": mask,
         "tgt_layer_cls": layer_cls, "tgt_tokens": tokens,
         "tgt_token_mask": token_mask.astype(jnp.float32),
+        "rel_biases": rel_biases,
     }
     atk = cfg.attack
 

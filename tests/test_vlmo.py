@@ -155,3 +155,14 @@ def test_vlmo_nlvr2_head():
     # image order matters (distinct modality-type rows)
     logits_sw = model.apply(params, px2, px1, ids, mask, method=VLMo.nlvr2_logits)
     assert not np.allclose(np.asarray(logits), np.asarray(logits_sw), atol=1e-6)
+
+
+def test_precomputed_rel_biases_identical(vlmo_setup):
+    """Hoisted per-layer bias stack reproduces the in-loop gather exactly."""
+    model, params, px, ids, masks = vlmo_setup
+    biases = model.apply(params, method=VLMo.precompute_joint_biases)
+    assert biases.shape[0] == CFG.depth
+    out1 = model.apply(params, px, ids, masks, method=VLMo.attack_feats)
+    out2 = model.apply(params, px, ids, masks, biases, method=VLMo.attack_feats)
+    for a, b in zip(out1, out2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -357,5 +357,6 @@ class BatchedVlmoAttack(BatchedAlbefAttack):
             "variables": self.p.surrogate_params,
             "text_ids": ids,
             "text_mask": mask,
+            "rel_biases": self.p._rel_biases,
             **targets,
         }

@@ -50,7 +50,7 @@ def make_feature_loss(model: VLMo):
         del key  # VLMo's attack forward has no stochastic masking
         _, layer_cls, tokens, token_mask = model.apply(
             aux["variables"], adv_px, aux["text_ids"], aux["text_mask"],
-            method=VLMo.attack_feats,
+            aux.get("rel_biases"), method=VLMo.attack_feats,
         )
         mask = token_mask.astype(jnp.float32) * aux["tgt_token_mask"]
         ps = vlmo_per_sample_feature_loss(
@@ -69,7 +69,7 @@ def make_mlm_loss(model: VLMo):
         del key
         mlm_logits, _, _, _ = model.apply(
             aux["variables"], adv_px, aux["mlm_ids"], aux["mlm_mask"],
-            method=VLMo.attack_mlm,
+            aux.get("rel_biases"), method=VLMo.attack_mlm,
         )
         ps = per_sample_mlm_loss(mlm_logits, aux["mlm_labels"])
         return jnp.sum(ps), ps
@@ -85,7 +85,7 @@ def make_vl_loss(model: VLMo):
         del key
         _, layer_cls, tokens, token_mask = model.apply(
             aux["variables"], adv_px, text_embeds, aux["text_mask"],
-            method=VLMo.attack_feats_from_embeds,
+            aux.get("rel_biases"), method=VLMo.attack_feats_from_embeds,
         )
         mask = token_mask.astype(jnp.float32) * aux["tgt_token_mask"]
         ps = vlmo_per_sample_feature_loss(

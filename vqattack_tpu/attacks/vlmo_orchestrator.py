@@ -86,6 +86,11 @@ class VlmoAttackPipeline:
             self._cand_mlm_logits = jax.jit(
                 lambda v, ids: mlm_model.apply(v, ids, jnp.ones_like(ids), mode="text")[2]
             )
+        # rel-pos biases are parameter-only: gather them ONCE instead of per
+        # PGD iteration (models/vlmo.py::precompute_joint_biases)
+        self._rel_biases = jax.jit(
+            lambda v: model.apply(v, method=VLMo.precompute_joint_biases)
+        )(surrogate_params)
         self._feature_loss = vlmo_losses.make_feature_loss(model)
         self._mlm_loss = vlmo_losses.make_mlm_loss(model)
         self._vl_loss = vlmo_losses.make_vl_loss(model)
@@ -175,6 +180,7 @@ class VlmoAttackPipeline:
                 "tgt_layer_cls": tgt_layer_cls,
                 "tgt_tokens": tgt_tokens,
                 "tgt_token_mask": tgt_token_mask,
+                "rel_biases": self._rel_biases,
             }
             r_pgd, r_block = jax.random.split(r_pgd)
             rand_init = first_block and atk.rand_init

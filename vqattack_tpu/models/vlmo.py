@@ -325,8 +325,22 @@ class VLMo(nn.Module):
             x = x + self.pos_embed.astype(self.dtype)
         return x
 
+    def precompute_joint_biases(self) -> Optional[jnp.ndarray]:
+        """All layers' joint rel-pos biases as one [depth, H, S, S] stack.
+
+        The per-layer table gather is parameter-only; recomputing it inside
+        every PGD iteration's forward costs ~40x redundant gathers over an
+        attack. Compute once per attack and thread through the loss aux
+        (``rel_biases``); identical numerics (tests/test_vlmo.py)."""
+        if self._rel_index is None:
+            return None
+        return jnp.stack(
+            [self._rel_bias(i, "joint")[0] for i in range(self.cfg.depth)], axis=0
+        )
+
     def _joint_trunk(
-        self, text_ids, text_masks, pixels, image_token_type_idx: int = 1
+        self, text_ids, text_masks, pixels, image_token_type_idx: int = 1,
+        rel_biases: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Shared VL forward: returns (normed_x, feats [B, L+1, S, D],
         co_masks [B, S]) with S = max_text_len + image_seq_len.
@@ -348,11 +362,11 @@ class VLMo(nn.Module):
 
         feats = [x]
         for i, blk in enumerate(self.blocks):
-            bias = self._rel_bias(i, "joint")
-            if bias is not None:
-                bias = bias + mask_bias
+            if rel_biases is not None:
+                bias = rel_biases[i][None] + mask_bias
             else:
-                bias = mask_bias
+                bias = self._rel_bias(i, "joint")
+                bias = mask_bias if bias is None else bias + mask_bias
             x = blk(x, "vl", bias)
             feats.append(x)
         xn = self.norm(x)
@@ -412,13 +426,15 @@ class VLMo(nn.Module):
     # ------------------------------------------------------- attack closures
 
     def attack_feats(
-        self, pixels, text_ids, text_masks
+        self, pixels, text_ids, text_masks, rel_biases=None
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """``pgd_attack`` (``vlmo_module.py:1387-1446``): returns
         ``(cls_feats [B,D], layer_cls [B,L+1,D], token_feats [B,L+1,S,D],
         token_mask [B,S])`` where token_mask selects valid text tokens and all
         image tokens (the reference gathers them; we mask — static shapes)."""
-        xn, feats, co_masks = self._joint_trunk(text_ids, text_masks, pixels)
+        xn, feats, co_masks = self._joint_trunk(
+            text_ids, text_masks, pixels, rel_biases=rel_biases
+        )
         cls_feats = self.pooler(xn)
         layer_cls = feats[:, :, 0, :]
         img_ones = jnp.ones_like(co_masks[:, self.cfg.max_text_len :])
@@ -426,11 +442,13 @@ class VLMo(nn.Module):
         return cls_feats, layer_cls, feats, token_mask
 
     def attack_mlm(
-        self, pixels, mlm_ids, mlm_masks
+        self, pixels, mlm_ids, mlm_masks, rel_biases=None
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """``pgd_mlm_attack`` (``vlmo_module.py:1448-1529``): MLM logits over
         the text half + the same feature stacks."""
-        xn, feats, co_masks = self._joint_trunk(mlm_ids, mlm_masks, pixels)
+        xn, feats, co_masks = self._joint_trunk(
+            mlm_ids, mlm_masks, pixels, rel_biases=rel_biases
+        )
         text_feats = xn[:, : self.cfg.max_text_len]
         mlm_logits = self.mlm_score(text_feats)
         layer_cls = feats[:, :, 0, :]
@@ -439,7 +457,7 @@ class VLMo(nn.Module):
         return mlm_logits, layer_cls, feats, token_mask
 
     def attack_feats_from_embeds(
-        self, pixels, text_embeds, text_masks
+        self, pixels, text_embeds, text_masks, rel_biases=None
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """``pgd_attack_vl`` (``vlmo_module.py:1328-1385``): text embeddings
         enter pre-token-type-add, differentiable."""
@@ -453,8 +471,11 @@ class VLMo(nn.Module):
         mask_bias = mask_to_bias(co_masks, self.dtype)
         feats = [x]
         for i, blk in enumerate(self.blocks):
-            bias = self._rel_bias(i, "joint")
-            bias = mask_bias if bias is None else bias + mask_bias
+            if rel_biases is not None:
+                bias = rel_biases[i][None] + mask_bias
+            else:
+                bias = self._rel_bias(i, "joint")
+                bias = mask_bias if bias is None else bias + mask_bias
             x = blk(x, "vl", bias)
             feats.append(x)
         xn = self.norm(x)
