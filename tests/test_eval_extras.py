@@ -66,3 +66,43 @@ def test_gradcam_probe():
     assert cam.shape == (1, g, g)
     assert np.isfinite(cam).all() and (cam >= 0).all()
     assert cam.max() > 0  # some attention mass reaches the patches
+
+
+def test_visualize_cli(tmp_path):
+    """Grad-CAM CLI smoke: writes a heat-map overlay PNG."""
+    import pytest as _pytest
+
+    _pytest.importorskip("PIL")
+    import dataclasses
+
+    from PIL import Image
+
+    from vqattack_tpu import config as cfg_mod
+    from vqattack_tpu.text.tokenizer import SPECIAL_TOKENS
+    from vqattack_tpu.visualize import main
+
+    toks = list(SPECIAL_TOKENS) + ["what", "color", "is", "the", "dog"]
+    for c in "abcdefghijklmnopqrstuvwxyz":
+        toks += [c, f"##{c}"]
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text("\n".join(toks) + "\n")
+
+    rng = np.random.default_rng(0)
+    img_path = tmp_path / "img.jpg"
+    Image.fromarray(rng.integers(0, 255, (48, 64, 3), np.uint8)).save(img_path)
+
+    base = cfg_mod.tiny_test_config()
+    bert = dataclasses.replace(base.albef.bert, vocab_size=len(toks))
+    cfg = dataclasses.replace(base, albef=dataclasses.replace(base.albef, bert=bert))
+    cfg_path = tmp_path / "cfg.json"
+    cfg_mod.save_config(cfg, str(cfg_path))
+
+    out = tmp_path / "cam.png"
+    main([
+        "--image", str(img_path), "--question", "what color is the dog",
+        "--vocab", str(vocab), "--config", str(cfg_path),
+        "--layer", "3", "--out", str(out),
+    ])
+    assert out.exists()
+    with Image.open(out) as im:
+        assert im.size == (32, 32)

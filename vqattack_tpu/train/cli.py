@@ -28,7 +28,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="TPU-native training loop")
     p.add_argument("--task", required=True,
                    choices=["albef_pretrain", "albef_vqa", "retrieval",
-                            "ve", "nlvr2", "vlmo_vqa"])
+                            "ve", "nlvr2", "vlmo_vqa", "vlmo_irtr"])
     p.add_argument("--config", default=None)
     p.add_argument("--vocab", required=True)
     p.add_argument("--ann", nargs="+", required=True)
@@ -217,6 +217,24 @@ def main(argv=None) -> None:
                 "pixels": jnp.asarray(px),
                 "text_ids": jnp.asarray(ids), "text_mask": jnp.asarray(mask),
                 "labels": jnp.asarray(labels),
+            }
+
+    elif args.task == "vlmo_irtr":
+        model = VLMo(cfg.vlmo)
+        ids0v = jnp.ones((args.batch_size, cfg.vlmo.max_text_len), jnp.int32)
+        params = jax.jit(
+            lambda k: model.init(k, ids0v, jnp.ones_like(ids0v), px0, method=VLMo.init_all)
+        )(jax.random.key(args.seed))
+
+        def loss_fn(p, batch, key):
+            return obj.vlmo_irtr_train_loss(model, p, batch, key, num_negs=2)
+
+        def collate(items):
+            texts = [i.get("question", "") for i in items]
+            ids, mask = tok.encode_batch(texts, cfg.vlmo.max_text_len)
+            return {
+                "pixels": jnp.asarray(np.concatenate([i["pixels"] for i in items])),
+                "text_ids": jnp.asarray(ids), "text_mask": jnp.asarray(mask),
             }
 
     else:  # vlmo_vqa

@@ -380,3 +380,39 @@ def albef_vqa_train_loss(
     seq_nll = jnp.sum(nll, axis=-1).reshape(b, a)
     loss = jnp.sum(batch["answer_weights"] * seq_nll) / b
     return loss, {"loss": loss}
+
+
+def vlmo_irtr_train_loss(
+    model,
+    params: Any,
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+    num_negs: int = 3,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """VLMo IRTR fine-tuning (``objectives.py:301-373``): each image scores
+    its own caption against ``num_negs`` sampled in-batch false captions via
+    the ITM match logit; CE with the positive at index 0.
+
+    ``batch``: pixels [B,H,W,3], text_ids/text_mask [B,T].
+    """
+    from vqattack_tpu.models.vlmo import VLMo
+
+    b = batch["pixels"].shape[0]
+    # sample negative caption indices != own row
+    offs = jax.random.randint(rng, (b, num_negs), 1, b)
+    neg_idx = (jnp.arange(b)[:, None] + offs) % b
+    idx = jnp.concatenate([jnp.arange(b)[:, None], neg_idx], axis=1)  # [B, 1+n]
+
+    flat_idx = idx.reshape(-1)
+    text_ids = batch["text_ids"][flat_idx]
+    text_mask = batch["text_mask"][flat_idx]
+    pixels = jnp.repeat(batch["pixels"], 1 + num_negs, axis=0)
+
+    m = model.bind(params)
+    xn, _, _ = m._joint_trunk(text_ids, text_mask, pixels)
+    match_logit = m.itm_score(m.pooler(xn))[:, 1]  # [B*(1+n)]
+    logits = match_logit.reshape(b, 1 + num_negs)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    loss = -jnp.mean(logp[:, 0])
+    acc = jnp.mean((jnp.argmax(logits, -1) == 0).astype(jnp.float32))
+    return loss, {"loss": loss, "irtr_acc": acc}
