@@ -143,3 +143,20 @@ def test_batched_vlmo(batched):
     for r in results:
         assert r.old_alg == 0 and r.mlm_losses is not None
         assert (np.abs(r.adv_image) <= 1 + 1e-6).all()
+
+
+def test_batched_on_mesh(batched):
+    """The lockstep bucket sharded over the 8-device CPU mesh (config #5)."""
+    from vqattack_tpu.attacks.batched import BatchedAlbefAttack
+    from vqattack_tpu.parallel.mesh import make_mesh
+
+    mesh_attack = BatchedAlbefAttack(batched.p, mesh=make_mesh(8))
+    samples = _samples(8)
+    results = mesh_attack.run(samples, batch_size=8)
+    assert len(results) == 8
+    eps = batched.p.cfg.attack.eps
+    by_qid = {s["qid"]: s for s in samples}
+    for r in results:
+        s = by_qid[r.qid]
+        assert (np.abs(r.adv_image - s["pixels"]) <= eps + 1e-5).all()
+        assert np.isfinite(r.feat_losses).all()

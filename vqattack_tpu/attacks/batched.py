@@ -81,9 +81,36 @@ class BatchedAlbefAttack:
     adapters to reuse the identical block-loop over the VLMo pipeline.
     """
 
-    def __init__(self, pipeline: AlbefAttackPipeline):
+    def __init__(self, pipeline: AlbefAttackPipeline, mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` — sample batches shard
+        over its data axis (params replicate/column-shard per
+        ``parallel/mesh.py``); the same jitted programs run, GSPMD partitions
+        them (BASELINE config #5)."""
         self.p = pipeline
+        self.mesh = mesh
         self._mixed_loss = make_mixed_second_loss(pipeline.surrogate)
+
+    def _place(self, px, aux):
+        if self.mesh is None:
+            return px, aux
+        from vqattack_tpu.parallel.mesh import shard_batch, shard_params
+
+        px = shard_batch(px, self.mesh)
+        out = {}
+        for k, v in aux.items():
+            if k == "variables":
+                out[k] = shard_params(v, self.mesh)
+            elif k in ("special_ids",):
+                out[k] = v
+            elif k == "rel_biases":
+                # layer-stacked bias is batch-free: replicate
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                out[k] = jax.device_put(v, NamedSharding(self.mesh, PartitionSpec()))
+            else:
+                out[k] = shard_batch(v, self.mesh)
+        return px, out
 
     # -- adapter surface (overridden per family) ---------------------------
 
@@ -175,6 +202,8 @@ class BatchedAlbefAttack:
             n_adv = np.asarray(mask).sum(1)
             n = np.minimum(n_adv, n_ori)
             aux = self._block_aux(targets, ids, mask, n, self._max_text_len)
+            adv_px, aux = self._place(adv_px, aux)
+            ori_px, _ = (self._place(ori_px, {})[0], None) if self.mesh is not None else (ori_px, None)
             r_pgd, r_block = jax.random.split(r_pgd)
             rand_init = first_block and atk.rand_init
 
@@ -333,9 +362,10 @@ def make_vlmo_mixed_second_loss(model):
 class BatchedVlmoAttack(BatchedAlbefAttack):
     """Lockstep VLMo buckets: same block loop, VLMo target/aux adapters."""
 
-    def __init__(self, pipeline):
+    def __init__(self, pipeline, mesh=None):
         # note: VlmoAttackPipeline, not Albef — duck-typed member surface
         self.p = pipeline
+        self.mesh = mesh
         self._mixed_loss = make_vlmo_mixed_second_loss(pipeline.model)
 
     @property
