@@ -61,6 +61,11 @@ def build_argparser() -> argparse.ArgumentParser:
              "(attacks/batched.py) instead of the reference's one-at-a-time loop",
     )
     p.add_argument(
+        "--mesh-devices", type=int, default=0,
+        help="shard lockstep batches over a data mesh of this many devices "
+             "(0 = no mesh; requires --batch-size divisible by it)",
+    )
+    p.add_argument(
         "--resume", action="store_true",
         help="skip qids whose adversarial artifact already exists in --output "
              "(the qid-keyed layout makes the sweep trivially resumable, "
@@ -146,14 +151,19 @@ def main(argv: Optional[list] = None) -> None:
     batched = None
     sample_buffer: list = []
     if args.batch_size > 1:
+        mesh = None
+        if args.mesh_devices:
+            from vqattack_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(args.mesh_devices)
         if args.pipeline == "albef":
             from vqattack_tpu.attacks.batched import BatchedAlbefAttack
 
-            batched = BatchedAlbefAttack(pipeline)
+            batched = BatchedAlbefAttack(pipeline, mesh=mesh)
         else:
             from vqattack_tpu.attacks.batched import BatchedVlmoAttack
 
-            batched = BatchedVlmoAttack(pipeline)
+            batched = BatchedVlmoAttack(pipeline, mesh=mesh)
 
     def eval_pending():
         nonlocal pending
