@@ -59,3 +59,46 @@ def test_vlmo_remat_matches():
     v1, g1 = jax.value_and_grad(loss(m1))(px)
     np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=2e-4, atol=1e-4)
+
+
+def test_bf16_mixed_policy_sign_agreement():
+    """bf16 trunk (softmax/losses stay f32 by construction) must take nearly
+    the same sign steps as f32 — the evidence behind BENCH_DTYPE=bfloat16."""
+    from vqattack_tpu.attacks import albef as albef_losses
+    from vqattack_tpu.attacks.pgd import pgd_feature
+
+    base = CFG.albef
+    m32, m16 = AlbefPretrain(base), AlbefPretrain(base, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    px = jnp.asarray(rng.uniform(-1, 1, (1, 32, 32, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(5, base.bert.vocab_size, (1, 8)), jnp.int32)
+    mask = jnp.ones_like(ids)
+    params = jax.jit(m32.init)(jax.random.key(0), px, ids, mask)
+
+    # shared non-degenerate start + shared clean targets (from f32)
+    delta = 0.05 * jnp.asarray(
+        np.sin(np.arange(px.size)).reshape(px.shape), jnp.float32
+    )
+    adv0 = jnp.clip(px + delta, -1, 1)
+    img_f, txt_f, _ = m32.apply(params, px, ids, mask)
+    aux = {
+        "variables": params, "text_ids": ids, "text_mask": mask,
+        "tgt_img": img_f, "tgt_txt": txt_f, "txt_token_mask": None,
+        "special_ids": (4, 0, 2),
+    }
+    kw = dict(eps=0.125, eps_iter=0.01, nb_iter=1, rand_init=False,
+              use_pallas=False)
+    a32, _ = pgd_feature(albef_losses.make_feature_loss(m32), adv0, px,
+                         jax.random.key(1), aux, **kw)
+    # disable stochastic masking differences: mlm_probability=0 config
+    import dataclasses as dc
+
+    zero_mask_cfg = dc.replace(base, mlm_probability=0.0)
+    m32z = AlbefPretrain(zero_mask_cfg)
+    m16z = AlbefPretrain(zero_mask_cfg, dtype=jnp.bfloat16)
+    a32, _ = pgd_feature(albef_losses.make_feature_loss(m32z), adv0, px,
+                         jax.random.key(1), aux, **kw)
+    a16, _ = pgd_feature(albef_losses.make_feature_loss(m16z), adv0, px,
+                         jax.random.key(1), aux, **kw)
+    agree = np.isclose(np.asarray(a16), np.asarray(a32), atol=1e-4).mean()
+    assert agree > 0.85, agree
