@@ -220,3 +220,45 @@ def test_cli_vlmo_arrow_path(tmp_path):
         "--no-pallas",
     ])
     assert (out_dir / "500.npy").exists()
+
+
+def test_predict_cli(tmp_path, capsys):
+    """Inference CLI (the reference's predict.py surface)."""
+    pytest.importorskip("PIL")
+    import dataclasses
+
+    from PIL import Image
+
+    from vqattack_tpu.predict import main as predict_main
+
+    words = ["what", "color", "is", "the", "dog", "red", "blue"]
+    vocab_file = tmp_path / "vocab.txt"
+    vocab_size = _write_vocab(vocab_file, words)
+
+    img_path = tmp_path / "img.jpg"
+    Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (40, 40, 3), np.uint8)
+    ).save(img_path)
+    (tmp_path / "answers.json").write_text(json.dumps(["red", "blue", "dog"]))
+
+    base = cfg_mod.tiny_test_config()
+    bert = dataclasses.replace(base.albef.bert, vocab_size=vocab_size)
+    albef = dataclasses.replace(base.albef, bert=bert)
+    data = dataclasses.replace(base.data, image_size=32)
+    cfg = dataclasses.replace(base, albef=albef, data=data, k_test=2)
+    cfg_path = tmp_path / "cfg.json"
+    cfg_mod.save_config(cfg, str(cfg_path))
+
+    predict_main([
+        "--pipeline", "albef",
+        "--image", str(img_path),
+        "--question", "what color is the dog",
+        "--vocab", str(vocab_file),
+        "--config", str(cfg_path),
+        "--answer-list", str(tmp_path / "answers.json"),
+        "--topk", "2",
+    ])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    parsed = json.loads(out)
+    assert len(parsed["answers"]) == 2
+    assert parsed["answers"][0][0] in ("red", "blue", "dog")
