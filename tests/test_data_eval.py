@@ -182,3 +182,35 @@ def test_device_preprocess_matches_pil():
     ref2 = make_eval_transform(32)(Image.fromarray(raw2))
     d2 = np.abs(out2 - ref2)
     assert d2.mean() < 0.01 and d2.max() < 0.12, (d2.mean(), d2.max())
+
+
+def test_side_tables_string_and_int_qids(tmp_path):
+    (tmp_path / "right.txt").write_text("7\n")
+    for name, content in [("sur", {"7": "a"}), ("tgt", {"7": "a"}),
+                          ("para", {"7": ["a", "b c."]}), ("allc", {"7": ["a"]})]:
+        (tmp_path / f"{name}.json").write_text(json.dumps(content))
+    st = SideTables.load([str(tmp_path / "right.txt")], [str(tmp_path / "sur.json")],
+                         [str(tmp_path / "tgt.json")], [str(tmp_path / "para.json")],
+                         [str(tmp_path / "allc.json")])
+    # both int and numeric-string qids resolve
+    assert st.attack_inputs(7)["target_answer"] == "a"
+    assert st.attack_inputs("7")["target_answer"] == "a"
+
+
+def test_meters_log_every():
+    from vqattack_tpu.utils.meters import MetricLogger
+
+    lines = []
+    logger = MetricLogger(log_fn=lines.append)
+    for item in logger.log_every(range(5), 2, "hdr"):
+        logger.update(x=float(item))
+    assert any("hdr" in l for l in lines)
+    assert any("Total time" in l for l in lines)
+    assert logger.meters["x"].global_avg == 2.0
+
+
+def test_all_reduce_mean_single_process():
+    from vqattack_tpu.eval.metrics import all_reduce_mean
+
+    assert all_reduce_mean([1.0, 2.0, 3.0]) == 2.0
+    assert all_reduce_mean([]) == 0.0

@@ -149,3 +149,42 @@ def test_apply_substitutions_to_paraphrase():
 
 def test_filter_answer_words():
     assert filter_answer_words(["red", "on", "dog"]) == ["red", "dog"]
+
+
+def test_encode_truncation_and_overflow():
+    tok = make_tok()
+    long_text = " ".join(["dog"] * 50)
+    ids, mask = tok.encode(long_text, max_length=10)
+    assert ids.shape == (10,) and mask.sum() == 10
+    assert ids[-1] == tok.sep_token_id  # [SEP] survives truncation
+    # batch encoding keeps row alignment
+    import numpy as np
+
+    bids, bmask = tok.encode_batch(["dog", long_text, ""], max_length=10)
+    assert bids.shape == (3, 10)
+    assert bmask[2].sum() == 2  # empty text -> [CLS][SEP]
+
+
+def test_word_spans_with_specials_and_punct():
+    tok = make_tok()
+    words, subs, spans = tok.word_spans("the [MASK] dog?")
+    assert "[mask]" in words[1] or words[1] == "[mask]"
+    assert subs[spans[1][0]] == "[MASK]"  # atomic special
+    # '?' splits into its own sub-token inside the last word
+    last_s, last_e = spans[-1]
+    assert last_e - last_s == 2
+
+
+def test_generate_candidates_no_substitutable():
+    tok = make_tok()
+    from vqattack_tpu.text.filter_words import default_filter_words
+
+    def fake_mlm(ids):
+        import numpy as np
+
+        return np.zeros((ids.shape[0], ids.shape[1], tok.vocab_size), np.float32)
+
+    # all words filtered (stop/filler) -> empty schedule, like the reference
+    cands = generate_candidates("what is the", tok, fake_mlm, default_filter_words())
+    assert cands.iter_list == []
+    assert cands.attack_word_indices == []
