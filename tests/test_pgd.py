@@ -242,3 +242,26 @@ def test_eps_zero_is_identity():
     adv, _ = pgd_feature(linear_loss, x, x, jax.random.key(0), aux,
                          eps=0.0, eps_iter=0.0, nb_iter=3, rand_init=True)
     np.testing.assert_allclose(np.asarray(adv), np.asarray(x), atol=1e-7)
+
+
+def test_do_not_reach_ball_boundary():
+    """Small step budgets stay strictly inside the eps-ball (upstream
+    test_do_not_reach_lp_boundary:422)."""
+    x = jnp.zeros((1, 8))
+    aux = {"w": jnp.ones((1, 8))}
+    adv, _ = pgd_feature(linear_loss, x, x, jax.random.key(0), aux,
+                         eps=0.5, eps_iter=0.05, nb_iter=3)  # 0.15 < 0.5
+    assert float(jnp.max(jnp.abs(adv - x))) < 0.5 - 1e-6
+
+
+def test_pgd_l2_norm_path():
+    """L2-ball PGD: projected norm bounded, step normalized."""
+    x = jnp.zeros((2, 16))
+    aux = {"w": jnp.ones((2, 16))}
+    adv, losses = pgd_feature(linear_loss, x, x, jax.random.key(0), aux,
+                              eps=1.0, eps_iter=0.3, nb_iter=8, norm="l2",
+                              rand_init=True)
+    norms = np.linalg.norm(np.asarray(adv - x), axis=1)
+    assert (norms <= 1.0 + 1e-5).all()
+    traj = np.asarray(losses)
+    assert traj[-1].min() > traj[0].max() - 1e-6  # ascended
