@@ -28,7 +28,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="TPU-native training loop")
     p.add_argument("--task", required=True,
                    choices=["albef_pretrain", "albef_vqa", "retrieval",
-                            "ve", "nlvr2", "vlmo_vqa", "vlmo_irtr"])
+                            "ve", "nlvr2", "vlmo_vqa", "vlmo_irtr",
+                            "vlmo_textmlm"])
     p.add_argument("--config", default=None)
     p.add_argument("--vocab", required=True)
     p.add_argument("--ann", nargs="+", required=True)
@@ -217,6 +218,33 @@ def main(argv=None) -> None:
                 "pixels": jnp.asarray(px),
                 "text_ids": jnp.asarray(ids), "text_mask": jnp.asarray(mask),
                 "labels": jnp.asarray(labels),
+            }
+
+    elif args.task == "vlmo_textmlm":
+        # text-only MLM stage (the reference's textmlm loss_names preset:
+        # vlffn disabled, text expert trained — objectives.compute_textonly_mlm)
+        model = VLMo(cfg.vlmo)
+        ids0v = jnp.ones((args.batch_size, cfg.vlmo.max_text_len), jnp.int32)
+        params = jax.jit(
+            lambda k: model.init(k, ids0v, jnp.ones_like(ids0v), px0, method=VLMo.init_all)
+        )(jax.random.key(args.seed))
+
+        def loss_fn(p, batch, key):
+            del key
+            out = model.apply(
+                p, batch["mlm_ids"], batch["text_mask"], method=VLMo.infer_text
+            )
+            loss = obj.masked_lm_loss(out["mlm_logits"], batch["mlm_labels"])
+            return loss, {"loss": loss}
+
+        def collate(items):
+            texts = [i.get("question", "") for i in items]
+            c = mlm_collate(texts, tok, cfg.vlmo.max_text_len, args.mlm_prob,
+                            whole_word=True, rng=rng_np)
+            return {
+                "text_mask": jnp.asarray(c["text_masks"]),
+                "mlm_ids": jnp.asarray(c["text_ids_mlm"]),
+                "mlm_labels": jnp.asarray(c["text_labels_mlm"]),
             }
 
     elif args.task == "vlmo_irtr":
