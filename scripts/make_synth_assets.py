@@ -1,0 +1,90 @@
+"""Generate synthetic assets for driving the production CLI end-to-end.
+
+Creates the full flag surface of ``python -m vqattack_tpu.run`` (see
+``docs/REPRODUCE.md``) with no real checkpoints or datasets: a 30,522-line
+vocab with the HF special-token positions, a 480px jpeg, a VQA annotation
+json, and the five side-table families.  Weights stay random (``run.py``
+initializes when no ``--surrogate-ckpt`` is given) — this exercises every
+code path at real geometry, which is what on-TPU verification needs.
+
+Usage: ``python scripts/make_synth_assets.py [outdir]`` (default
+``/tmp/vqa_synth_assets``); prints the ready-to-paste CLI invocation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+WORDS = [
+    "what", "color", "is", "the", "a", "dog", "cat", "man", "woman", "person",
+    "red", "blue", "green", "yellow", "white", "black", "frisbee", "ball",
+    "hat", "shirt", "wearing", "holding", "playing", "running", "sitting",
+    "standing", "table", "grass", "street", "room", "many", "how", "two",
+    "three", "there", "this", "that", "on", "in", "of", "and", "are", "it",
+]
+
+
+def make_vocab(path: str) -> None:
+    """30,522 tokens with HF bert-base-uncased special positions:
+    [PAD]=0, [unused*]=1..99, [UNK]=100, [CLS]=101, [SEP]=102, [MASK]=103."""
+    toks = ["[PAD]"]
+    toks += [f"[unused{i}]" for i in range(99)]
+    toks += ["[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    toks += WORDS
+    toks += ["##" + w for w in WORDS]
+    while len(toks) < 30522:
+        toks.append(f"tok{len(toks)}")
+    with open(path, "w") as f:
+        f.write("\n".join(toks[:30522]) + "\n")
+
+
+def make_image(path: str, size: int = 640) -> None:
+    import numpy as np
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+    Image.fromarray(arr, "RGB").save(path, quality=90)
+
+
+def main(outdir: str) -> None:
+    os.makedirs(outdir, exist_ok=True)
+    j = lambda name, obj: json.dump(  # noqa: E731
+        obj, open(os.path.join(outdir, name), "w")
+    )
+    make_vocab(os.path.join(outdir, "vocab.txt"))
+    make_image(os.path.join(outdir, "img0.jpg"))
+
+    samples = [
+        # (qid, question, surrogate answer, paraphrase)
+        (1001, "what color is the dog", "red", "the dog is red"),
+        (1002, "what is the man holding", "frisbee", "the man is holding a frisbee"),
+    ]
+    ann = [
+        {"image": "img0.jpg", "question": q, "question_id": qid}
+        for qid, q, _, _ in samples
+    ]
+    j("ann.json", ann)
+    j("answers.json", ["red", "blue", "green", "frisbee", "ball", "dog", "cat"])
+    with open(os.path.join(outdir, "right.txt"), "w") as f:
+        f.write("\n".join(str(qid) for qid, *_ in samples) + "\n")
+    j("sur.json", {str(qid): ans for qid, _, ans, _ in samples})
+    j("tgt.json", {str(qid): ans for qid, _, ans, _ in samples})
+    j("para.json", {str(qid): [ans, para] for qid, _, ans, para in samples})
+    j("allc.json", {str(qid): [ans] for qid, _, ans, _ in samples})
+
+    print(
+        f"python -m vqattack_tpu.run --pipeline albef --vocab {outdir}/vocab.txt "
+        f"--ann {outdir}/ann.json --image-root {outdir} "
+        f"--answer-list {outdir}/answers.json --right-part {outdir}/right.txt "
+        f"--surrogate-ans {outdir}/sur.json --target-ans {outdir}/tgt.json "
+        f"--paraphrases {outdir}/para.json --all-correct {outdir}/allc.json "
+        f"--output {outdir}/out --limit 1"
+    )
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/vqa_synth_assets")

@@ -1,0 +1,372 @@
+"""Import harness for the reference's *actual* PyTorch code.
+
+The differential tests (``test_reference_differential.py``) execute the
+reference's own model/attack modules against this repo's flax
+implementations, retiring the risk that both a flax model and its
+hand-transcribed torch golden carry the same transcription error
+(VERDICT round 1, Missing #1).
+
+The reference targets transformers~=4.8 / timm 0.4.x / torchvision, of
+which only ``transformers`` (4.57) is installed here.  This module installs
+the minimal stand-ins the reference imports:
+
+- three symbols that moved from ``transformers.modeling_utils`` to
+  ``transformers.pytorch_utils``;
+- a fake ``timm`` exposing the handful of layer utilities the reference
+  uses (``PatchEmbed``, ``DropPath``, ``trunc_normal_``, ``to_2tuple``,
+  ``_cfg``, ``register_model``) with the standard timm-0.4 semantics;
+- placeholder ``torchvision`` / ``tensorflow_hub`` /
+  ``pytorch_lightning.utilities.distributed`` modules (imported by the
+  reference but unused on the differential paths);
+- an offline NLTK stopwords corpus (vendored in
+  ``vqattack_tpu.text.filter_words``) + a no-op ``nltk.download``.
+
+All stand-ins are test fixtures; nothing here ships in the package.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import types
+
+REF = "/root/reference"
+ALBEF_ROOT = os.path.join(REF, "ALBEF_VQAttack", "ALBEF_attack")
+ALBEF_CLEVERHANS = os.path.join(REF, "ALBEF_VQAttack", "cleverhans")
+VLMO_ROOT = os.path.join(REF, "VLMO_VQAttack")
+
+_installed = False
+
+
+def _fake_module(name: str) -> types.ModuleType:
+    mod = types.ModuleType(name)
+    sys.modules[name] = mod
+    return mod
+
+
+def install_shims() -> None:
+    """Idempotently install the third-party stand-ins (see module docstring)."""
+    global _installed
+    if _installed:
+        return
+
+    import torch
+    import torch.nn as nn
+
+    # -- transformers: symbols that moved to pytorch_utils ------------------
+    import transformers.modeling_utils as mu
+    import transformers.pytorch_utils as ptu
+
+    for sym in (
+        "apply_chunking_to_forward",
+        "find_pruneable_heads_and_indices",
+        "prune_linear_layer",
+    ):
+        if not hasattr(mu, sym):
+            setattr(mu, sym, getattr(ptu, sym))
+
+    # -- timm (0.4.x API surface the reference touches) ----------------------
+    if "timm" not in sys.modules:
+        def to_2tuple(x):
+            return x if isinstance(x, tuple) else (x, x)
+
+        def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+            return nn.init.trunc_normal_(tensor, mean=mean, std=std, a=a, b=b)
+
+        class DropPath(nn.Module):
+            """Stochastic depth (identity in eval / at drop_prob=0)."""
+
+            def __init__(self, drop_prob=0.0):
+                super().__init__()
+                self.drop_prob = drop_prob
+
+            def forward(self, x):
+                if self.drop_prob == 0.0 or not self.training:
+                    return x
+                keep = 1.0 - self.drop_prob
+                shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+                mask = keep + torch.rand(shape, dtype=x.dtype, device=x.device)
+                return x.div(keep) * mask.floor_()
+
+        class PatchEmbed(nn.Module):
+            """timm-0.4 PatchEmbed: conv patchify -> [B, N, D]."""
+
+            def __init__(self, img_size=224, patch_size=16, in_chans=3, embed_dim=768):
+                super().__init__()
+                img_size = to_2tuple(img_size)
+                patch_size = to_2tuple(patch_size)
+                self.img_size = img_size
+                self.patch_size = patch_size
+                self.patch_shape = (
+                    img_size[0] // patch_size[0],
+                    img_size[1] // patch_size[1],
+                )
+                self.num_patches = self.patch_shape[0] * self.patch_shape[1]
+                self.proj = nn.Conv2d(
+                    in_chans, embed_dim, kernel_size=patch_size, stride=patch_size
+                )
+
+            def forward(self, x):
+                return self.proj(x).flatten(2).transpose(1, 2)
+
+        def _cfg(url="", **kwargs):
+            return dict(url=url, **kwargs)
+
+        _model_registry = {}
+
+        def register_model(fn):
+            _model_registry[fn.__name__] = fn
+            return fn
+
+        def create_model(name, **kwargs):
+            kwargs.pop("pretrained", None)
+            return _model_registry[name](**kwargs)
+
+        timm = _fake_module("timm")
+        timm_models = _fake_module("timm.models")
+        timm_vt = _fake_module("timm.models.vision_transformer")
+        timm_reg = _fake_module("timm.models.registry")
+        timm_layers = _fake_module("timm.models.layers")
+        timm.models = timm_models
+        timm_models.vision_transformer = timm_vt
+        timm_models.registry = timm_reg
+        timm_models.layers = timm_layers
+        timm_models.create_model = create_model
+        timm_vt._cfg = _cfg
+        timm_vt.PatchEmbed = PatchEmbed
+        timm_reg.register_model = register_model
+        timm_layers.trunc_normal_ = trunc_normal_
+        timm_layers.DropPath = DropPath
+        timm_layers.to_2tuple = to_2tuple
+
+    # -- torchvision placeholder (imported, unused on tested paths) ---------
+    if "torchvision" not in sys.modules:
+        tv = _fake_module("torchvision")
+        tv_transforms = _fake_module("torchvision.transforms")
+        tv.transforms = tv_transforms
+
+    # -- tensorflow_hub placeholder (adv_attack imports it; USE not used) ---
+    if "tensorflow_hub" not in sys.modules:
+        hub = _fake_module("tensorflow_hub")
+        hub.load = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("tensorflow_hub stand-in: USE not available offline")
+        )
+
+    # -- pytorch_lightning placeholder (rank_zero_info + module base) -------
+    if "pytorch_lightning" not in sys.modules:
+        pl = _fake_module("pytorch_lightning")
+        pl_ut = _fake_module("pytorch_lightning.utilities")
+        pl_dist = _fake_module("pytorch_lightning.utilities.distributed")
+        pl.utilities = pl_ut
+        pl_ut.distributed = pl_dist
+        pl_dist.rank_zero_info = lambda *a, **k: None
+
+        class LightningModule(nn.Module):
+            def save_hyperparameters(self, *a, **k):
+                pass
+
+            def log(self, *a, **k):
+                pass
+
+        pl.LightningModule = LightningModule
+
+    # -- GPUtil placeholder (vlmo_module imports it; never used in tests) ---
+    if "GPUtil" not in sys.modules:
+        gputil = _fake_module("GPUtil")
+        gputil.showUtilization = lambda *a, **k: None
+
+    # -- torchmetrics placeholder (gadgets/my_metrics.py base class) --------
+    if "torchmetrics" not in sys.modules:
+        tm = _fake_module("torchmetrics")
+
+        class Metric(nn.Module):
+            def __init__(self, dist_sync_on_step=False, **kw):
+                super().__init__()
+
+            def add_state(self, name, default=None, dist_reduce_fx=None):
+                setattr(self, name, default)
+
+        tm.Metric = Metric
+
+    # -- transformers.optimization.AdamW (removed in modern transformers) ---
+    import transformers.optimization as topt
+
+    if not hasattr(topt, "AdamW"):
+        topt.AdamW = torch.optim.AdamW
+
+    _installed = True
+
+
+def _ensure_path(p: str) -> None:
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+
+def albef_models():
+    """Import the reference's ALBEF model modules (vit/xbert/pretrain/vqa)."""
+    install_shims()
+    _ensure_path(ALBEF_ROOT)
+    import models.model_pretrain as rmp
+    import models.model_vqa as rmv
+    import models.vit as rvit
+    import models.xbert as rxbert
+
+    return types.SimpleNamespace(vit=rvit, xbert=rxbert, pretrain=rmp, vqa=rmv)
+
+
+def albef_cleverhans():
+    """Import the reference's modified cleverhans torch attack kernels."""
+    install_shims()
+    _ensure_path(ALBEF_CLEVERHANS)
+    import cleverhans.torch.attacks.fast_gradient_method as fgm
+    import cleverhans.torch.attacks.fast_gradient_method_vl as fgm_vl
+    import cleverhans.torch.attacks.projected_gradient_descent as pgd
+    import cleverhans.torch.attacks.projected_gradient_descent_vl as pgd_vl
+    import cleverhans.torch.utils as utils
+
+    return types.SimpleNamespace(
+        pgd=pgd, pgd_vl=pgd_vl, fgm=fgm, fgm_vl=fgm_vl, utils=utils
+    )
+
+
+def vlmo_multiway():
+    """Import the reference's MultiWay (MoME) transformer module.
+
+    Loaded by file path: the ``vlmo.modules`` package ``__init__`` drags in
+    the full LightningModule (GPUtil/sacred/dill), which the differential
+    tests don't need.
+    """
+    install_shims()
+    name = "ref_multiway_transformer"
+    if name in sys.modules:
+        return sys.modules[name]
+    import importlib.util
+
+    path = os.path.join(VLMO_ROOT, "vlmo", "modules", "multiway_transformer.py")
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def vlmo_cleverhans():
+    """Import the *VLMo* cleverhans copy (diverged from the ALBEF copy: full
+    ``y`` passed to both alternating steps, cls+token cosine loss) under
+    aliased module names so it coexists with the ALBEF copy."""
+    install_shims()
+    if "ref_vlmo_ch_pgd" in sys.modules:
+        return types.SimpleNamespace(
+            pgd=sys.modules["ref_vlmo_ch_pgd"],
+            fgm=sys.modules["ref_vlmo_ch_fgm"],
+            utils=sys.modules["ref_vlmo_ch_utils"],
+        )
+    import importlib.util
+
+    base = os.path.join(REF, "VLMO_VQAttack", "cleverhans", "cleverhans", "torch")
+
+    def load(alias, relpath, canonical_swaps):
+        """Exec the file under ``alias``; while executing, the canonical
+        ``cleverhans.*`` names temporarily point at the VLMo copies so its
+        internal ``from cleverhans... import ...`` lines bind them."""
+        saved = {k: sys.modules.get(k) for k in canonical_swaps}
+        sys.modules.update(canonical_swaps)
+        try:
+            spec = importlib.util.spec_from_file_location(
+                alias, os.path.join(base, relpath)
+            )
+            mod = importlib.util.module_from_spec(spec)
+            sys.modules[alias] = mod
+            spec.loader.exec_module(mod)
+            return mod
+        finally:
+            for k, m in saved.items():
+                if m is None:
+                    sys.modules.pop(k, None)
+                else:
+                    sys.modules[k] = m
+
+    albef_cleverhans()  # ensure the canonical package entries exist
+    utils = load("ref_vlmo_ch_utils", "utils.py", {})
+    fgm = load(
+        "ref_vlmo_ch_fgm", os.path.join("attacks", "fast_gradient_method.py"),
+        {"cleverhans.torch.utils": utils},
+    )
+    pgd = load(
+        "ref_vlmo_ch_pgd", os.path.join("attacks", "projected_gradient_descent.py"),
+        {
+            "cleverhans.torch.utils": utils,
+            "cleverhans.torch.attacks.fast_gradient_method": fgm,
+        },
+    )
+    return types.SimpleNamespace(pgd=pgd, fgm=fgm, utils=utils)
+
+
+def vlmo_module():
+    """Import the reference's full ``vlmo_module`` (the VLMo LightningModule
+    monolith) — used unbound for its rel-pos-bias machinery
+    (``build_relative_position_embed:818``, ``get_rel_pos_bias:807``) and the
+    attack closures' wiring."""
+    install_shims()
+    if "vlmo.modules.vlmo_module" in sys.modules:
+        return sys.modules["vlmo.modules.vlmo_module"]
+
+    import nltk
+
+    nltk_root = _write_nltk_stopwords()
+    if nltk_root not in nltk.data.path:
+        nltk.data.path.insert(0, nltk_root)
+    nltk.download = lambda *a, **k: True
+
+    _ensure_path(VLMO_ROOT)
+    _ensure_path(ALBEF_CLEVERHANS)  # satisfies its `import cleverhans...`
+    import vlmo.modules.vlmo_module as vm
+
+    return vm
+
+
+def _write_nltk_stopwords() -> str:
+    """Materialize the vendored NLTK English stopword corpus offline."""
+    from vqattack_tpu.text.filter_words import NLTK_STOPWORDS_EN
+
+    root = os.path.join(tempfile.gettempdir(), "vqattack_nltk_data")
+    d = os.path.join(root, "corpora", "stopwords")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "english"), "w") as f:
+        f.write("\n".join(NLTK_STOPWORDS_EN) + "\n")
+    return root
+
+
+def adv_attack_module():
+    """Import the reference's ALBEF attack orchestrator module.
+
+    Requires: nltk stopwords offline (vendored), a no-op ``nltk.download``,
+    and ``BertConfig.from_pretrained`` patched to a default config (the
+    module fetches ``bert-base-uncased`` at import; zero-egress here).
+    """
+    install_shims()
+    if "adv_attack" in sys.modules:
+        return sys.modules["adv_attack"]
+
+    import nltk
+
+    nltk_root = _write_nltk_stopwords()
+    if nltk_root not in nltk.data.path:
+        nltk.data.path.insert(0, nltk_root)
+    nltk.download = lambda *a, **k: True
+
+    from transformers.models.bert.configuration_bert import BertConfig as HFBertConfig
+
+    orig_from_pretrained = HFBertConfig.from_pretrained.__func__
+    HFBertConfig.from_pretrained = classmethod(
+        lambda cls, *a, **k: cls()
+    )
+    try:
+        _ensure_path(ALBEF_ROOT)
+        _ensure_path(ALBEF_CLEVERHANS)
+        import adv_attack
+
+        return adv_attack
+    finally:
+        HFBertConfig.from_pretrained = classmethod(orig_from_pretrained)

@@ -1,0 +1,810 @@
+"""Differential tests against the reference's *actual* PyTorch code.
+
+Every test here executes modules imported from ``/root/reference`` (via
+``tests/reference_shim.py``) and asserts parity with this repo's flax
+implementations after converting the reference's random state dict through
+``vqattack_tpu.checkpoint.convert``.  This retires the round-1 risk that a
+transcription error lived in both a flax model and its hand-written torch
+golden (VERDICT Missing #1):
+
+- forward parity: reference ``models/vit.py:160-177``, ``models/xbert.py``
+  (text / multi_modal modes, MLM head), ``model_pretrain.py:124-141``
+  ``Gen_feats``, ``model_vqa.py:149-203`` ``rank_answer``;
+- trajectory parity: the reference's own modified cleverhans
+  ``projected_gradient_descent.py:106-189`` drives 40 full iterations of the
+  feature (ls==1), alternating feature+MAR (ls==0, 2-D and stacked 3-D
+  labels), and VL joint (text-gradient harvest) attacks — adversarial images
+  must be bit-identical step for step;
+- text-attack parity: the reference's ``Adv_attack.cal_text_attack_list``
+  (``adv_attack.py:215-264``) vs :func:`generate_candidates` — identical
+  block schedules and candidate sets over a shared MLM.
+
+Geometry note: the reference's feature loss adds per-layer sums
+(``fast_gradient_method.py:127``), which requires the ViT and BERT tap
+counts to match (13 == 13 at full size) — the tiny configs here use
+depth=4 / num_layers=4 accordingly.
+
+PGD starts from a shared, pre-drawn rand-init perturbation: at the *clean*
+point the feature-loss gradient is exactly zero (cos(f(x), f(x)) is
+maximal), so step-1 signs would be pure float noise; the real attack always
+rand-inits on block 0 (``pgd:106-116``) which the shared start reproduces
+deterministically on both sides.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import tempfile
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+import reference_shim as rs  # noqa: E402
+
+from vqattack_tpu.attacks import albef as albef_losses  # noqa: E402
+from vqattack_tpu.attacks.pgd import (  # noqa: E402
+    pgd_alternating,
+    pgd_feature,
+    pgd_vl_step,
+)
+from vqattack_tpu.checkpoint.convert import (  # noqa: E402
+    convert_albef_pretrain,
+    convert_albef_vqa,
+    convert_fusion_bert,
+    convert_vit,
+)
+from vqattack_tpu.config import BertConfig, ViTConfig, tiny_test_config  # noqa: E402
+from vqattack_tpu.models.albef import AlbefPretrain, AlbefVQA  # noqa: E402
+from vqattack_tpu.models.bert import FusionBert  # noqa: E402
+from vqattack_tpu.models.vit import VisionTransformer  # noqa: E402
+
+EPS, STEP = 0.125, 0.01
+SPECIAL = (3, 0, 2)          # (mask, pad, cls) for the toy 64-token vocab
+SPECIAL_FULL = (103, 0, 101)  # BERT ids for the real 30,522-token vocab
+
+
+def _hf_bert_config(vocab_size=64, layers=4):
+    from transformers.models.bert.configuration_bert import BertConfig as HFBertConfig
+
+    return HFBertConfig(
+        vocab_size=vocab_size, hidden_size=32, num_hidden_layers=layers,
+        num_attention_heads=2, intermediate_size=64, max_position_embeddings=64,
+        type_vocab_size=2, fusion_layer=2, encoder_width=32,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+
+
+def _ref_vit(ref, depth=4):
+    return ref.vit.VisionTransformer(
+        img_size=32, patch_size=16, embed_dim=32, depth=depth,
+        num_heads=2, mlp_ratio=4, qkv_bias=True,
+    )
+
+
+def _assemble_pretrain(ref, vocab_size=64, special=SPECIAL):
+    """Build the reference ``ALBEF_pre`` without its downloading ``__init__``
+    (DeiT url + ``from_pretrained``; zero egress here) — the modules under
+    test (``Gen_feats`` family) only touch these attributes."""
+    pre = ref.pretrain.ALBEF_pre.__new__(ref.pretrain.ALBEF_pre)
+    nn.Module.__init__(pre)
+    pre.mlm_probability = 0.0  # deterministic: no stochastic id-masking
+    pre.tokenizer = types.SimpleNamespace(
+        pad_token_id=special[1], cls_token_id=special[2], mask_token_id=special[0]
+    )
+    pre.visual_encoder = _ref_vit(ref)
+    pre.text_encoder = ref.xbert.BertForMaskedLM(config=_hf_bert_config(vocab_size))
+    pre.vision_proj = nn.Linear(32, 16)
+    pre.text_proj = nn.Linear(32, 16)
+    pre.itm_head = nn.Linear(32, 2)
+    pre.temp = nn.Parameter(torch.ones([]) * 0.07)
+    return pre.eval()
+
+
+def _our_albef_cfg(vocab_size=64):
+    base = tiny_test_config().albef
+    return dataclasses.replace(
+        base,
+        mlm_probability=0.0,
+        embed_dim=16,
+        vit=dataclasses.replace(base.vit, depth=4),
+        bert=dataclasses.replace(base.bert, vocab_size=vocab_size),
+    )
+
+
+def _nchw(x):
+    return torch.from_numpy(x)
+
+
+def _nhwc(x):
+    return jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+
+
+def _torch_nhwc(t):
+    return np.transpose(t.detach().numpy(), (0, 2, 3, 1))
+
+
+@pytest.fixture(scope="module")
+def albef_pair():
+    """(reference ALBEF_pre, our AlbefPretrain, converted params, inputs)."""
+    ref = rs.albef_models()
+    torch.manual_seed(0)
+    pre = _assemble_pretrain(ref)
+    cfg = _our_albef_cfg()
+    model = AlbefPretrain(cfg)
+    sd = {k: v.detach().numpy() for k, v in pre.state_dict().items()}
+    params = {"params": convert_albef_pretrain(sd, depth=4, num_layers=4, fusion_layer=2)}
+
+    rng = np.random.default_rng(1)
+    ids = rng.integers(4, 60, (1, 8)).astype(np.int64)
+    ids[0, 0] = SPECIAL[2]
+    mask = np.ones((1, 8), np.int64)
+    px = rng.uniform(-1, 1, (1, 3, 32, 32)).astype(np.float32)
+    adv0 = np.clip(px + rng.uniform(-EPS, EPS, px.shape).astype(np.float32), -1, 1)
+    return types.SimpleNamespace(
+        ref=ref, pre=pre, model=model, params=params,
+        ids=ids, mask=mask, px=px, adv0=adv0,
+    )
+
+
+@pytest.fixture(scope="module")
+def albef_targets(albef_pair):
+    """Clean per-layer stacks from the reference + the jax-side aux pytree."""
+    p = albef_pair
+    with torch.no_grad():
+        img_list, txt_list = p.pre.Gen_feats(
+            _nchw(p.px), torch.from_numpy(p.ids), torch.from_numpy(p.mask)
+        )
+    ti = torch.stack(img_list, 1).numpy()
+    tt = torch.stack(txt_list, 1).numpy()
+    aux = {
+        "variables": p.params,
+        "text_ids": jnp.asarray(p.ids),
+        "text_mask": jnp.asarray(p.mask),
+        "tgt_txt": jnp.asarray(tt),
+        "tgt_img": jnp.asarray(ti),
+        "txt_token_mask": jnp.asarray(p.mask, jnp.float32),
+        "special_ids": SPECIAL,
+    }
+    return types.SimpleNamespace(img_list=img_list, txt_list=txt_list, ti=ti, tt=tt, aux=aux)
+
+
+# ---------------------------------------------------------------------------
+# forward parity
+# ---------------------------------------------------------------------------
+
+
+def test_vit_forward_matches_reference():
+    ref = rs.albef_models()
+    torch.manual_seed(0)
+    rvit = _ref_vit(ref, depth=2).eval()
+    sd = {k: v.detach().numpy() for k, v in rvit.state_dict().items()}
+    model = VisionTransformer(
+        ViTConfig(image_size=32, patch_size=16, hidden_size=32, depth=2, num_heads=2)
+    )
+    params = convert_vit(sd, depth=2)
+
+    x = np.random.default_rng(0).uniform(-1, 1, (2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        tout, tfeats = rvit(_nchw(x))
+    jout, jfeats = model.apply({"params": params}, _nhwc(x))
+    np.testing.assert_allclose(np.asarray(jout), tout.numpy(), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(jfeats), torch.stack(tfeats, 1).numpy(), atol=2e-5
+    )
+
+
+def test_fusion_bert_modes_match_reference():
+    ref = rs.albef_models()
+    torch.manual_seed(0)
+    rbert = ref.xbert.BertForMaskedLM(config=_hf_bert_config()).eval()
+    sd = {k: v.detach().numpy() for k, v in rbert.state_dict().items()}
+    cfg = BertConfig(
+        vocab_size=64, hidden_size=32, num_layers=4, num_heads=2,
+        intermediate_size=64, fusion_layer=2, encoder_width=32,
+        max_position_embeddings=64,
+    )
+    model = FusionBert(cfg, with_mlm_head=True)
+    params = convert_fusion_bert(sd, prefix="bert.", num_layers=4, fusion_layer=2,
+                                 mlm_prefix="cls.")
+
+    rng = np.random.default_rng(1)
+    ids = rng.integers(4, 60, (2, 8)).astype(np.int64)
+    mask = np.ones((2, 8), np.int64)
+    mask[1, 6:] = 0  # ragged padding exercises the mask->bias path
+    enc = rng.normal(size=(2, 5, 32)).astype(np.float32)
+
+    with torch.no_grad():
+        _, feats_list, scores = rbert(
+            torch.from_numpy(ids), attention_mask=torch.from_numpy(mask),
+            encoder_hidden_states=torch.from_numpy(enc),
+            encoder_attention_mask=torch.ones(2, 5, dtype=torch.long),
+            return_dict=True, mode="multi_modal",
+        )
+    _, jfeats, logits = model.apply(
+        {"params": params}, jnp.asarray(ids), attention_mask=jnp.asarray(mask),
+        encoder_states=jnp.asarray(enc), encoder_mask=jnp.ones((2, 5), jnp.int32),
+        mode="multi_modal",
+    )
+    np.testing.assert_allclose(
+        np.asarray(jfeats), torch.stack(feats_list, 1).numpy(), atol=2e-5
+    )
+    np.testing.assert_allclose(np.asarray(logits), scores.numpy(), atol=2e-5)
+
+    with torch.no_grad():
+        _, feats_t, _ = rbert(
+            torch.from_numpy(ids), attention_mask=torch.from_numpy(mask),
+            return_dict=True, mode="text",
+        )
+    _, jfeats_t, _ = model.apply(
+        {"params": params}, jnp.asarray(ids), attention_mask=jnp.asarray(mask),
+        mode="text",
+    )
+    np.testing.assert_allclose(
+        np.asarray(jfeats_t), torch.stack(feats_t, 1).numpy(), atol=2e-5
+    )
+
+
+def test_gen_feats_matches_reference(albef_pair, albef_targets):
+    p, t = albef_pair, albef_targets
+    img_f, txt_f, _ = p.model.apply(
+        p.params, _nhwc(p.px), jnp.asarray(p.ids), jnp.asarray(p.mask),
+        method=AlbefPretrain.gen_feats,
+    )
+    np.testing.assert_allclose(np.asarray(img_f), t.ti, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(txt_f), t.tt, atol=2e-5)
+
+
+def test_rank_answer_matches_reference():
+    ref = rs.albef_models()
+    torch.manual_seed(0)
+    vqa = ref.vqa.ALBEF.__new__(ref.vqa.ALBEF)
+    nn.Module.__init__(vqa)
+    vqa.distill = False
+    vqa.tokenizer = types.SimpleNamespace(pad_token_id=0)
+    vqa.visual_encoder = _ref_vit(ref)
+    enc_cfg = _hf_bert_config()
+    import copy
+
+    dec_cfg = copy.deepcopy(enc_cfg)
+    dec_cfg.fusion_layer = 0
+    dec_cfg.num_hidden_layers = 2
+    vqa.text_encoder = ref.xbert.BertModel(enc_cfg, add_pooling_layer=False)
+    vqa.text_decoder = ref.xbert.BertLMHeadModel(dec_cfg)
+    vqa.eval()
+
+    rng = np.random.default_rng(2)
+    A, L, k = 12, 5, 4
+    px = rng.uniform(-1, 1, (1, 3, 32, 32)).astype(np.float32)
+    q_ids = rng.integers(4, 60, (1, 8)).astype(np.int64)
+    q_ids[0, 0] = SPECIAL[2]
+    q_mask = np.ones((1, 8), np.int64)
+    ans_ids = rng.integers(4, 60, (A, L)).astype(np.int64)
+    ans_ids[:, 0] = 2  # shared bos
+    lens = rng.integers(2, L + 1, A)
+    ans_mask = (np.arange(L)[None] < lens[:, None]).astype(np.int64)
+    ans_ids[ans_mask == 0] = 0
+
+    q_in = types.SimpleNamespace(
+        input_ids=torch.from_numpy(q_ids), attention_mask=torch.from_numpy(q_mask)
+    )
+    a_in = types.SimpleNamespace(
+        input_ids=torch.from_numpy(ans_ids), attention_mask=torch.from_numpy(ans_mask)
+    )
+    with torch.no_grad():
+        topk_ids_t, topk_probs_t = vqa(_nchw(px), q_in, a_in, train=False, k=k)
+
+    cfg = dataclasses.replace(_our_albef_cfg(), decoder_layers=2)
+    model = AlbefVQA(cfg)
+    sd = {k2: v.detach().numpy() for k2, v in vqa.state_dict().items()}
+    params = convert_albef_vqa(sd, depth=4, num_layers=4, fusion_layer=2, decoder_layers=2)
+    topk_ids_j, topk_probs_j = model.apply(
+        {"params": params}, _nhwc(px), jnp.asarray(q_ids), jnp.asarray(q_mask),
+        jnp.asarray(ans_ids), jnp.asarray(ans_mask), k,
+    )
+    np.testing.assert_array_equal(np.asarray(topk_ids_j), topk_ids_t.numpy())
+    np.testing.assert_allclose(np.asarray(topk_probs_j), topk_probs_t.numpy(), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# trajectory parity — the reference's own cleverhans drives the torch side
+# ---------------------------------------------------------------------------
+
+
+def test_pgd_feature_trajectory_bit_exact(albef_pair, albef_targets):
+    """40 full iterations of ls==1 PGD: the adversarial images must be
+    bit-identical and the loss trajectories equal to float tolerance."""
+    p, t = albef_pair, albef_targets
+    ch = rs.albef_cleverhans()
+    ids_t, mask_t = torch.from_numpy(p.ids), torch.from_numpy(p.mask)
+
+    def model_fn(x):
+        il, tl = p.pre.Gen_feats(x, ids_t, mask_t)
+        return [torch.cat(tl, 0), torch.cat(il, 0)]
+
+    adv_t, loss_list = ch.pgd.projected_gradient_descent(
+        model_fn, _nchw(p.adv0).clone(), EPS, STEP, 40, np.inf,
+        clip_min=-1.0, clip_max=1.0,
+        y=[torch.cat(t.txt_list, 0).clone(), torch.cat(t.img_list, 0).clone()],
+        ori_x=_nchw(p.px), time=1, ls=1, sanity_checks=False,
+    )
+    adv_j, losses_j = pgd_feature(
+        albef_losses.make_feature_loss(p.model), _nhwc(p.adv0), _nhwc(p.px),
+        jax.random.key(0), t.aux, eps=EPS, eps_iter=STEP, nb_iter=40,
+        clip_min=-1.0, clip_max=1.0, rand_init=False, use_pallas=False,
+    )
+    lj = np.asarray(losses_j)[:, 0]
+    lt = np.asarray(loss_list)
+    np.testing.assert_allclose(lj, lt, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(adv_j), _torch_nhwc(adv_t))
+
+
+@pytest.mark.parametrize("stacked", [False, True], ids=["labels2d", "labels3d"])
+def test_pgd_alternating_mar_trajectory_bit_exact(albef_pair, stacked):
+    """Alternating feature+MAR PGD (ls==0) with 2-D and stacked 3-D
+    multi-answer labels (``pgd:153-189``, ``fgm:128-142``).
+
+    The reference FGM hardcodes the 30,522-token vocab in its label
+    reshape (``fgm:104,131``), so this differential runs the real vocab
+    geometry (hidden stays tiny)."""
+    ref = rs.albef_models()
+    ch = rs.albef_cleverhans()
+    torch.manual_seed(0)
+    V = 30522
+    pre = _assemble_pretrain(ref, vocab_size=V, special=SPECIAL_FULL)
+    model = AlbefPretrain(_our_albef_cfg(vocab_size=V))
+    sd = {k: v.detach().numpy() for k, v in pre.state_dict().items()}
+    params = {"params": convert_albef_pretrain(sd, depth=4, num_layers=4, fusion_layer=2)}
+
+    rng = np.random.default_rng(3)
+    S = 8
+    ids = rng.integers(1000, 20000, (1, S)).astype(np.int64)
+    ids[0, 0] = SPECIAL_FULL[2]
+    mask = np.ones((1, S), np.int64)
+    px = rng.uniform(-1, 1, (1, 3, 32, 32)).astype(np.float32)
+    adv0 = np.clip(px + rng.uniform(-EPS, EPS, px.shape).astype(np.float32), -1, 1)
+    # answer-masked paraphrase: [MASK] at two positions, labels elsewhere -100
+    mlm_ids = rng.integers(1000, 20000, (1, S)).astype(np.int64)
+    mlm_ids[0, 0] = SPECIAL_FULL[2]
+    mlm_ids[0, 3] = SPECIAL_FULL[0]
+    mlm_ids[0, 5] = SPECIAL_FULL[0]
+    labels = np.full((1, S), -100, np.int64)
+    labels[0, 3], labels[0, 5] = 4444, 7777
+    if stacked:  # two acceptable answers -> [1, 2, S] (adv_attack.py:555-558)
+        labels = np.stack(
+            [labels[0], np.where(labels[0] == -100, -100, labels[0] + 1)]
+        )[None]
+    mlm_mask = np.ones((1, S), np.int64)
+
+    ids_t, mask_t = torch.from_numpy(ids), torch.from_numpy(mask)
+    mlm_ids_t, mlm_mask_t = torch.from_numpy(mlm_ids), torch.from_numpy(mlm_mask)
+    with torch.no_grad():
+        img_list, txt_list = pre.Gen_feats(_nchw(px), ids_t, mask_t)
+
+    def feat_fn(x):
+        il, tl = pre.Gen_feats(x, ids_t, mask_t)
+        return [torch.cat(tl, 0), torch.cat(il, 0)]
+
+    def mlm_fn(x):
+        return [pre.get_mlm_logits(x, mlm_ids_t, mlm_mask_t)]
+
+    adv_t, loss_list = ch.pgd.projected_gradient_descent(
+        [feat_fn, mlm_fn], _nchw(adv0).clone(), EPS, STEP, 10, np.inf,
+        clip_min=-1.0, clip_max=1.0,
+        y=[torch.from_numpy(labels), torch.cat(txt_list, 0), torch.cat(img_list, 0)],
+        ori_x=_nchw(px), time=1, ls=0, sanity_checks=False,
+    )
+
+    aux = {
+        "variables": params,
+        "text_ids": jnp.asarray(ids), "text_mask": jnp.asarray(mask),
+        "tgt_txt": jnp.asarray(torch.stack(txt_list, 1).numpy()),
+        "tgt_img": jnp.asarray(torch.stack(img_list, 1).numpy()),
+        "txt_token_mask": jnp.asarray(mask, jnp.float32),
+        "mlm_ids": jnp.asarray(mlm_ids), "mlm_mask": jnp.asarray(mlm_mask),
+        "mlm_labels": jnp.asarray(labels), "special_ids": SPECIAL_FULL,
+    }
+    adv_j, feat_l, mlm_l = pgd_alternating(
+        albef_losses.make_feature_loss(model), albef_losses.make_mlm_loss(model),
+        _nhwc(adv0), _nhwc(px), jax.random.key(0), aux,
+        eps=EPS, eps_iter=STEP, nb_iter=10, clip_min=-1.0, clip_max=1.0,
+        rand_init=False, use_pallas=False,
+    )
+    # reference interleaves [feat, mlm, feat, mlm, ...]
+    ours = np.stack([np.asarray(feat_l)[:, 0], np.asarray(mlm_l)[:, 0]], 1).reshape(-1)
+    np.testing.assert_allclose(ours, np.asarray(loss_list), rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(adv_j), _torch_nhwc(adv_t))
+
+
+def test_pgd_vl_step_matches_reference(albef_pair, albef_targets):
+    """VL joint step: image update bit-identical, harvested text-embedding
+    gradient matching (``fgm_vl:96-130``)."""
+    p, t = albef_pair, albef_targets
+    ch = rs.albef_cleverhans()
+    ids_t, mask_t = torch.from_numpy(p.ids), torch.from_numpy(p.mask)
+    with torch.no_grad():
+        emb_t = p.pre.text_encoder.bert.embeddings(input_ids=ids_t)
+
+    def vl_fn(x):
+        il, tl = p.pre.Gen_feats_from_embeds(x[0], x[1], ids_t, mask_t)
+        return [torch.cat(tl, 0), torch.cat(il, 0)]
+
+    attack_mask = [2, 4]
+    adv_t, tg_t = ch.pgd_vl.projected_gradient_descent(
+        vl_fn, [_nchw(p.adv0).clone(), emb_t.clone()], EPS, STEP, 1, np.inf,
+        clip_min=-1.0, clip_max=1.0,
+        y=[torch.cat(t.txt_list, 0).clone(), torch.cat(t.img_list, 0).clone()],
+        ori_x=_nchw(p.px), time=1, ls=1, attack_mask=attack_mask, sanity_checks=False,
+    )
+    emb_j = p.model.apply(p.params, jnp.asarray(p.ids), method=AlbefPretrain.embed_text)
+    adv_j, tg_j = pgd_vl_step(
+        albef_losses.make_vl_loss(p.model), _nhwc(p.adv0), emb_j, _nhwc(p.px),
+        jnp.asarray([attack_mask]), jax.random.key(0), t.aux,
+        eps=EPS, eps_iter=STEP, clip_min=-1.0, clip_max=1.0, use_pallas=False,
+    )
+    np.testing.assert_array_equal(np.asarray(adv_j), _torch_nhwc(adv_t))
+    np.testing.assert_allclose(
+        np.asarray(tg_j), tg_t.detach().numpy(), atol=5e-7
+    )
+
+
+# ---------------------------------------------------------------------------
+# text attack: candidate generation + block schedule vs adv_attack.py itself
+# ---------------------------------------------------------------------------
+
+
+def test_text_candidates_and_schedule_match_reference():
+    """``cal_text_attack_list`` (``adv_attack.py:215-264``) and
+    :func:`generate_candidates` must produce identical block schedules and
+    candidate sets when driven by the same MLM + vocab."""
+    aa = rs.adv_attack_module()
+    from transformers import BertForMaskedLM as HFBertForMaskedLM
+    from transformers import BertTokenizer as HFBertTokenizer
+    from transformers.models.bert.configuration_bert import BertConfig as HFBertConfig
+
+    from vqattack_tpu.attacks.text_attack import generate_candidates
+    from vqattack_tpu.text.filter_words import default_filter_words
+    from vqattack_tpu.text.tokenizer import WordPieceTokenizer
+
+    vocab = [
+        "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+        "what", "color", "is", "the", "dog", "cat", "hat", "red", "blue",
+        "green", "man", "woman", "person", "wearing", "hold", "##ing",
+        "frisbee", "ball", "shirt", "a", "an", "?", "big", "small", "tall",
+    ]
+    d = tempfile.mkdtemp()
+    vf = os.path.join(d, "vocab.txt")
+    with open(vf, "w") as f:
+        f.write("\n".join(vocab) + "\n")
+    hf_tok = HFBertTokenizer(vf, do_lower_case=True)
+    cfg = HFBertConfig(
+        vocab_size=len(vocab), hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64, max_position_embeddings=64,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(0)
+    mlm = HFBertForMaskedLM(cfg).eval()
+    with torch.no_grad():
+        # bias a few tokens above the raw-logit threshold 0.3 so the
+        # candidate machinery has real work to do
+        bias = mlm.cls.predictions.decoder.bias
+        bias[vocab.index("cat")] = 6.0
+        bias[vocab.index("hat")] = 5.0
+        bias[vocab.index("red")] = 4.0
+        bias[vocab.index("the")] = 3.5     # filtered: stopword
+        bias[vocab.index("##ing")] = 3.2   # filtered: sub-word
+
+    atk = aa.Adv_attack.__new__(aa.Adv_attack)
+    atk.tokenizer_mlm = hf_tok
+    atk.mlm_model = mlm
+    atk.device = torch.device("cpu")
+
+    our_tok = WordPieceTokenizer.from_file(vf)
+
+    def mlm_logits_fn(ids, mask):
+        with torch.no_grad():
+            out = mlm(
+                torch.from_numpy(np.asarray(ids, np.int64)),
+                attention_mask=torch.from_numpy(np.asarray(mask, np.int64)),
+            )
+        return out.logits.numpy()
+
+    questions = [
+        "what color is the dog",
+        "is the man wearing a red hat ?",
+        "what is the woman holding",
+        "is the",  # all filtered -> empty schedule
+        "what color is the frisbee the dog is holding",
+    ]
+    fw = default_filter_words()
+    for q in questions:
+        ref_iters, ref_cands = atk.cal_text_attack_list(q)
+        ours = generate_candidates(q, our_tok, mlm_logits_fn, fw)
+        assert list(ref_iters) == list(ours.iter_list), q
+        if not ref_cands:  # reference returns ([], []) when nothing is attackable
+            assert ours.attack_word_indices == []
+            continue
+        assert len(ref_cands) == len(ours.candidate_lists), q
+        for rc, oc in zip(ref_cands, ours.candidate_lists):
+            assert (rc or None) == (oc or None), q
+
+
+def test_filter_words_inventory_matches_reference():
+    """The vendored inventory equals the reference's runtime set
+    (curated list + NLTK stopwords + ['?', '.'], ``adv_attack.py:27``)."""
+    aa = rs.adv_attack_module()
+    from vqattack_tpu.text.filter_words import default_filter_words
+
+    assert set(aa.filter_words) == set(default_filter_words())
+
+
+# ---------------------------------------------------------------------------
+# VLMo: MultiWay blocks + the full rel-pos machinery + feature PGD
+# ---------------------------------------------------------------------------
+
+
+def _assemble_vlmo(max_text_len=8):
+    """Reference VLMo via ``__new__``: the real ``MultiWayTransformer``
+    (``multiway_transformer.py:244``) + the real rel-pos machinery
+    (``build_relative_position_embed:818`` / ``get_rel_pos_bias:807``),
+    without the LightningModule ``__init__`` (downloads, sacred config)."""
+    vm = rs.vlmo_module()
+    mwt = rs.vlmo_multiway()
+    from vlmo.modules import heads as ref_heads
+    from transformers.models.bert.configuration_bert import BertConfig as HFBertConfig
+    from transformers.models.bert.modeling_bert import BertEmbeddings as HFBertEmbeddings
+
+    torch.manual_seed(0)
+    mw_cfg = {"drop_path_rate": 0.0, "loss_names": {"textmlm": 0},
+              "max_text_len": max_text_len}
+    v = vm.VLMo.__new__(vm.VLMo)
+    nn.Module.__init__(v)
+    v.transformer = mwt.MultiWayTransformer(
+        img_size=32, patch_size=16, embed_dim=32, depth=4, num_heads=2,
+        mlp_ratio=4, qkv_bias=True, vlffn_start_layer_index=3, config=mw_cfg,
+    )
+    emb_cfg = HFBertConfig(
+        vocab_size=64, hidden_size=32, max_position_embeddings=64,
+        type_vocab_size=2, hidden_dropout_prob=0.0,
+    )
+    v.text_embeddings = HFBertEmbeddings(emb_cfg)
+    v.token_type_embeddings = nn.Embedding(2, 32)
+    v.pooler = ref_heads.Pooler(32)
+    v.img_size, v.patch_size, v.num_layers = 32, 16, 4
+    v.build_relative_position_embed(
+        {"max_text_len_of_initckpt": 196, "max_text_len": max_text_len}
+    )
+    with torch.no_grad():
+        v.relative_position_bias_table.data.normal_(std=0.05)
+    return v.eval()
+
+
+def _ref_vlmo_attack_closure(v, ids_t, mask_t, max_text_len):
+    """The reference's ``pgd_attack`` wiring (``vlmo_module.py:1387-1446``)
+    over the real blocks/rel-pos methods; the ``.to(device=x.get_device())``
+    call is elided (CUDA-only no-op)."""
+
+    def closure(x):
+        text_embeds = v.text_embeddings(ids_t) + v.token_type_embeddings(
+            torch.zeros_like(mask_t)
+        )
+        image_embeds, image_masks = v.transformer.visual_embed(x)
+        image_masks = image_masks.long()
+        image_embeds = image_embeds + v.token_type_embeddings(
+            torch.full_like(image_masks, 1)
+        )
+        co = torch.cat([text_embeds, image_embeds], 1)
+        co_masks = torch.cat([mask_t, image_masks], 1)
+        rel_list = v.get_rel_pos_bias(v.text_imag_relative_position_index)
+        feats = [co]
+        h = co
+        for i, blk in enumerate(v.transformer.blocks):
+            h = blk(h, mask=co_masks, modality_type="vl",
+                    relative_position_bias=rel_list[i])
+            feats.append(h)
+        xn = v.transformer.norm(h)
+        cls_feats = v.pooler(xn)
+        target = torch.stack(feats, 1)
+        tpos = torch.where(mask_t[0] == 1)
+        feats_list = torch.cat(
+            [target[0, :, tpos[0]], target[0, :, max_text_len:]], 1
+        )
+        six = target[0, :, 0, :]
+        return [cls_feats, six, feats_list]
+
+    return closure
+
+
+@pytest.fixture(scope="module")
+def vlmo_pair():
+    from vqattack_tpu.checkpoint.convert import convert_vlmo
+    from vqattack_tpu.models.vlmo import VLMo as OurVLMo
+
+    T = 8
+    v = _assemble_vlmo(max_text_len=T)
+    cfg = tiny_test_config().vlmo
+    model = OurVLMo(cfg, with_vqa_head=False)
+    sd = {k: val.detach().numpy() for k, val in v.state_dict().items()}
+    params = {"params": convert_vlmo(sd, depth=4, vlffn_start_layer=3)}
+
+    rng = np.random.default_rng(5)
+    ids = rng.integers(4, 60, (1, T)).astype(np.int64)
+    ids[0, 0] = SPECIAL[2]
+    mask = np.ones((1, T), np.int64)
+    px = rng.uniform(-1, 1, (1, 3, 32, 32)).astype(np.float32)
+    adv0 = np.clip(px + rng.uniform(-EPS, EPS, px.shape).astype(np.float32), -1, 1)
+    return types.SimpleNamespace(
+        v=v, model=model, params=params, T=T,
+        ids=ids, mask=mask, px=px, adv0=adv0,
+    )
+
+
+def test_vlmo_attack_feats_match_reference(vlmo_pair):
+    from vqattack_tpu.models.vlmo import VLMo as OurVLMo
+
+    p = vlmo_pair
+    ids_t, mask_t = torch.from_numpy(p.ids), torch.from_numpy(p.mask)
+    closure = _ref_vlmo_attack_closure(p.v, ids_t, mask_t, p.T)
+    with torch.no_grad():
+        cls_t, six_t, tokens_t = closure(_nchw(p.px))
+
+    cls_j, layer_cls_j, tokens_j, token_mask_j = p.model.apply(
+        p.params, _nhwc(p.px), jnp.asarray(p.ids), jnp.asarray(p.mask),
+        method=OurVLMo.attack_feats,
+    )
+    np.testing.assert_allclose(np.asarray(cls_j)[0], cls_t.numpy()[0], atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(layer_cls_j)[0], six_t.numpy(), atol=2e-5
+    )
+    valid = np.asarray(token_mask_j)[0] > 0
+    np.testing.assert_allclose(
+        np.asarray(tokens_j)[0][:, valid], tokens_t.numpy(), atol=2e-5
+    )
+
+
+def test_vlmo_pgd_feature_trajectory_bit_exact(vlmo_pair):
+    """20 iterations of the *VLMo* cleverhans copy's ls==1 PGD (cls + token
+    cosine loss, VLMo fgm copy ``:102-116``): bit-identical images."""
+    from vqattack_tpu.attacks import vlmo as vlmo_losses
+    from vqattack_tpu.models.vlmo import VLMo as OurVLMo
+
+    p = vlmo_pair
+    vch = rs.vlmo_cleverhans()
+    ids_t, mask_t = torch.from_numpy(p.ids), torch.from_numpy(p.mask)
+    closure = _ref_vlmo_attack_closure(p.v, ids_t, mask_t, p.T)
+    with torch.no_grad():
+        out0 = closure(_nchw(p.px))
+    # VLMo pgd passes the FULL y into both steps; fgm ls==1 reads y[1], y[2]
+    y = [torch.zeros(1), out0[1].clone(), out0[2].clone()]
+    adv_t, loss_list = vch.pgd.projected_gradient_descent(
+        closure, _nchw(p.adv0).clone(), EPS, STEP, 20, np.inf,
+        clip_min=-1.0, clip_max=1.0, y=y, ori_x=_nchw(p.px),
+        time=1, ls=1, sanity_checks=False,
+    )
+
+    _, layer_cls, tokens, token_mask = p.model.apply(
+        p.params, _nhwc(p.px), jnp.asarray(p.ids), jnp.asarray(p.mask),
+        method=OurVLMo.attack_feats,
+    )
+    rel_biases = p.model.apply(p.params, method=OurVLMo.precompute_joint_biases)
+    aux = {
+        "variables": p.params,
+        "text_ids": jnp.asarray(p.ids), "text_mask": jnp.asarray(p.mask),
+        "tgt_layer_cls": layer_cls, "tgt_tokens": tokens,
+        "tgt_token_mask": token_mask.astype(jnp.float32),
+        "rel_biases": rel_biases,
+    }
+    adv_j, losses_j = pgd_feature(
+        vlmo_losses.make_feature_loss(p.model), _nhwc(p.adv0), _nhwc(p.px),
+        jax.random.key(0), aux, eps=EPS, eps_iter=STEP, nb_iter=20,
+        clip_min=-1.0, clip_max=1.0, rand_init=False, use_pallas=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(losses_j)[:, 0], np.asarray(loss_list), rtol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(adv_j), _torch_nhwc(adv_t))
+
+
+# ---------------------------------------------------------------------------
+# mid-size trajectory parity (VERDICT r1 item 8 / SURVEY §7.2)
+# ---------------------------------------------------------------------------
+
+
+def test_midsize_40iter_trajectory_parity():
+    """Half-size geometry (224px, 6 layers, 384-wide, real 30,522 vocab):
+    40 full iterations driven by the reference's own cleverhans must track
+    within a quantified drift budget — loss trajectory rtol 1e-5 at every
+    iteration, >= 99% of pixels bit-identical (the remainder are sign flips
+    on near-zero gradient entries, inherent to sign-PGD at f32)."""
+    ref = rs.albef_models()
+    ch = rs.albef_cleverhans()
+    torch.manual_seed(0)
+    V = 30522
+    from transformers.models.bert.configuration_bert import BertConfig as HFBertConfig
+
+    hf_cfg = HFBertConfig(
+        vocab_size=V, hidden_size=384, num_hidden_layers=6,
+        num_attention_heads=6, intermediate_size=1536,
+        max_position_embeddings=512, type_vocab_size=2, fusion_layer=3,
+        encoder_width=384, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    pre = ref.pretrain.ALBEF_pre.__new__(ref.pretrain.ALBEF_pre)
+    nn.Module.__init__(pre)
+    pre.mlm_probability = 0.0
+    pre.tokenizer = types.SimpleNamespace(
+        pad_token_id=0, cls_token_id=101, mask_token_id=103
+    )
+    pre.visual_encoder = ref.vit.VisionTransformer(
+        img_size=224, patch_size=16, embed_dim=384, depth=6, num_heads=6,
+        mlp_ratio=4, qkv_bias=True,
+    )
+    pre.text_encoder = ref.xbert.BertForMaskedLM(config=hf_cfg)
+    pre.vision_proj = nn.Linear(384, 128)
+    pre.text_proj = nn.Linear(384, 128)
+    pre.itm_head = nn.Linear(384, 2)
+    pre.temp = nn.Parameter(torch.ones([]) * 0.07)
+    pre.eval()
+
+    rng = np.random.default_rng(7)
+    S = 16
+    ids = rng.integers(1000, 20000, (1, S)).astype(np.int64)
+    ids[0, 0] = 101
+    mask = np.ones((1, S), np.int64)
+    px = rng.uniform(-1, 1, (1, 3, 224, 224)).astype(np.float32)
+    adv0 = np.clip(px + rng.uniform(-EPS, EPS, px.shape).astype(np.float32), -1, 1)
+    ids_t, mask_t = torch.from_numpy(ids), torch.from_numpy(mask)
+    with torch.no_grad():
+        il, tl = pre.Gen_feats(_nchw(px), ids_t, mask_t)
+
+    def model_fn(x):
+        i2, t2 = pre.Gen_feats(x, ids_t, mask_t)
+        return [torch.cat(t2, 0), torch.cat(i2, 0)]
+
+    adv_t, loss_list = ch.pgd.projected_gradient_descent(
+        model_fn, _nchw(adv0).clone(), EPS, STEP, 40, np.inf,
+        clip_min=-1.0, clip_max=1.0,
+        y=[torch.cat(tl, 0).clone(), torch.cat(il, 0).clone()],
+        ori_x=_nchw(px), time=1, ls=1, sanity_checks=False,
+    )
+
+    from vqattack_tpu.config import ALBEFConfig
+
+    cfg = ALBEFConfig(
+        vit=ViTConfig(image_size=224, patch_size=16, hidden_size=384,
+                      depth=6, num_heads=6),
+        bert=BertConfig(vocab_size=V, hidden_size=384, num_layers=6,
+                        num_heads=6, intermediate_size=1536, fusion_layer=3,
+                        encoder_width=384),
+        embed_dim=128, mlm_probability=0.0,
+    )
+    model = AlbefPretrain(cfg)
+    sd = {k: v.detach().numpy() for k, v in pre.state_dict().items()}
+    params = {"params": convert_albef_pretrain(sd, depth=6, num_layers=6,
+                                               fusion_layer=3)}
+    aux = {
+        "variables": params,
+        "text_ids": jnp.asarray(ids), "text_mask": jnp.asarray(mask),
+        "tgt_txt": jnp.asarray(torch.stack(tl, 1).numpy()),
+        "tgt_img": jnp.asarray(torch.stack(il, 1).numpy()),
+        "txt_token_mask": jnp.asarray(mask, jnp.float32),
+        "special_ids": SPECIAL_FULL,
+    }
+    adv_j, losses_j = pgd_feature(
+        albef_losses.make_feature_loss(model), _nhwc(adv0), _nhwc(px),
+        jax.random.key(0), aux, eps=EPS, eps_iter=STEP, nb_iter=40,
+        clip_min=-1.0, clip_max=1.0, rand_init=False, use_pallas=False,
+    )
+    lj = np.asarray(losses_j)[:, 0]
+    lt = np.asarray(loss_list)
+    np.testing.assert_allclose(lj, lt, rtol=1e-5)
+    d = np.abs(np.asarray(adv_j) - _torch_nhwc(adv_t))
+    assert (d <= 1e-5).mean() >= 0.99, f"pixel agreement {(d <= 1e-5).mean():.4f}"
+    assert d.mean() < 5e-4, f"mean drift {d.mean():.2e}"

@@ -67,7 +67,7 @@ def test_generate_candidates_filters():
     fw = default_filter_words()
     v = tok.vocab_size
 
-    def fake_mlm(ids):
+    def fake_mlm(ids, mask):
         # favor 'cat' (a real single token) everywhere, with big logits
         logits = np.zeros((ids.shape[0], ids.shape[1], v), np.float32)
         logits[:, :, tok.vocab["cat"]] = 5.0
@@ -179,7 +179,7 @@ def test_generate_candidates_no_substitutable():
     tok = make_tok()
     from vqattack_tpu.text.filter_words import default_filter_words
 
-    def fake_mlm(ids):
+    def fake_mlm(ids, mask):
         import numpy as np
 
         return np.zeros((ids.shape[0], ids.shape[1], tok.vocab_size), np.float32)

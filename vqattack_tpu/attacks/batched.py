@@ -272,7 +272,8 @@ class BatchedAlbefAttack:
                 new_text, ops = select_substitutions(
                     s.adv_text, s.question, np_grad, s.cands, s.ori_emb,
                     p.embed_texts, p.gate.scores,
-                    sim_threshold=atk.sim_threshold, max_length=self._max_text_len,
+                    sim_threshold=p.gate.operating_point(atk.sim_threshold),
+                    max_length=self._max_text_len,
                 )
                 s.adv_text = new_text
                 s.substitutions.extend(ops)

@@ -101,9 +101,7 @@ class AlbefAttackPipeline:
         )
         if mlm_model is not None:
             self._cand_mlm_logits = jax.jit(
-                lambda v, ids: mlm_model.apply(
-                    v, ids, jnp.ones_like(ids), mode="text"
-                )[2]
+                lambda v, ids, mask: mlm_model.apply(v, ids, mask, mode="text")[2]
             )
         if victim is not None:
             self._rank_answer = jax.jit(
@@ -140,9 +138,10 @@ class AlbefAttackPipeline:
         )
         return img_f, txt_f
 
-    def candidate_mlm_logits(self, ids: np.ndarray) -> np.ndarray:
-        ids = jnp.asarray(ids)
-        return np.asarray(self._cand_mlm_logits(self.mlm_params, ids))
+    def candidate_mlm_logits(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        return np.asarray(
+            self._cand_mlm_logits(self.mlm_params, jnp.asarray(ids), jnp.asarray(mask))
+        )
 
     def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
         ids, _ = self.tokenizer.encode_batch(texts, self.cfg.attack.max_text_len)
@@ -277,7 +276,8 @@ class AlbefAttackPipeline:
             adv_text, ops = select_substitutions(
                 adv_text, ori_text, np.asarray(text_grad)[0], cands,
                 ori_emb, self.embed_texts, self.gate.scores,
-                sim_threshold=atk.sim_threshold, max_length=atk.max_text_len,
+                sim_threshold=self.gate.operating_point(atk.sim_threshold),
+                max_length=atk.max_text_len,
             )
             all_ops.extend(ops)
             if old_alg == 0 and ops:

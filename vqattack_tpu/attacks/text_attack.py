@@ -90,7 +90,7 @@ def bpe_substitutes(
     if not combos or not combos[0]:
         return []
     ids = np.asarray(combos, np.int32)  # [N, L]
-    logits = mlm_logits_fn(ids)  # [N, L, V]
+    logits = mlm_logits_fn(ids, np.ones_like(ids))  # [N, L, V]
     logits = logits - logits.max(-1, keepdims=True)
     logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
     nll = -np.take_along_axis(logp, ids[..., None], axis=-1)[..., 0]
@@ -116,8 +116,11 @@ def generate_candidates(
     """BERT-MLM substitution candidates per attackable word
     (``cal_text_attack_list``, ``adv_attack.py:215-264``).
 
-    ``mlm_logits_fn(ids [B, S]) -> logits [B, S, V]`` — a jitted BERT-MLM
-    forward (padding is handled here; positions beyond the text are unused).
+    ``mlm_logits_fn(ids [B, S], mask [B, S]) -> logits [B, S, V]`` — a jitted
+    BERT-MLM forward.  The reference runs the exact-length
+    ``[CLS]+sub_words+[SEP]`` sequence unpadded (``adv_attack.py:241-243``);
+    here the sequence is padded to a static shape with the attention mask
+    zero on padding, which is numerically identical at the real positions.
     """
     words, sub_words, spans = tokenizer.word_spans(question)
     candidate_lists: List[Optional[List[str]]] = [None] * len(words)
@@ -140,7 +143,9 @@ def generate_candidates(
     n = len(ids)
     ids_padded = np.zeros((1, max_length), np.int32) + tokenizer.pad_token_id
     ids_padded[0, :n] = ids
-    logits = np.asarray(mlm_logits_fn(ids_padded))[0]  # [S, V]
+    mask_padded = np.zeros((1, max_length), np.int32)
+    mask_padded[0, :n] = 1
+    logits = np.asarray(mlm_logits_fn(ids_padded, mask_padded))[0]  # [S, V]
 
     # top-k raw-logit scores per sub-token position (skipping [CLS], so row i
     # aligns with sub_words[i] — adv_attack.py:244-246)

@@ -84,7 +84,7 @@ class VlmoAttackPipeline:
         )
         if mlm_model is not None:
             self._cand_mlm_logits = jax.jit(
-                lambda v, ids: mlm_model.apply(v, ids, jnp.ones_like(ids), mode="text")[2]
+                lambda v, ids, mask: mlm_model.apply(v, ids, mask, mode="text")[2]
             )
         # rel-pos biases are parameter-only: gather them ONCE instead of per
         # PGD iteration (models/vlmo.py::precompute_joint_biases)
@@ -105,8 +105,10 @@ class VlmoAttackPipeline:
         ids, mask = self.tokenizer.encode(text, self.max_text_len)
         return jnp.asarray(ids[None]), jnp.asarray(mask[None])
 
-    def candidate_mlm_logits(self, ids: np.ndarray) -> np.ndarray:
-        return np.asarray(self._cand_mlm_logits(self.mlm_params, jnp.asarray(ids)))
+    def candidate_mlm_logits(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        return np.asarray(
+            self._cand_mlm_logits(self.mlm_params, jnp.asarray(ids), jnp.asarray(mask))
+        )
 
     def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
         ids, _ = self.tokenizer.encode_batch(texts, self.max_text_len)
@@ -227,7 +229,8 @@ class VlmoAttackPipeline:
             adv_text, ops = select_substitutions(
                 adv_text, ori_text, np.asarray(text_grad)[0], cands,
                 ori_emb, self.embed_texts, self.gate.scores,
-                sim_threshold=atk.sim_threshold, max_length=self.max_text_len,
+                sim_threshold=self.gate.operating_point(atk.sim_threshold),
+                max_length=self.max_text_len,
             )
             all_ops.extend(ops)
             if old_alg == 0 and ops:

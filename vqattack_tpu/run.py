@@ -77,6 +77,12 @@ def build_argparser() -> argparse.ArgumentParser:
              "its round-robin shard of the qid stream and writes its own "
              "artifacts (host-0 merge is a directory union — SURVEY §5.8)",
     )
+    p.add_argument(
+        "--calibrate-gate", action="store_true",
+        help="before the sweep, print the similarity gate's score profile "
+             "over the dataset questions and a suggested threshold "
+             "(docs/GATES.md; vqattack_tpu.text.calibrate)",
+    )
     return p
 
 
@@ -134,6 +140,17 @@ def main(argv: Optional[list] = None) -> None:
             split="test", answer_list=args.answer_list,
         )
         answer_list = dataset.answer_list
+
+    if args.calibrate_gate:
+        from vqattack_tpu.text.calibrate import gate_score_profile, suggest_threshold
+
+        questions = [dataset[i]["question"] for i in range(min(len(dataset), 64))]
+        profile = gate_score_profile(pipeline.gate, questions)
+        print(profile.table())
+        try:
+            print(f"suggested threshold: {suggest_threshold(profile):.4f}")
+        except (KeyError, IndexError, ValueError):
+            print("suggested threshold: n/a (not enough probe data)")
 
     answer_ids = answer_mask = None
     if args.pipeline == "albef" and answer_list:

@@ -14,6 +14,18 @@ similarity > 0.95 vs the original question, computed on CPU TensorFlow
 
 All gates implement ``scores(reference_text, candidate_texts) -> [N] cosine
 similarities in [-1, 1]``.
+
+**Operating points.** The reference's 0.95 threshold is a *USE-space*
+constant (``adv_attack.py:303``); cosines in other embedding spaces
+concentrate differently, so each gate maps the configured USE-space
+threshold into its own space via :meth:`SimilarityGate.operating_point`.
+Mean-pooled BERT cosines are strongly anisotropic — near-paraphrases and
+even unrelated sentences cluster far above USE's range — so
+:class:`BertMeanPoolGate` defaults to a tighter 0.985 point.  To calibrate
+on real checkpoints/data, run :mod:`vqattack_tpu.text.calibrate` and pass
+the suggested value via ``BertMeanPoolGate(..., threshold=...)`` or the
+``sim_threshold_bert`` config field.  See ``docs/GATES.md`` for the
+threshold table and the known blind spots of each space.
 """
 
 from __future__ import annotations
@@ -22,15 +34,28 @@ from typing import Optional, Sequence
 
 import numpy as np
 
+# the reference's USE-space gate constant (adv_attack.py:303)
+USE_SPACE_DEFAULT = 0.95
+# mean-pooled-BERT-space equivalent (anisotropy adjustment; docs/GATES.md)
+BERT_SPACE_DEFAULT = 0.985
+
 
 class SimilarityGate:
     def scores(self, reference: str, candidates: Sequence[str]) -> np.ndarray:
         raise NotImplementedError
 
+    def operating_point(self, use_space_threshold: float) -> float:
+        """Map the configured USE-space threshold into this gate's score
+        space.  Identity for USE itself (and the ablation gate)."""
+        return use_space_threshold
+
 
 class NullGate(SimilarityGate):
     def scores(self, reference, candidates):
         return np.ones(len(candidates), dtype=np.float32)
+
+    def operating_point(self, use_space_threshold: float) -> float:
+        return 0.0  # accepts everything regardless
 
 
 class USEGate(SimilarityGate):
@@ -55,12 +80,29 @@ class BertMeanPoolGate(SimilarityGate):
 
     Uses the surrogate's own text encoder (mode="text") — fully offline and
     on-device.  ``embed_fn(ids, mask) -> [B, S, D]`` hidden states.
+
+    ``threshold``: this gate's own operating point standing in for the
+    reference's USE-space 0.95 (default :data:`BERT_SPACE_DEFAULT`; calibrate
+    with :mod:`vqattack_tpu.text.calibrate` when real weights are loaded).
+    Caveat: mean pooling is order-insensitive except through the contextual
+    encoder, so pure word *reorderings* score higher here than in USE space
+    (docs/GATES.md) — the tighter default compensates.
     """
 
-    def __init__(self, embed_fn, tokenizer, max_length: int = 25):
+    def __init__(self, embed_fn, tokenizer, max_length: int = 25,
+                 threshold: float = BERT_SPACE_DEFAULT):
         self._embed_fn = embed_fn
         self._tokenizer = tokenizer
         self._max_length = max_length
+        self._threshold = threshold
+
+    def operating_point(self, use_space_threshold: float) -> float:
+        if use_space_threshold == USE_SPACE_DEFAULT:
+            return self._threshold
+        # off-default config: preserve the user's margin relative to 0.95 by
+        # shrinking it into the remaining headroom of this space
+        scale = (1.0 - self._threshold) / (1.0 - USE_SPACE_DEFAULT)
+        return 1.0 - (1.0 - use_space_threshold) * scale
 
     def _pool(self, texts: Sequence[str]) -> np.ndarray:
         import jax.numpy as jnp
@@ -83,13 +125,15 @@ def make_gate(
     embed_fn=None,
     tokenizer=None,
     max_length: int = 25,
+    bert_threshold: float = BERT_SPACE_DEFAULT,
 ) -> SimilarityGate:
     if kind == "use":
         assert use_path, "USEGate needs a local TF-hub model path"
         return USEGate(use_path)
     if kind == "bert":
         assert embed_fn is not None and tokenizer is not None
-        return BertMeanPoolGate(embed_fn, tokenizer, max_length)
+        return BertMeanPoolGate(embed_fn, tokenizer, max_length,
+                                threshold=bert_threshold)
     if kind == "null":
         return NullGate()
     raise ValueError(f"unknown similarity gate: {kind!r}")
