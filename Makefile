@@ -21,4 +21,7 @@ dryrun-multichip:
 bench-vlmo:
 	BENCH_MODEL=vlmo python bench.py
 
-.PHONY: bench-vlmo
+bench-matrix:
+	BENCH_MATRIX=1 python bench.py
+
+.PHONY: bench-vlmo bench-matrix

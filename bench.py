@@ -1,71 +1,98 @@
-"""Benchmark: full-size ALBEF PGD attack throughput on one chip.
+"""Benchmark: full-size PGD attack throughput on one chip, with honest units.
 
-Measures steady-state PGD iterations/second on the headline configuration
-(BASELINE.json config #1/#2): ViT-B/16 @ 480px + 12-layer fusion BERT
-surrogate, latent-feature loss, L-inf eps=0.125 step=0.01 — each iteration is
-a full forward+backward through the surrogate plus the fused perturbation
-update, inside one ``lax.scan`` (zero host syncs).
+Headline configuration (BASELINE.json #1/#2): ViT-B/16 @ 480px + 12-layer
+fusion BERT surrogate, latent-feature loss, L-inf eps=0.125 step=0.01 — each
+attack iteration is a full forward+backward through the surrogate plus the
+fused perturbation update, inside one ``lax.scan`` (zero host syncs).
 
-The PyTorch reference does not publish wall-clock numbers (SURVEY §6); its
-per-iteration cost on the reference's assumed 1x A100 is ~2 it/s for this
-model/geometry (batch=1, per-iter host syncs).  ``vs_baseline`` is measured
-throughput / that nominal 2.0 it/s.
+Units (round-2 fix for the round-1 reporting ambiguity):
 
-Env knobs: BENCH_BATCH (default 1), BENCH_ITERS (default 40 — one full
-reference attack budget per scan),
-BENCH_DTYPE (float32|bfloat16, default float32),
-BENCH_ATTN (xla|flash, default xla),
-BENCH_PRECISION (default|high|highest — TPU matmul passes for f32 inputs;
-'highest' = true f32 accumulation for strict gradient parity),
-BENCH_REMAT (1 = jax.checkpoint each transformer block),
-BENCH_MODEL (albef|vlmo, default albef).
+- ``aggregate_sample_iters_per_s`` — attack iterations x samples / second /
+  chip.  One scan step at batch=B advances B independent samples, so this is
+  ``nb_iter * B / wall``.  THE number that matters for the 5k sweep.
+- ``scan_steps_per_s`` — scan steps / second (= aggregate / B).
+- ``per_pair_wall_s`` — wall-clock to complete one sample's full 40-iteration
+  budget at this batch size (= wall / B when nb_iter=40).
+- ``mfu_pct`` — achieved FLOP/s vs the chip's bf16 matmul peak, using XLA's
+  own compiled-HLO flop count (``compiled.cost_analysis()['flops']``), not a
+  hand model.  f32 runs use default TPU matmul passes (bf16x3-class), so the
+  bf16 peak is the right denominator.
+
+Baseline caveat: the reference publishes no wall-clock numbers (SURVEY §6).
+``vs_baseline`` divides by an **assumed nominal 2.0 sample-iters/s** for the
+reference's loop (batch locked to 1, host sync every iteration, 1x
+A100-class GPU) — a measured-vs-assumed ratio, labeled as such everywhere.
+
+Env knobs: BENCH_BATCH (default 1), BENCH_ITERS (default 40),
+BENCH_DTYPE (float32|bfloat16), BENCH_ATTN (xla|flash),
+BENCH_PRECISION (default|high|highest), BENCH_REMAT (default 1),
+BENCH_FUSED_LOSS (1 = per-layer cosine without materializing the image
+feature stack), BENCH_MODEL (albef|vlmo), BENCH_MATRIX (1 = run the
+batch x dtype matrix, write BENCH_MATRIX.json, print per-config lines to
+stderr; the stdout JSON line is then the b=1 f32 headline for driver
+comparability).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-NOMINAL_REFERENCE_ITERS_PER_S = 2.0
+NOMINAL_REFERENCE_ITERS_PER_S = 2.0  # assumed, not measured (see docstring)
+
+# bf16 matmul peak FLOP/s per chip by device kind (public spec sheets)
+_PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5": 459e12,  # v5p
+    "TPU v6 lite": 918e12,
+    "cpu": 1e12,  # nominal; MFU on CPU is meaningless but keeps the code total
+}
 
 
-def main() -> None:
-    os.environ.setdefault("HF_HUB_OFFLINE", "1")
-    cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+def _chip_peak() -> float:
+    kind = jax.devices()[0].device_kind
+    for k, v in _PEAK_FLOPS.items():
+        if kind.startswith(k):
+            return v
+    return _PEAK_FLOPS["TPU v5 lite"]
+
+
+def _hard_sync(x) -> None:
+    # on the tunneled-TPU runtime block_until_ready can return before
+    # execution finishes; a device->host scalar transfer is the only
+    # reliable sync (see vqattack_tpu/utils/profiling.py)
+    np.asarray(jax.device_get(x.reshape(-1)[:1]))
+
+
+def _flops_of(fn, *args) -> float:
+    """XLA's compiled flop count for fn(*args); 0.0 if unavailable."""
     try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+        compiled = jax.jit(fn).lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
     except Exception:
-        pass
+        return 0.0
 
-    from vqattack_tpu.attacks.pgd import pgd_feature
-    from vqattack_tpu.config import albef_attack_config, vlmo_attack_config
 
-    if os.environ.get("BENCH_MODEL", "albef") == "vlmo":
-        _vlmo_bench()
-        return
+def _make_albef(batch, iters, dtype, fused, remat):
+    import dataclasses
 
     from vqattack_tpu.attacks import albef as albef_losses
+    from vqattack_tpu.attacks.pgd import pgd_feature
+    from vqattack_tpu.config import albef_attack_config
     from vqattack_tpu.models.albef import AlbefPretrain
 
-    if os.environ.get("BENCH_PRECISION"):
-        jax.config.update(
-            "jax_default_matmul_precision", os.environ["BENCH_PRECISION"]
-        )
-    batch = int(os.environ.get("BENCH_BATCH", "1"))
-    iters = int(os.environ.get("BENCH_ITERS", "40"))
-    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE") == "bfloat16" else jnp.float32
-
     cfg = albef_attack_config()
-    if os.environ.get("BENCH_REMAT") == "1":
-        import dataclasses
-
+    if remat:
         albef = cfg.albef
         albef = dataclasses.replace(
             albef,
@@ -73,7 +100,8 @@ def main() -> None:
             bert=dataclasses.replace(albef.bert, remat=True),
         )
         cfg = dataclasses.replace(cfg, albef=albef)
-    model = AlbefPretrain(cfg.albef, dtype=dtype)
+    model = AlbefPretrain(cfg.albef, dtype=dtype, fused_feats=fused)
+    tgt_model = AlbefPretrain(cfg.albef, dtype=dtype)  # targets stay stacked
     s = cfg.attack.max_text_len
     rng = np.random.default_rng(0)
     px = jnp.asarray(rng.uniform(-1, 1, (batch, 480, 480, 3)), jnp.float32)
@@ -81,9 +109,9 @@ def main() -> None:
     ids = ids.at[:, 0].set(101)
     mask = jnp.ones_like(ids)
 
-    params = jax.jit(model.init)(jax.random.key(0), px, ids, mask)
+    params = jax.jit(tgt_model.init)(jax.random.key(0), px, ids, mask)
     gen = jax.jit(
-        lambda v, p, i, m: model.apply(v, p, i, m, method=AlbefPretrain.gen_feats)
+        lambda v, p, i, m: tgt_model.apply(v, p, i, m, method=AlbefPretrain.gen_feats)
     )
     img_f, txt_f, _ = gen(params, px, ids, mask)
     aux = {
@@ -96,65 +124,36 @@ def main() -> None:
         "special_ids": (103, 0, 101),
     }
     atk = cfg.attack
-
-    from vqattack_tpu.ops.attention import attention_impl
-
-    attn_kind = os.environ.get("BENCH_ATTN", "xla")
+    loss = albef_losses.make_feature_loss(model)
 
     def run(key):
-        with attention_impl(attn_kind):
-            return pgd_feature(
-            albef_losses.make_feature_loss(model), px, px, key, aux,
+        return pgd_feature(
+            loss, px, px, key, aux,
             eps=atk.eps, eps_iter=atk.step_size, nb_iter=iters,
             clip_min=atk.clip_min, clip_max=atk.clip_max,
             rand_init=True, use_pallas=jax.default_backend() not in ("cpu",),
         )
 
-    def hard_sync(x):
-        # on the tunneled-TPU runtime block_until_ready can return before
-        # execution finishes; a device->host scalar transfer is the only
-        # reliable sync (see vqattack_tpu/utils/profiling.py)
-        np.asarray(jax.device_get(x.reshape(-1)[:1]))
-
-    # warmup/compile (retry transient relay aborts; compiles are cached)
-    from vqattack_tpu.utils.retry import with_retries
-
-    adv, losses = with_retries(lambda: run(jax.random.key(1)))
-    hard_sync(adv)
-
-    t0 = time.perf_counter()
-    reps = 3
-    for r in range(reps):
-        adv, losses = run(jax.random.key(2 + r))
-        hard_sync(adv)
-    dt = (time.perf_counter() - t0) / reps
-
-    total_iters = iters * batch  # independent per-sample attack iterations
-    iters_per_s = total_iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": "albef_pgd_attack_iters_per_sec_per_chip",
-                "value": round(iters_per_s, 3),
-                "unit": f"iters/s (batch={batch}, fwd+bwd ViT-B@480 + 12L fusion BERT, {jnp.dtype(dtype).name})",
-                "vs_baseline": round(iters_per_s / NOMINAL_REFERENCE_ITERS_PER_S, 2),
-            }
+    def flops():
+        return _flops_of(
+            lambda k: pgd_feature(
+                loss, px, px, k, aux,
+                eps=atk.eps, eps_iter=atk.step_size, nb_iter=iters,
+                clip_min=atk.clip_min, clip_max=atk.clip_max,
+                rand_init=True, use_pallas=jax.default_backend() not in ("cpu",),
+            ),
+            jax.random.key(9),
         )
-    )
+
+    return run, flops
 
 
-def _vlmo_bench() -> None:
-    """VLMo MoME surrogate PGD throughput (BENCH_MODEL=vlmo)."""
-    import time
-
+def _make_vlmo(batch, iters, dtype, fused, remat):
+    del fused, remat  # VLMo path: stacked feats; remat fixed by config
     from vqattack_tpu.attacks import vlmo as vlmo_losses
     from vqattack_tpu.attacks.pgd import pgd_feature
     from vqattack_tpu.config import vlmo_attack_config
     from vqattack_tpu.models.vlmo import VLMo
-
-    batch = int(os.environ.get("BENCH_BATCH", "1"))
-    iters = int(os.environ.get("BENCH_ITERS", "40"))
-    dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE") == "bfloat16" else jnp.float32
 
     cfg = vlmo_attack_config()
     model = VLMo(cfg.vlmo, dtype=dtype)
@@ -180,39 +179,127 @@ def _vlmo_bench() -> None:
         "rel_biases": rel_biases,
     }
     atk = cfg.attack
-
-    def hard_sync(x):
-        np.asarray(jax.device_get(x.reshape(-1)[:1]))
+    loss = vlmo_losses.make_feature_loss(model)
 
     def run(key):
         return pgd_feature(
-            vlmo_losses.make_feature_loss(model), px, px, key, aux,
+            loss, px, px, key, aux,
             eps=atk.eps, eps_iter=atk.step_size, nb_iter=iters,
             clip_min=atk.clip_min, clip_max=atk.clip_max,
             rand_init=True, use_pallas=jax.default_backend() not in ("cpu",),
         )
 
+    def flops():
+        return _flops_of(
+            lambda k: pgd_feature(
+                loss, px, px, k, aux,
+                eps=atk.eps, eps_iter=atk.step_size, nb_iter=iters,
+                clip_min=atk.clip_min, clip_max=atk.clip_max,
+                rand_init=True, use_pallas=jax.default_backend() not in ("cpu",),
+            ),
+            jax.random.key(9),
+        )
+
+    return run, flops
+
+
+def measure(model_kind, batch, iters, dtype, *, fused=False, remat=True,
+            attn="xla", reps=3):
+    """Run one configuration; return the measurement dict."""
+    from vqattack_tpu.ops.attention import attention_impl
     from vqattack_tpu.utils.retry import with_retries
 
-    adv, _ = with_retries(lambda: run(jax.random.key(1)))
-    hard_sync(adv)
-    t0 = time.perf_counter()
-    reps = 3
-    for r in range(reps):
-        adv, _ = run(jax.random.key(2 + r))
-        hard_sync(adv)
-    dt = (time.perf_counter() - t0) / reps
-    iters_per_s = iters * batch / dt
-    print(
-        json.dumps(
-            {
-                "metric": "vlmo_pgd_attack_iters_per_sec_per_chip",
-                "value": round(iters_per_s, 3),
-                "unit": f"iters/s (batch={batch}, fwd+bwd MoME@480, {jnp.dtype(dtype).name})",
-                "vs_baseline": round(iters_per_s / NOMINAL_REFERENCE_ITERS_PER_S, 2),
-            }
+    maker = _make_vlmo if model_kind == "vlmo" else _make_albef
+    with attention_impl(attn):
+        run, flops_fn = maker(batch, iters, dtype, fused, remat)
+        adv, _ = with_retries(lambda: run(jax.random.key(1)))  # compile+warm
+        _hard_sync(adv)
+        t0 = time.perf_counter()
+        for r in range(reps):
+            adv, _ = run(jax.random.key(2 + r))
+            _hard_sync(adv)
+        dt = (time.perf_counter() - t0) / reps
+        scan_flops = flops_fn()
+
+    agg = iters * batch / dt
+    out = {
+        "model": model_kind,
+        "batch": batch,
+        "nb_iter": iters,
+        "dtype": jnp.dtype(dtype).name,
+        "fused_loss": bool(fused),
+        "remat": bool(remat),
+        "wall_s_per_scan": round(dt, 4),
+        "scan_steps_per_s": round(iters / dt, 2),
+        "aggregate_sample_iters_per_s": round(agg, 2),
+        "per_pair_wall_s": round(dt * (40.0 / iters) / batch, 4),
+    }
+    if scan_flops > 0:
+        achieved = scan_flops / dt
+        out["tflops_per_s"] = round(achieved / 1e12, 1)
+        out["mfu_pct"] = round(100.0 * achieved / _chip_peak(), 1)
+        out["flops_per_sample_iter_g"] = round(scan_flops / (iters * batch) / 1e9, 1)
+    return out
+
+
+def main() -> None:
+    os.environ.setdefault("HF_HUB_OFFLINE", "1")
+    cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+    if os.environ.get("BENCH_PRECISION"):
+        jax.config.update(
+            "jax_default_matmul_precision", os.environ["BENCH_PRECISION"]
         )
-    )
+
+    model_kind = os.environ.get("BENCH_MODEL", "albef")
+    iters = int(os.environ.get("BENCH_ITERS", "40"))
+    remat = os.environ.get("BENCH_REMAT", "1") == "1"
+    fused = os.environ.get("BENCH_FUSED_LOSS") == "1"
+    attn = os.environ.get("BENCH_ATTN", "xla")
+
+    if os.environ.get("BENCH_MATRIX") == "1":
+        rows = []
+        for dtype in (jnp.float32, jnp.bfloat16):
+            for batch in (1, 8, 64):
+                try:
+                    row = measure(model_kind, batch, iters, dtype,
+                                  fused=fused, remat=remat, attn=attn)
+                except Exception as e:  # OOM etc.: record, keep going
+                    row = {"model": model_kind, "batch": batch,
+                           "dtype": jnp.dtype(dtype).name, "error": repr(e)[:200]}
+                rows.append(row)
+                print(json.dumps(row), file=sys.stderr, flush=True)
+        with open(os.path.join(os.path.dirname(__file__), "BENCH_MATRIX.json"), "w") as f:
+            json.dump({"device": jax.devices()[0].device_kind, "rows": rows}, f, indent=1)
+        head = next((r for r in rows if r.get("batch") == 1
+                     and r.get("dtype") == "float32" and "error" not in r), rows[0])
+    else:
+        batch = int(os.environ.get("BENCH_BATCH", "1"))
+        dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE") == "bfloat16" else jnp.float32
+        head = measure(model_kind, batch, iters, dtype,
+                       fused=fused, remat=remat, attn=attn)
+
+    agg = head["aggregate_sample_iters_per_s"]
+    line = {
+        "metric": f"{model_kind}_pgd_aggregate_sample_iters_per_sec_per_chip",
+        "value": agg,
+        "unit": (
+            f"sample-iters/s (batch={head['batch']}, fwd+bwd "
+            f"{'MoME@480' if model_kind == 'vlmo' else 'ViT-B@480 + 12L fusion BERT'}, "
+            f"{head['dtype']}, per-pair {head['per_pair_wall_s']}s)"
+        ),
+        # measured / ASSUMED-nominal 2.0 it/s for the reference (not measured)
+        "vs_baseline": round(agg / NOMINAL_REFERENCE_ITERS_PER_S, 2),
+    }
+    for k in ("per_pair_wall_s", "mfu_pct", "tflops_per_s", "scan_steps_per_s"):
+        if k in head:
+            line[k] = head[k]
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

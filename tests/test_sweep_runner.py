@@ -1,4 +1,8 @@
-"""Mesh-wide sweep runner (parallel/sweep.py) on the virtual CPU mesh."""
+"""Mesh-wide sweep runner (parallel/sweep.py) on the virtual CPU mesh.
+
+VERDICT round-1 item 5: one batched engine — paraphrase (text-attack)
+samples must run lockstep-bucketed on the mesh, never one-at-a-time.
+"""
 
 import dataclasses
 
@@ -16,10 +20,10 @@ from vqattack_tpu.parallel.sweep import make_sweep_runner
 from vqattack_tpu.text.similarity import NullGate
 from vqattack_tpu.text.tokenizer import WordPieceTokenizer
 
-WORDS = ["what", "color", "is", "the", "dog", "cat", "red"]
+WORDS = ["what", "color", "is", "the", "dog", "cat", "red", "blue"]
 
 
-def test_sweep_runner_mesh():
+def _make_pipeline():
     tok = WordPieceTokenizer.toy(WORDS)
     base = tiny_test_config()
     bert = dataclasses.replace(base.albef.bert, vocab_size=tok.vocab_size)
@@ -27,7 +31,7 @@ def test_sweep_runner_mesh():
     cfg = dataclasses.replace(base, albef=albef_cfg)
 
     surrogate = AlbefPretrain(albef_cfg)
-    px = jnp.zeros((1, cfg.data.image_size if False else 32, 32, 3))
+    px = jnp.zeros((1, 32, 32, 3))
     ids = jnp.ones((1, cfg.attack.max_text_len), jnp.int32)
     mask = jnp.ones_like(ids)
     sparams = jax.jit(
@@ -37,10 +41,14 @@ def test_sweep_runner_mesh():
     mlm = FusionBert(mlm_cfg, with_mlm_head=True)
     mparams = jax.jit(lambda k: mlm.init(k, ids, mask))(jax.random.key(1))
 
-    pipe = AlbefAttackPipeline(
+    return AlbefAttackPipeline(
         cfg, surrogate, sparams, tok, NullGate(),
         mlm_model=mlm, mlm_params=mparams, use_pallas=False,
-    )
+    ), cfg
+
+
+def test_sweep_runner_mesh():
+    pipe, cfg = _make_pipeline()
     mesh = make_mesh(8)
     runner = make_sweep_runner(pipe, mesh, batch_size=8)
 
@@ -59,3 +67,49 @@ def test_sweep_runner_mesh():
         eps = cfg.attack.eps
         assert (np.abs(r["adv_image"] - samples[i]["pixels"]) <= eps + 1e-5).all()
         assert np.isfinite(r["losses"]).all()
+
+
+def test_sweep_runner_paraphrase_samples_batched(monkeypatch):
+    """Paraphrase samples ride the lockstep bucket engine (no per-sample
+    fallback): pipeline.attack_sample must never be called, buckets must see
+    full batches, and MAR (mlm) loss trajectories must come back."""
+    pipe, cfg = _make_pipeline()
+    mesh = make_mesh(8)
+
+    def _boom(*a, **kw):  # pragma: no cover - the assertion IS the test
+        raise AssertionError("per-sample fallback used — sweep must batch")
+
+    monkeypatch.setattr(AlbefAttackPipeline, "attack_sample", _boom)
+
+    from vqattack_tpu.attacks import batched as batched_mod
+
+    bucket_sizes = []
+    orig = batched_mod.BatchedAlbefAttack.attack_bucket
+
+    def spy(self, pixels, states, rng):
+        bucket_sizes.append(len(states))
+        return orig(self, pixels, states, rng)
+
+    monkeypatch.setattr(batched_mod.BatchedAlbefAttack, "attack_bucket", spy)
+
+    runner = make_sweep_runner(pipe, mesh, batch_size=4)
+    rng = np.random.default_rng(1)
+    samples = [
+        {"qid": str(i),
+         "pixels": rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32),
+         "question": "what color is the dog",
+         "paraphrase": "the dog is red",
+         "target_answer": "red"}
+        for i in range(4)
+    ]
+    out = runner(samples)
+    assert len(out) == 4
+    # all four paraphrase samples went through ONE lockstep bucket call
+    assert bucket_sizes == [4]
+    for i in range(4):
+        r = out[str(i)]
+        assert (np.abs(r["adv_image"] - samples[i]["pixels"])
+                <= cfg.attack.eps + 1e-5).all()
+        assert np.isfinite(r["losses"]).all()
+        # MAR labels exist -> alternating path -> mlm trajectory present
+        assert r["mlm_losses"] is not None and np.isfinite(r["mlm_losses"]).all()

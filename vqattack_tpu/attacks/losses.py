@@ -41,6 +41,28 @@ def cosine_sim(a: jnp.ndarray, b: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     return jnp.sum(a * b, axis=axis) / (na * nb)
 
 
+def _neg_cos_sum(adv, tgt, token_mask=None) -> jnp.ndarray:
+    """Per-sample ``-sum(cos)`` over layers+tokens -> [B].
+
+    ``adv`` is either a stacked ``[B, L, S, D]`` array or a tuple of per-layer
+    ``[B, S, D]`` tensors (``stack_feats=False`` fused path); ``tgt`` is
+    always the stacked clean target.  The tuple form lets XLA reduce each
+    layer's cosine in place without materializing the adversarial stack.
+    """
+    if isinstance(adv, (tuple, list)):
+        ps = 0.0
+        for l, f in enumerate(adv):
+            c = cosine_sim(f, tgt[:, l])  # [B, S]
+            if token_mask is not None:
+                c = c * token_mask
+            ps = ps - jnp.sum(c, axis=1)
+        return ps
+    c = cosine_sim(adv, tgt)  # [B, L, S]
+    if token_mask is not None:
+        c = c * token_mask[:, None, :]
+    return -jnp.sum(c, axis=(1, 2))
+
+
 def feature_loss(
     adv_txt: jnp.ndarray,
     adv_img: jnp.ndarray,
@@ -55,26 +77,21 @@ def feature_loss(
     positions that should contribute (the reference's min-length truncation).
     Returns the scalar loss (summed over the batch).
     """
-    cos_t = cosine_sim(adv_txt, tgt_txt)  # [B, L, S]
-    cos_i = cosine_sim(adv_img, tgt_img)
-    if txt_token_mask is not None:
-        cos_t = cos_t * txt_token_mask[:, None, :]
-    if img_token_mask is not None:
-        cos_i = cos_i * img_token_mask[:, None, :]
-    return jnp.sum(-cos_t) + jnp.sum(-cos_i)
+    return jnp.sum(
+        per_sample_feature_loss(
+            adv_txt, adv_img, tgt_txt, tgt_img, txt_token_mask, img_token_mask
+        )
+    )
 
 
 def per_sample_feature_loss(
     adv_txt, adv_img, tgt_txt, tgt_img, txt_token_mask=None, img_token_mask=None
 ) -> jnp.ndarray:
-    """[B]-shaped variant (for loss trajectories)."""
-    cos_t = cosine_sim(adv_txt, tgt_txt)
-    cos_i = cosine_sim(adv_img, tgt_img)
-    if txt_token_mask is not None:
-        cos_t = cos_t * txt_token_mask[:, None, :]
-    if img_token_mask is not None:
-        cos_i = cos_i * img_token_mask[:, None, :]
-    return -jnp.sum(cos_t, axis=(1, 2)) - jnp.sum(cos_i, axis=(1, 2))
+    """[B]-shaped variant (for loss trajectories).  Either feature argument
+    may be a per-layer tuple (see :func:`_neg_cos_sum`)."""
+    return _neg_cos_sum(adv_txt, tgt_txt, txt_token_mask) + _neg_cos_sum(
+        adv_img, tgt_img, img_token_mask
+    )
 
 
 def _ce_per_sample(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:

@@ -66,14 +66,23 @@ def mlm_random_mask(
 
 
 class AlbefPretrain(nn.Module):
-    """The pre-trained ALBEF surrogate (white-box model of the attack)."""
+    """The pre-trained ALBEF surrogate (white-box model of the attack).
+
+    ``fused_feats=True`` returns the per-layer image features as a tuple
+    instead of a stacked ``[B, 13, N, D]`` array so the attack's layer-sum
+    cosine reduces each layer without materializing the stack (perf A/B;
+    numerically identical — tests/test_fused_loss.py).
+    """
 
     cfg: ALBEFConfig
     dtype: Dtype = jnp.float32
+    fused_feats: bool = False
 
     def setup(self):
         cfg = self.cfg
-        self.visual_encoder = VisionTransformer(cfg.vit, dtype=self.dtype)
+        self.visual_encoder = VisionTransformer(
+            cfg.vit, dtype=self.dtype, stack_feats=not self.fused_feats
+        )
         self.text_encoder = FusionBert(cfg.bert, with_mlm_head=True, dtype=self.dtype)
         # ITA/ITM heads — unused by the attack losses but part of the
         # checkpoint surface (model_pretrain.py:54-60)

@@ -10,7 +10,11 @@ Behavioral parity with the reference's DeiT-style encoder
 
 TPU-first differences: NHWC pixel layout (XLA-native conv), features returned
 as one stacked array ``[B, depth+1, N, D]`` instead of a Python list so the
-attack's layer-sum cosine loss is a single fused reduction.
+attack's layer-sum cosine loss is a single fused reduction.  With
+``stack_feats=False`` the per-layer tensors come back as a tuple instead —
+the attack loss then reduces each layer in place and XLA never materializes
+the [B, 13, N, D] adversarial stack in HBM (round-2 perf lever; A/B'd in
+bench.py via ``BENCH_FUSED_LOSS``).
 """
 
 from __future__ import annotations
@@ -27,12 +31,14 @@ from vqattack_tpu.models.layers import PatchEmbed, ViTBlock
 class VisionTransformer(nn.Module):
     cfg: ViTConfig
     dtype: Any = jnp.float32
+    stack_feats: bool = True
 
     @nn.compact
     def __call__(self, pixels: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """pixels: [B, H, W, 3] in normalized [-1, 1] space.
 
-        Returns ``(normed_output, feats)`` with ``feats: [B, depth+1, N+1, D]``.
+        Returns ``(normed_output, feats)`` with ``feats: [B, depth+1, N+1, D]``
+        (or a ``depth+1``-tuple of ``[B, N+1, D]`` when ``stack_feats=False``).
         """
         cfg = self.cfg
         b = pixels.shape[0]
@@ -73,4 +79,6 @@ class VisionTransformer(nn.Module):
             feats.append(x)
 
         out = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="norm")(x)
+        if not self.stack_feats:
+            return out, tuple(feats)
         return out, jnp.stack(feats, axis=1)

@@ -6,6 +6,14 @@ the ``data`` axis, params replicate (or shard over ``model``), and one jitted
 program runs the whole PGD scan for every sample in the batch simultaneously.
 Per-host artifact writes + host-0 merge replace the reference's gloo
 object-gather eval merge (``objectives.py:832-859``; SURVEY §5.8).
+
+There is exactly ONE batched engine: the lockstep bucketed attack in
+``attacks/batched.py`` (``BatchedAlbefAttack`` / ``BatchedVlmoAttack``).
+Samples with a paraphrase/text-attack schedule run lockstep-bucketed by
+``(old_alg, k)`` on the mesh exactly like feature-only samples — nothing
+falls back to one-at-a-time attacks.  :func:`make_sweep_runner` is a thin
+convenience wrapper over that engine; the CLI (``run.py --batch-size
+--mesh-devices``) constructs the engine directly.
 """
 
 from __future__ import annotations
@@ -65,74 +73,42 @@ def make_sweep_runner(
     mesh,
     batch_size: Optional[int] = None,
 ) -> Callable[[list], Dict[str, Any]]:
-    """Bucket single-sample attack requests into mesh-wide feature-only PGD
-    batches (the dominant config #2/#5 of BASELINE.json).  Samples whose text
-    attack needs per-sample block schedules fall back to
-    ``pipeline.attack_sample`` (host-driven blocks), still device-batched
-    inside each block."""
+    """Mesh-wide sweep over sample dicts via the lockstep bucketed engine.
+
+    Every sample — with or without a paraphrase/text attack — runs inside a
+    ``(old_alg, k)`` bucket of ``attacks/batched.py``: one jitted PGD scan
+    advances the whole bucket, the VL step harvests all text gradients at
+    once, and batches shard over the mesh's data axis.  This replaces the
+    reference's strictly serial per-sample loop (``adv_attack.py:385-735``)
+    at scale (BASELINE configs #2/#5).
+
+    Sample dict keys: ``qid, pixels, question`` (+ optional ``paraphrase,
+    target_answer, all_correct_answers``).  Returns ``{qid: {adv_image,
+    adv_text, losses, mlm_losses, substitutions}}``.
+    """
+    from vqattack_tpu.attacks.batched import BatchedAlbefAttack, BatchedVlmoAttack
     from vqattack_tpu.parallel.mesh import DATA_AXIS
 
     ndata = mesh.shape[DATA_AXIS]
     bs = batch_size or ndata
+    # duck-typed pipeline dispatch: the VLMo pipeline exposes `model`,
+    # the ALBEF pipeline exposes `surrogate`
+    if hasattr(pipeline, "surrogate"):
+        engine = BatchedAlbefAttack(pipeline, mesh=mesh)
+    else:
+        engine = BatchedVlmoAttack(pipeline, mesh=mesh)
 
     def run(samples: list) -> Dict[str, Any]:
-        results = {}
-        atk = pipeline.cfg.attack
-        feature_only = [s for s in samples if not s.get("paraphrase")]
-        rest = [s for s in samples if s.get("paraphrase")]
-
-        for i in range(0, len(feature_only), bs):
-            chunk = feature_only[i : i + bs]
-            pad = bs - len(chunk)
-            px = jnp.concatenate(
-                [jnp.asarray(s["pixels"]) for s in chunk]
-                + [jnp.zeros_like(jnp.asarray(chunk[0]["pixels"]))] * pad
-            )
-            ids_list, mask_list = [], []
-            for s in chunk + [chunk[0]] * pad:
-                i2, m2 = pipeline.tokenizer.encode(s["question"], atk.max_text_len)
-                ids_list.append(i2)
-                mask_list.append(m2)
-            ids = jnp.asarray(ids_list)
-            mask = jnp.asarray(mask_list)
-            rng = jax.random.key(pipeline.cfg.seed + i)
-            r_tgt, r_pgd = jax.random.split(rng)
-            tgt_img, tgt_txt = pipeline.clean_targets(px, ids, mask, r_tgt)
-            aux = {
-                "variables": pipeline.surrogate_params,
-                "text_ids": ids,
-                "text_mask": mask,
-                "tgt_txt": tgt_txt,
-                "tgt_img": tgt_img,
-                "txt_token_mask": mask.astype(jnp.float32),
-                "special_ids": pipeline._special,
-            }
-            adv, losses = batched_attack_step(
-                pipeline._feature_loss, px, px, r_pgd, aux, mesh,
-                eps=atk.eps, eps_iter=atk.step_size, nb_iter=atk.num_iters,
-                clip_min=atk.clip_min, clip_max=atk.clip_max,
-                rand_init=atk.rand_init, use_pallas=pipeline.use_pallas,
-            )
-            import numpy as np
-
-            adv_np = np.asarray(adv)
-            for j, s in enumerate(chunk):
-                results[str(s["qid"])] = {
-                    "adv_image": adv_np[j : j + 1],
-                    "adv_text": s["question"],
-                    "losses": np.asarray(losses)[:, j],
-                }
-
-        for s in rest:
-            r = pipeline.attack_sample(
-                s["pixels"], s["question"], s["qid"], s.get("paraphrase"),
-                s.get("target_answer"), s.get("all_correct_answers", ()),
-            )
-            results[str(s["qid"])] = {
+        results = engine.run(samples, batch_size=bs)
+        out: Dict[str, Any] = {}
+        for r in results:
+            out[str(r.qid)] = {
                 "adv_image": r.adv_image,
                 "adv_text": r.adv_text,
                 "losses": r.feat_losses,
+                "mlm_losses": r.mlm_losses,
+                "substitutions": r.substitutions,
             }
-        return results
+        return out
 
     return run

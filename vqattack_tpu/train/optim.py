@@ -114,6 +114,12 @@ def create_optimizer(
                           weight_decay=weight_decay, mask=mask)
     elif opt == "lion":
         core = optax.lion(schedule, weight_decay=weight_decay, mask=mask)
+    elif opt == "adahessian":
+        # second-order: update() requires hess_diag= (see train/adahessian.py)
+        from vqattack_tpu.train.adahessian import adahessian as _adahessian
+
+        core = _adahessian(schedule, b1=b1, b2=b2, eps=eps,
+                           weight_decay=weight_decay, mask=mask)
     else:
         raise ValueError(f"unknown optimizer {opt!r}")
 
