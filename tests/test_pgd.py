@@ -265,3 +265,31 @@ def test_pgd_l2_norm_path():
     assert (norms <= 1.0 + 1e-5).all()
     traj = np.asarray(losses)
     assert traj[-1].min() > traj[0].max() - 1e-6  # ascended
+
+
+def test_zero_out_clipped_grads():
+    from vqattack_tpu.attacks.norms import zero_out_clipped_grads
+
+    x = jnp.asarray([[-1.0, 1.0, 0.0, -1.0, 1.0]])
+    g = jnp.asarray([[-2.0, 3.0, 5.0, 4.0, -6.0]])
+    out = np.asarray(zero_out_clipped_grads(g, x, -1.0, 1.0))
+    # at lower bound with negative grad -> zeroed; at upper with positive -> zeroed
+    np.testing.assert_allclose(out, [[0.0, 0.0, 5.0, 4.0, -6.0]])
+
+
+def test_get_or_guess_labels():
+    from vqattack_tpu.attacks.norms import get_or_guess_labels
+
+    logits = jnp.asarray([[0.1, 2.0, -1.0], [3.0, 0.0, 0.5]])
+    model_fn = lambda x: logits
+    x = jnp.zeros((2, 4))
+    np.testing.assert_array_equal(
+        np.asarray(get_or_guess_labels(model_fn, x)), [1, 0])
+    y = jnp.asarray([2, 2])
+    np.testing.assert_array_equal(
+        np.asarray(get_or_guess_labels(model_fn, x, y=y)), [2, 2])
+    np.testing.assert_array_equal(
+        np.asarray(get_or_guess_labels(model_fn, x, y=y, targeted=True)), [2, 2])
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        get_or_guess_labels(model_fn, x, targeted=True)

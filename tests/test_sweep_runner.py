@@ -113,3 +113,55 @@ def test_sweep_runner_paraphrase_samples_batched(monkeypatch):
         assert np.isfinite(r["losses"]).all()
         # MAR labels exist -> alternating path -> mlm trajectory present
         assert r["mlm_losses"] is not None and np.isfinite(r["mlm_losses"]).all()
+
+
+def test_sweep_runner_dispatches_vlmo():
+    """The unified runner routes a VLMo pipeline onto BatchedVlmoAttack."""
+    import dataclasses as dc
+
+    from vqattack_tpu.attacks.vlmo_orchestrator import VlmoAttackPipeline
+    from vqattack_tpu.models.vlmo import VLMo
+
+    from vqattack_tpu.models.bert import FusionBert
+
+    tok = WordPieceTokenizer.toy(WORDS)
+    base = tiny_test_config()
+    vlmo_cfg = dc.replace(base.vlmo, vocab_size=tok.vocab_size)
+    cfg = dc.replace(base, vlmo=vlmo_cfg)
+    model = VLMo(vlmo_cfg)
+    px = jnp.zeros((1, 32, 32, 3))
+    ids = jnp.ones((1, vlmo_cfg.max_text_len), jnp.int32)
+    mask = jnp.ones_like(ids)
+    sparams = jax.jit(
+        lambda k: model.init(k, ids, mask, px, method=VLMo.init_all)
+    )(jax.random.key(0))
+    mlm_cfg = dc.replace(
+        base.albef.bert, vocab_size=tok.vocab_size,
+        fusion_layer=base.albef.bert.num_layers,
+    )
+    mlm = FusionBert(mlm_cfg, with_mlm_head=True)
+    mparams = jax.jit(lambda k: mlm.init(k, ids[:, :8], mask[:, :8]))(
+        jax.random.key(2)
+    )
+    pipe = VlmoAttackPipeline(
+        cfg, model, sparams, sparams, tok, NullGate(),
+        mlm_model=mlm, mlm_params=mparams,
+        id2answer={0: "red"}, use_pallas=False,
+    )
+    mesh = make_mesh(8)
+    runner = make_sweep_runner(pipe, mesh, batch_size=8)
+
+    rng = np.random.default_rng(2)
+    samples = [
+        {"qid": str(100 + i),
+         "pixels": rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32),
+         "question": "what color is the dog"}
+        for i in range(8)
+    ]
+    out = runner(samples)
+    assert len(out) == 8
+    for i in range(8):
+        r = out[str(100 + i)]
+        assert (np.abs(r["adv_image"] - samples[i]["pixels"])
+                <= cfg.attack.eps + 1e-5).all()
+        assert np.isfinite(r["losses"]).all()

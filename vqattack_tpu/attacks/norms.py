@@ -5,8 +5,12 @@ Behavioral parity with the vendored cleverhans utils
 
 - :func:`clip_eta`   — project a perturbation onto the L-inf / L2 eps-ball
 - :func:`optimize_linear` — the FGM step: maximize <g, eta> s.t. ||eta|| <= eps
+- :func:`zero_out_clipped_grads` — drop gradient components that point out of
+  the [clip_min, clip_max] box at the boundary (``utils.py:131``)
+- :func:`get_or_guess_labels` — default untargeted labels = the model's own
+  predictions (``utils.py:43``)
 
-Both are batch-aware: reductions run over all non-batch axes, so a batched
+All are batch-aware: reductions run over all non-batch axes, so a batched
 attack projects each sample's perturbation independently (the reference runs
 batch=1 and gets this for free).
 """
@@ -58,3 +62,28 @@ def optimize_linear(grad: jnp.ndarray, eps: float, norm: str = LINF) -> jnp.ndar
         sq = jnp.maximum(_AVOID_ZERO_DIV, jnp.sum(grad * grad, axis=axes, keepdims=True))
         return eps * grad / jnp.sqrt(sq)
     raise ValueError(f"optimize_linear: unsupported norm {norm!r}")
+
+
+def zero_out_clipped_grads(
+    grad: jnp.ndarray, x: jnp.ndarray, clip_min: float, clip_max: float
+) -> jnp.ndarray:
+    """Zero gradient components pointing outside the clip box at its boundary
+    (``cleverhans/torch/utils.py:131-149``): an ascent step can't make
+    progress there, so those components shouldn't influence norm budgets."""
+    signed = jnp.sign(grad)
+    clip_low = (x <= clip_min) & (signed < 0)
+    clip_high = (x >= clip_max) & (signed > 0)
+    return jnp.where(clip_low | clip_high, jnp.zeros_like(grad), grad)
+
+
+def get_or_guess_labels(model_fn, x, y=None, targeted: bool = False):
+    """Labels for an attack loss (``cleverhans/torch/utils.py:43-68``): use
+    the provided ``y`` (required when ``targeted``); otherwise guess the
+    untargeted labels as the model's own argmax predictions."""
+    if targeted:
+        if y is None:
+            raise ValueError("targeted attacks require explicit labels")
+        return y
+    if y is not None:
+        return y
+    return jnp.argmax(model_fn(x), axis=1)
