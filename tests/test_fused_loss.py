@@ -80,3 +80,46 @@ def test_fused_vl_loss_matches_stacked():
                                rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(np.asarray(ge_s), np.asarray(ge_f),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_vlmo_fused_feature_loss_matches_stacked():
+    import dataclasses as dc
+
+    from vqattack_tpu.attacks import vlmo as vlmo_losses
+    from vqattack_tpu.models.vlmo import VLMo
+
+    cfg = tiny_test_config()
+    model = VLMo(cfg.vlmo)
+    fused = VLMo(cfg.vlmo, fused_feats=True)
+    rng = np.random.default_rng(0)
+    px = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)), jnp.float32)
+    ids = jnp.asarray(
+        rng.integers(5, cfg.vlmo.vocab_size, (2, cfg.vlmo.max_text_len)),
+        jnp.int32,
+    )
+    mask = jnp.ones_like(ids)
+    params = model.init(jax.random.key(0), ids, mask, px, method=VLMo.init_all)
+    _, layer_cls, tokens, token_mask = model.apply(
+        params, px, ids, mask, method=VLMo.attack_feats)
+    aux = {
+        "variables": params, "text_ids": ids, "text_mask": mask,
+        "tgt_layer_cls": layer_cls, "tgt_tokens": tokens,
+        "tgt_token_mask": token_mask.astype(jnp.float32),
+    }
+    key = jax.random.key(5)
+    loss_s = vlmo_losses.make_feature_loss(model)
+    loss_f = vlmo_losses.make_feature_loss(fused)
+    (tot_s, ps_s), g_s = jax.value_and_grad(loss_s, has_aux=True)(px, key, aux)
+    (tot_f, ps_f), g_f = jax.value_and_grad(loss_f, has_aux=True)(px, key, aux)
+    np.testing.assert_allclose(np.asarray(tot_s), np.asarray(tot_f), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ps_s), np.asarray(ps_f), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_f),
+                               rtol=1e-5, atol=1e-7)
+    # tuple-valued clean targets (fused model used for targets) also work
+    _, lc2, tok2, tm2 = fused.apply(params, px, ids, mask,
+                                    method=VLMo.attack_feats)
+    aux2 = dict(aux, tgt_layer_cls=lc2, tgt_tokens=tok2)
+    (tot_t, _), g_t = jax.value_and_grad(loss_f, has_aux=True)(px, key, aux2)
+    np.testing.assert_allclose(np.asarray(tot_t), np.asarray(tot_s), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_s),
+                               rtol=1e-5, atol=1e-7)

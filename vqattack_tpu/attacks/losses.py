@@ -50,9 +50,14 @@ def _neg_cos_sum(adv, tgt, token_mask=None) -> jnp.ndarray:
     layer's cosine in place without materializing the adversarial stack.
     """
     if isinstance(adv, (tuple, list)):
+        tgt_of = (
+            (lambda l: tgt[l])
+            if isinstance(tgt, (tuple, list))
+            else (lambda l: tgt[:, l])
+        )
         ps = 0.0
         for l, f in enumerate(adv):
-            c = cosine_sim(f, tgt[:, l])  # [B, S]
+            c = cosine_sim(f, tgt_of(l))  # [B, S]
             if token_mask is not None:
                 c = c * token_mask
             ps = ps - jnp.sum(c, axis=1)

@@ -36,10 +36,24 @@ from vqattack_tpu.models.vlmo import VLMo
 def vlmo_per_sample_feature_loss(
     layer_cls, tokens, tgt_layer_cls, tgt_tokens, token_mask
 ) -> jnp.ndarray:
+    """``tokens`` is the stacked [B, L+1, S, D] array or a tuple of per-layer
+    [B, S, D] tensors (``VLMo(fused_feats=True)``) — the tuple form reduces
+    each layer's cosine in place without materializing the stack."""
     cos_cls = cosine_sim(layer_cls, tgt_layer_cls)            # [B, L+1]
+    ps = -jnp.sum(cos_cls, axis=1)
+    if isinstance(tokens, (tuple, list)):
+        tgt_of = (
+            (lambda l: tgt_tokens[l])
+            if isinstance(tgt_tokens, (tuple, list))
+            else (lambda l: tgt_tokens[:, l])
+        )
+        for l, f in enumerate(tokens):
+            c = cosine_sim(f, tgt_of(l)) * token_mask         # [B, S]
+            ps = ps - jnp.sum(c, axis=1)
+        return ps
     cos_tok = cosine_sim(tokens, tgt_tokens)                  # [B, L+1, S]
     cos_tok = cos_tok * token_mask[:, None, :]
-    return -jnp.sum(cos_cls, axis=1) - jnp.sum(cos_tok, axis=(1, 2))
+    return ps - jnp.sum(cos_tok, axis=(1, 2))
 
 
 @functools.lru_cache(maxsize=None)

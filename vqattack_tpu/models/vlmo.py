@@ -104,6 +104,14 @@ def build_relative_position_index(
     }
 
 
+def _layer_cls_of(feats) -> jnp.ndarray:
+    """Per-layer cls states [B, L+1, D] from either a stacked [B, L+1, S, D]
+    feature array or a tuple of per-layer [B, S, D] tensors (fused path)."""
+    if isinstance(feats, (tuple, list)):
+        return jnp.stack([f[:, 0] for f in feats], axis=1)
+    return feats[:, :, 0, :]
+
+
 # ---------------------------------------------------------------------------
 # blocks
 # ---------------------------------------------------------------------------
@@ -222,6 +230,11 @@ class VLMo(nn.Module):
     with_vqa_head: bool = True
     with_nlvr2_head: bool = False
     dtype: Dtype = jnp.float32
+    # fused_feats: attack closures return per-layer token features as a
+    # tuple instead of a stacked [B, L+1, S, D] array, so the attack loss
+    # reduces each layer in place without materializing the stack (same
+    # trick as models/vit.py stack_feats; equivalence in tests/test_fused_loss.py)
+    fused_feats: bool = False
 
     def setup(self):
         cfg = self.cfg
@@ -340,12 +353,15 @@ class VLMo(nn.Module):
 
     def _joint_trunk(
         self, text_ids, text_masks, pixels, image_token_type_idx: int = 1,
-        rel_biases: Optional[jnp.ndarray] = None,
+        rel_biases: Optional[jnp.ndarray] = None, stack: bool = True,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Shared VL forward: returns (normed_x, feats [B, L+1, S, D],
         co_masks [B, S]) with S = max_text_len + image_seq_len.
         ``image_token_type_idx``: modality-type row (2 = the second NLVR2
-        image stream, ``vlmo_module.py:884-916`` imgkey handling)."""
+        image stream, ``vlmo_module.py:884-916`` imgkey handling).
+        ``stack=False`` returns the per-layer feats as a tuple (fused-loss
+        path — the attack reduces each layer without materializing the
+        stack)."""
         cfg = self.cfg
         text_embeds = self.text_embeddings(text_ids)
         image_embeds = self.visual_embed(pixels)
@@ -370,7 +386,7 @@ class VLMo(nn.Module):
             x = blk(x, "vl", bias)
             feats.append(x)
         xn = self.norm(x)
-        return xn, jnp.stack(feats, axis=1), co_masks
+        return xn, (jnp.stack(feats, axis=1) if stack else tuple(feats)), co_masks
 
     # ----------------------------------------------------------- public API
 
@@ -433,10 +449,11 @@ class VLMo(nn.Module):
         token_mask [B,S])`` where token_mask selects valid text tokens and all
         image tokens (the reference gathers them; we mask — static shapes)."""
         xn, feats, co_masks = self._joint_trunk(
-            text_ids, text_masks, pixels, rel_biases=rel_biases
+            text_ids, text_masks, pixels, rel_biases=rel_biases,
+            stack=not self.fused_feats,
         )
         cls_feats = self.pooler(xn)
-        layer_cls = feats[:, :, 0, :]
+        layer_cls = _layer_cls_of(feats)
         img_ones = jnp.ones_like(co_masks[:, self.cfg.max_text_len :])
         token_mask = jnp.concatenate([text_masks, img_ones], axis=1)
         return cls_feats, layer_cls, feats, token_mask
@@ -447,11 +464,12 @@ class VLMo(nn.Module):
         """``pgd_mlm_attack`` (``vlmo_module.py:1448-1529``): MLM logits over
         the text half + the same feature stacks."""
         xn, feats, co_masks = self._joint_trunk(
-            mlm_ids, mlm_masks, pixels, rel_biases=rel_biases
+            mlm_ids, mlm_masks, pixels, rel_biases=rel_biases,
+            stack=not self.fused_feats,
         )
         text_feats = xn[:, : self.cfg.max_text_len]
         mlm_logits = self.mlm_score(text_feats)
-        layer_cls = feats[:, :, 0, :]
+        layer_cls = _layer_cls_of(feats)
         img_ones = jnp.ones_like(co_masks[:, self.cfg.max_text_len :])
         token_mask = jnp.concatenate([mlm_masks, img_ones], axis=1)
         return mlm_logits, layer_cls, feats, token_mask
@@ -479,9 +497,9 @@ class VLMo(nn.Module):
             x = blk(x, "vl", bias)
             feats.append(x)
         xn = self.norm(x)
-        feats = jnp.stack(feats, axis=1)
+        feats = tuple(feats) if self.fused_feats else jnp.stack(feats, axis=1)
         cls_feats = self.pooler(xn)
-        layer_cls = feats[:, :, 0, :]
+        layer_cls = _layer_cls_of(feats)
         img_ones = jnp.ones_like(co_masks[:, cfg.max_text_len :])
         token_mask = jnp.concatenate([text_masks, img_ones], axis=1)
         return cls_feats, layer_cls, feats, token_mask
