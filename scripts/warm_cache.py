@@ -1,0 +1,246 @@
+"""Pre-compile the sweep's attack programs into the persistent jax cache.
+
+A production 5k sweep executes one compiled program per distinct
+(kernel, batch shape, block length, rand-init, label rank) combination:
+the block schedule (``compute_iter_schedule``) splits the 40-iteration
+budget into ``k+1`` blocks whose lengths depend on ``k`` = number of
+substitutable words, so the first samples of a cold run pay a compile per
+new shape.  Through a remote-compile relay each compile can take minutes;
+this script walks the whole shape lattice up front, lowering with
+``jax.ShapeDtypeStruct`` (no parameter materialization) and compiling into
+``jax_compilation_cache_dir`` so the sweep itself never stalls.
+
+Usage::
+
+    python scripts/warm_cache.py [--model albef|vlmo] [--batch-sizes 1,8]
+        [--max-k 8] [--iters 40] [--image-size 480] [--cache-dir .jax_cache]
+
+Prints one line per compiled program; re-runs are no-ops (cache hits).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _distinct_blocks(max_k: int, total_iters: int):
+    """{(block_len, is_first_block)} over k = 0..max_k."""
+    from vqattack_tpu.attacks.text_attack import compute_iter_schedule
+
+    out = set()
+    out.add((total_iters, True))  # k == 0: one full-budget block
+    for k in range(1, max_k + 1):
+        sched = compute_iter_schedule(k, total_iters)
+        for i, n in enumerate(sched):
+            out.add((n, i == 0))
+    return sorted(out)
+
+
+def warm_albef(batch_sizes, max_k, total_iters, image_size, use_pallas, cfg=None):
+    import jax
+    import jax.numpy as jnp
+
+    from vqattack_tpu.attacks import albef as albef_losses
+    from vqattack_tpu.attacks.pgd import pgd_alternating, pgd_feature, pgd_vl_step
+    from vqattack_tpu.config import albef_attack_config
+    from vqattack_tpu.models.albef import AlbefPretrain
+
+    cfg = cfg or albef_attack_config()
+    model = AlbefPretrain(cfg.albef)
+    atk = cfg.attack
+    s = atk.max_text_len
+    d = cfg.albef.bert.hidden_size
+    n_img = (image_size // cfg.albef.vit.patch_size) ** 2 + 1
+    txt_layers = cfg.albef.bert.num_layers + 1
+    img_layers = cfg.albef.vit.depth + 1
+    f32, i32 = jnp.float32, jnp.int32
+    sds = jax.ShapeDtypeStruct
+    key = jax.random.key(0)
+
+    feat = albef_losses.make_feature_loss(model)
+    mlm = albef_losses.make_mlm_loss(model)
+    vl = albef_losses.make_vl_loss(model)
+
+    count = 0
+    for b in batch_sizes:
+        px = sds((b, image_size, image_size, 3), f32)
+        params = jax.eval_shape(
+            lambda k: model.init(k, jnp.zeros((b, image_size, image_size, 3)),
+                                 jnp.ones((b, s), i32), jnp.ones((b, s), i32),
+                                 method=AlbefPretrain.init_all),
+            key,
+        )
+        aux = {
+            "variables": params,
+            "text_ids": sds((b, s), i32),
+            "text_mask": sds((b, s), i32),
+            "tgt_txt": sds((b, txt_layers, s, d), f32),
+            "tgt_img": sds((b, img_layers, n_img, d), f32),
+            "txt_token_mask": sds((b, s), f32),
+            "special_ids": (103, 0, 101),
+        }
+        mlm_aux = dict(
+            aux,
+            mlm_ids=sds((b, s), i32),
+            mlm_mask=sds((b, s), i32),
+            mlm_labels=sds((b, s), i32),
+        )
+        mlm_aux3 = dict(mlm_aux, mlm_labels=sds((b, atk.max_answers, s), i32))
+        common = dict(eps=atk.eps, eps_iter=atk.step_size,
+                      clip_min=atk.clip_min, clip_max=atk.clip_max,
+                      use_pallas=use_pallas)
+
+        for n, first in _distinct_blocks(max_k, total_iters):
+            t0 = time.perf_counter()
+            pgd_feature.lower(
+                feat, px, px, key, aux, nb_iter=n,
+                rand_init=first and atk.rand_init, **common,
+            ).compile()
+            count += 1
+            print(f"albef feature b={b} nb={n} first={first}: "
+                  f"{time.perf_counter() - t0:.1f}s", flush=True)
+            for label_aux, rank in ((mlm_aux, 2), (mlm_aux3, 3)):
+                t0 = time.perf_counter()
+                pgd_alternating.lower(
+                    feat, mlm, px, px, key, label_aux, nb_iter=n // 2,
+                    rand_init=first and atk.rand_init, **common,
+                ).compile()
+                count += 1
+                print(f"albef alternating b={b} nb={n // 2} first={first} "
+                      f"labels={rank}D: {time.perf_counter() - t0:.1f}s",
+                      flush=True)
+
+        # one VL joint-step program per (batch, positions) width: the block
+        # loop pads positions to the bucket max — warm the common widths
+        for p in (1, 2, 4, 8):
+            t0 = time.perf_counter()
+            pgd_vl_step.lower(
+                vl, px, sds((b, s, d), f32), px, sds((b, p), i32), key, aux,
+                **common,
+            ).compile()
+            count += 1
+            print(f"albef vl b={b} p={p}: {time.perf_counter() - t0:.1f}s",
+                  flush=True)
+    return count
+
+
+def warm_vlmo(batch_sizes, max_k, total_iters, image_size, use_pallas, cfg=None):
+    import jax
+    import jax.numpy as jnp
+
+    from vqattack_tpu.attacks import vlmo as vlmo_losses
+    from vqattack_tpu.attacks.pgd import pgd_alternating, pgd_feature, pgd_vl_step
+    from vqattack_tpu.config import vlmo_attack_config
+    from vqattack_tpu.models.vlmo import VLMo
+
+    cfg = cfg or vlmo_attack_config()
+    model = VLMo(cfg.vlmo)
+    atk = cfg.attack
+    t = cfg.vlmo.max_text_len
+    d = cfg.vlmo.hidden_size
+    n_img = (image_size // cfg.vlmo.patch_size) ** 2 + 1
+    seq = t + n_img
+    layers = cfg.vlmo.depth + 1
+    f32, i32 = jnp.float32, jnp.int32
+    sds = jax.ShapeDtypeStruct
+    key = jax.random.key(0)
+
+    feat = vlmo_losses.make_feature_loss(model)
+    mlm = vlmo_losses.make_mlm_loss(model)
+    vl = vlmo_losses.make_vl_loss(model)
+
+    count = 0
+    for b in batch_sizes:
+        px = sds((b, image_size, image_size, 3), f32)
+        params = jax.eval_shape(
+            lambda k: model.init(k, jnp.ones((b, t), i32), jnp.ones((b, t), i32),
+                                 jnp.zeros((b, image_size, image_size, 3)),
+                                 method=VLMo.init_all),
+            key,
+        )
+        rel = sds((cfg.vlmo.depth, cfg.vlmo.num_heads, seq, seq), f32)
+        aux = {
+            "variables": params,
+            "text_ids": sds((b, t), i32),
+            "text_mask": sds((b, t), i32),
+            "rel_biases": rel,
+            "tgt_layer_cls": sds((b, layers, d), f32),
+            "tgt_tokens": sds((b, layers, seq, d), f32),
+            "tgt_token_mask": sds((b, seq), f32),
+        }
+        mlm_aux = dict(
+            aux,
+            mlm_ids=sds((b, t), i32),
+            mlm_mask=sds((b, t), i32),
+            mlm_labels=sds((b, t), i32),
+        )
+        mlm_aux3 = dict(mlm_aux, mlm_labels=sds((b, atk.max_answers, t), i32))
+        common = dict(eps=atk.eps, eps_iter=atk.step_size,
+                      clip_min=atk.clip_min, clip_max=atk.clip_max,
+                      use_pallas=use_pallas)
+
+        for n, first in _distinct_blocks(max_k, total_iters):
+            t0 = time.perf_counter()
+            pgd_feature.lower(
+                feat, px, px, key, aux, nb_iter=n,
+                rand_init=first and atk.rand_init, **common,
+            ).compile()
+            count += 1
+            print(f"vlmo feature b={b} nb={n} first={first}: "
+                  f"{time.perf_counter() - t0:.1f}s", flush=True)
+            for label_aux, rank in ((mlm_aux, 2), (mlm_aux3, 3)):
+                t0 = time.perf_counter()
+                pgd_alternating.lower(
+                    feat, mlm, px, px, key, label_aux, nb_iter=n // 2,
+                    rand_init=first and atk.rand_init, **common,
+                ).compile()
+                count += 1
+                print(f"vlmo alternating b={b} nb={n // 2} first={first} "
+                      f"labels={rank}D: {time.perf_counter() - t0:.1f}s",
+                      flush=True)
+        for p in (1, 2, 4, 8):
+            t0 = time.perf_counter()
+            pgd_vl_step.lower(
+                vl, px, sds((b, t, d), f32), px, sds((b, p), i32), key, aux,
+                **common,
+            ).compile()
+            count += 1
+            print(f"vlmo vl b={b} p={p}: {time.perf_counter() - t0:.1f}s",
+                  flush=True)
+    return count
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--model", choices=("albef", "vlmo"), default="albef")
+    ap.add_argument("--batch-sizes", default="1,8")
+    ap.add_argument("--max-k", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=40)
+    ap.add_argument("--image-size", type=int, default=480)
+    ap.add_argument("--cache-dir", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+    ap.add_argument("--no-pallas", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", args.cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+    use_pallas = (not args.no_pallas) and jax.default_backend() not in ("cpu",)
+    batch_sizes = tuple(int(x) for x in args.batch_sizes.split(","))
+    fn = warm_vlmo if args.model == "vlmo" else warm_albef
+    n = fn(batch_sizes, args.max_k, args.iters, args.image_size, use_pallas)
+    print(f"warmed {n} programs into {args.cache_dir}")
+
+
+if __name__ == "__main__":
+    main()
