@@ -29,6 +29,14 @@ def get_impl() -> str:
     return _IMPL
 
 
+def set_impl(kind: str) -> None:
+    """Process-wide backend choice (the CLI ``--attn`` flag); prefer the
+    :func:`attention_impl` context in library code."""
+    global _IMPL
+    assert kind in ("xla", "flash"), kind
+    _IMPL = kind
+
+
 @contextlib.contextmanager
 def attention_impl(kind: str):
     """kind: "xla" | "flash"."""
@@ -51,19 +59,15 @@ def _pad_to(x: jnp.ndarray, axis: int, size: int) -> jnp.ndarray:
     return jnp.pad(x, widths)
 
 
-def flash_attention(
-    q: jnp.ndarray,  # [B, S, H, Dh]
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    bias: Optional[jnp.ndarray],  # [B or 1, H, Sq, Sk] additive
-    scale: float,
-) -> jnp.ndarray:
-    """Pallas flash attention with sequence padding; returns [B, S, H, Dh]."""
-    from jax.experimental.pallas.ops.tpu.flash_attention import (
-        BlockSizes,
-        flash_attention as _fa,
-    )
+def _prepare(q, k, v, bias, scale):
+    """Padding / masking prep for the kernel call (pure, CPU-testable).
 
+    Returns ``(qt, kt, vt, ab, segment_ids, sq)`` with q/k/v transposed to
+    the kernel's [B, H, S, Dh] layout and sequence lengths padded to the
+    128-lane block size.  ``segment_ids`` is a ``(q_ids, kv_ids)`` int32
+    pair or None; ``ab`` is the padded post-pad additive bias or None —
+    never both.
+    """
     b, sq, h, d = q.shape
     sk = k.shape[1]
     blk = 128
@@ -74,19 +78,56 @@ def flash_attention(
     kt = _pad_to(jnp.transpose(k, (0, 2, 1, 3)), 2, sk_p)
     vt = _pad_to(jnp.transpose(v, (0, 2, 1, 3)), 2, sk_p)
 
+    segment_ids = None
+    ab = None
     if bias is None:
-        bias = jnp.zeros((1, 1, sq, sk), q.dtype)
-    # the kernel computes softmax((q@k + ab) * sm_scale): pre-divide so our
-    # additive bias lands post-scale like the einsum path
-    ab = jnp.broadcast_to(bias, (b, bias.shape[1], sq, sk)).astype(jnp.float32) / scale
-    ab = _pad_to(_pad_to(ab, 2, sq_p), 3, sk_p)
-    if sk_p > sk:
-        # padded keys must not receive weight
-        key_pad = (jnp.arange(sk_p) >= sk).astype(jnp.float32) * -1e9
-        ab = ab + key_pad[None, None, None, :]
-    if ab.shape[1] == 1:
-        ab = jnp.broadcast_to(ab, (b, h, sq_p, sk_p))
+        # No additive bias (the ViT joint-image case — the hot attention of
+        # the headline attack): handle the 901->1024 sequence padding with
+        # segment ids instead of a materialized [B, H, S, S] bias, which
+        # would reintroduce exactly the HBM score-tensor traffic flash
+        # attention exists to avoid.  Real tokens are segment 0; padded
+        # rows/keys are segment 1, so padded q rows still attend to the
+        # padded keys (finite garbage, sliced off below) while real rows
+        # never see them.
+        if sq_p > sq or sk_p > sk:
+            q_seg = (jnp.arange(sq_p) >= sq).astype(jnp.int32)
+            kv_seg = (jnp.arange(sk_p) >= sk).astype(jnp.int32)
+            segment_ids = (
+                jnp.broadcast_to(q_seg, (b, sq_p)),
+                jnp.broadcast_to(kv_seg, (b, sk_p)),
+            )
+    else:
+        # the kernel computes softmax((q@k + ab) * sm_scale): pre-divide so
+        # our additive bias lands post-scale like the einsum path
+        ab = jnp.broadcast_to(bias, (b, bias.shape[1], sq, sk)).astype(jnp.float32) / scale
+        ab = _pad_to(_pad_to(ab, 2, sq_p), 3, sk_p)
+        if sk_p > sk:
+            # padded keys must not receive weight
+            key_pad = (jnp.arange(sk_p) >= sk).astype(jnp.float32) * -1e9
+            ab = ab + key_pad[None, None, None, :]
+        if ab.shape[1] == 1:
+            ab = jnp.broadcast_to(ab, (b, h, sq_p, sk_p))
 
+    return qt, kt, vt, ab, segment_ids, sq
+
+
+def flash_attention(
+    q: jnp.ndarray,  # [B, S, H, Dh]
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray],  # [B or 1, H, Sq, Sk] additive
+    scale: float,
+) -> jnp.ndarray:
+    """Pallas flash attention with sequence padding; returns [B, S, H, Dh]."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention as _fa,
+    )
+
+    qt, kt, vt, ab, seg, sq = _prepare(q, k, v, bias, scale)
+    blk = 128
+    sq_p, sk_p = qt.shape[2], kt.shape[2]
     sizes = BlockSizes(
         block_q=min(blk, sq_p), block_k_major=min(blk, sk_p), block_k=min(blk, sk_p),
         block_b=1,
@@ -95,6 +136,8 @@ def flash_attention(
         block_k_major_dq=min(blk, sk_p), block_k_dq=min(blk, sk_p),
         block_q_dq=min(blk, sq_p),
     )
-    out = _fa(qt, kt, vt, ab=ab, sm_scale=scale, block_sizes=sizes)
+    segment_ids = SegmentIds(q=seg[0], kv=seg[1]) if seg is not None else None
+    out = _fa(qt, kt, vt, ab=ab, segment_ids=segment_ids, sm_scale=scale,
+              block_sizes=sizes)
     out = out[:, :, :sq, :]
     return jnp.transpose(out, (0, 2, 1, 3))

@@ -56,6 +56,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument(
+        "--attn", choices=["xla", "flash"], default="xla",
+        help="attention backend for every model forward/backward: XLA einsum "
+             "or the Pallas flash kernel (ops/attention.py; PERF.md A/Bs)",
+    )
+    p.add_argument(
         "--batch-size", type=int, default=1,
         help=">1 runs same-schedule samples in lockstep batches "
              "(attacks/batched.py) instead of the reference's one-at-a-time loop",
@@ -126,6 +131,10 @@ def main(argv: Optional[list] = None) -> None:
         )
 
     use_pallas = not args.no_pallas and jax.default_backend() != "cpu"
+    if args.attn != "xla":
+        from vqattack_tpu.ops.attention import set_impl
+
+        set_impl(args.attn)
     pipeline = _build_pipeline(args, cfg, tokenizer, use_pallas)
 
     # dataset
