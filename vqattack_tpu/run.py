@@ -386,22 +386,25 @@ def _make_gate_from_args(args, model, params, tokenizer, cfg, vlmo=False):
 
     if args.use_path:
         return make_gate("use", use_path=args.use_path)
+    # NB: params must travel as a jit ARGUMENT, not a closure capture — a
+    # captured param tree gets baked into the executable as constants
+    # (~700 MB serialized for the full surrogate), bloating the compile
+    # cache and stalling every warm process start on executable upload.
     if vlmo:
         from vqattack_tpu.models.vlmo import VLMo
 
-        embed_fn = jax.jit(
-            lambda ids, mask: model.apply(
-                params, ids, mask, method=VLMo.infer_text
+        _embed = jax.jit(
+            lambda v, ids, mask: model.apply(
+                v, ids, mask, method=VLMo.infer_text
             )["text_feats"]
         )
         max_len = cfg.vlmo.max_text_len
     else:
-        embed_fn = jax.jit(
-            lambda ids, mask: model.apply(
-                params, ids, mask, method=_albef_text_tower
-            )
+        _embed = jax.jit(
+            lambda v, ids, mask: model.apply(v, ids, mask, method=_albef_text_tower)
         )
         max_len = cfg.attack.max_text_len
+    embed_fn = lambda ids, mask: _embed(params, ids, mask)
     return make_gate("bert", embed_fn=embed_fn, tokenizer=tokenizer, max_length=max_len)
 
 
