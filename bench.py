@@ -83,8 +83,24 @@ _MODEL_FLOPS_PER_SAMPLE_ITER = {
 }
 
 
+def _backend_reports_flops() -> bool:
+    """Probe cost_analysis support with a trivial (cheap) program BEFORE
+    compiling the expensive no-remat flops program: the tunneled-TPU relay
+    compiles fine but reports no flops, and its compiles take minutes."""
+    try:
+        compiled = jax.jit(lambda x: x @ x).lower(jnp.ones((8, 8))).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) > 0.0
+    except Exception:
+        return False
+
+
 def _flops_of(fn, *args) -> float:
     """XLA's compiled flop count for fn(*args); 0.0 if unavailable."""
+    if not _backend_reports_flops():
+        return 0.0
     try:
         compiled = jax.jit(fn).lower(*args).compile()
         ca = compiled.cost_analysis()
@@ -103,16 +119,23 @@ def _make_albef(batch, iters, dtype, fused, remat):
     from vqattack_tpu.config import albef_attack_config
     from vqattack_tpu.models.albef import AlbefPretrain
 
-    cfg = albef_attack_config()
-    if remat:
-        albef = cfg.albef
+    def _with_remat(c, on):
         albef = dataclasses.replace(
-            albef,
-            vit=dataclasses.replace(albef.vit, remat=True),
-            bert=dataclasses.replace(albef.bert, remat=True),
+            c.albef,
+            vit=dataclasses.replace(c.albef.vit, remat=on),
+            bert=dataclasses.replace(c.albef.bert, remat=on),
         )
-        cfg = dataclasses.replace(cfg, albef=albef)
+        return dataclasses.replace(c, albef=albef)
+
+    # albef_attack_config() defaults remat ON — set it explicitly BOTH ways
+    # so BENCH_REMAT=0 really disables it
+    cfg = _with_remat(albef_attack_config(), remat)
     model = AlbefPretrain(cfg.albef, dtype=dtype, fused_feats=fused)
+    # FLOP counting uses the no-remat program: MFU's numerator is
+    # algorithmic FLOPs, so remat recompute must not inflate it
+    flops_model = AlbefPretrain(
+        _with_remat(cfg, False).albef, dtype=dtype, fused_feats=fused
+    )
     tgt_model = AlbefPretrain(cfg.albef, dtype=dtype)  # targets stay stacked
     s = cfg.attack.max_text_len
     rng = np.random.default_rng(0)
@@ -137,6 +160,7 @@ def _make_albef(batch, iters, dtype, fused, remat):
     }
     atk = cfg.attack
     loss = albef_losses.make_feature_loss(model)
+    flops_loss = albef_losses.make_feature_loss(flops_model)
 
     def run(key):
         return pgd_feature(
@@ -149,7 +173,7 @@ def _make_albef(batch, iters, dtype, fused, remat):
     def flops():
         return _flops_of(
             lambda k: pgd_feature(
-                loss, px, px, k, aux,
+                flops_loss, px, px, k, aux,
                 eps=atk.eps, eps_iter=atk.step_size, nb_iter=iters,
                 clip_min=atk.clip_min, clip_max=atk.clip_max,
                 rand_init=True, use_pallas=jax.default_backend() not in ("cpu",),
@@ -161,14 +185,23 @@ def _make_albef(batch, iters, dtype, fused, remat):
 
 
 def _make_vlmo(batch, iters, dtype, fused, remat):
-    del remat  # VLMo remat is fixed by config
+    import dataclasses
+
     from vqattack_tpu.attacks import vlmo as vlmo_losses
     from vqattack_tpu.attacks.pgd import pgd_feature
     from vqattack_tpu.config import vlmo_attack_config
     from vqattack_tpu.models.vlmo import VLMo
 
+    # vlmo_attack_config() defaults remat ON — honor BENCH_REMAT both ways
     cfg = vlmo_attack_config()
+    cfg = dataclasses.replace(
+        cfg, vlmo=dataclasses.replace(cfg.vlmo, remat=remat)
+    )
     model = VLMo(cfg.vlmo, dtype=dtype, fused_feats=fused)
+    flops_model = VLMo(
+        dataclasses.replace(cfg.vlmo, remat=False), dtype=dtype,
+        fused_feats=fused,
+    )
     t = cfg.vlmo.max_text_len
     rng = np.random.default_rng(0)
     px = jnp.asarray(rng.uniform(-1, 1, (batch, 480, 480, 3)), jnp.float32)
@@ -192,6 +225,7 @@ def _make_vlmo(batch, iters, dtype, fused, remat):
     }
     atk = cfg.attack
     loss = vlmo_losses.make_feature_loss(model)
+    flops_loss = vlmo_losses.make_feature_loss(flops_model)
 
     def run(key):
         return pgd_feature(
@@ -204,7 +238,7 @@ def _make_vlmo(batch, iters, dtype, fused, remat):
     def flops():
         return _flops_of(
             lambda k: pgd_feature(
-                loss, px, px, k, aux,
+                flops_loss, px, px, k, aux,
                 eps=atk.eps, eps_iter=atk.step_size, nb_iter=iters,
                 clip_min=atk.clip_min, clip_max=atk.clip_max,
                 rand_init=True, use_pallas=jax.default_backend() not in ("cpu",),
@@ -295,8 +329,20 @@ def main() -> None:
                 print(json.dumps(row), file=sys.stderr, flush=True)
         with open(os.path.join(os.path.dirname(__file__), "BENCH_MATRIX.json"), "w") as f:
             json.dump({"device": jax.devices()[0].device_kind, "rows": rows}, f, indent=1)
+        # headline = b=1 f32 if it measured, else ANY measured row, else a
+        # valid error line (never KeyError after the whole matrix ran)
         head = next((r for r in rows if r.get("batch") == 1
-                     and r.get("dtype") == "float32" and "error" not in r), rows[0])
+                     and r.get("dtype") == "float32" and "error" not in r),
+                    next((r for r in rows if "error" not in r), None))
+        if head is None:
+            print(json.dumps({
+                "metric": f"{model_kind}_pgd_aggregate_sample_iters_per_sec_per_chip",
+                "value": 0.0,
+                "unit": "sample-iters/s (all matrix configs errored)",
+                "vs_baseline": 0.0,
+                "error": rows[0].get("error", "unknown"),
+            }))
+            return
     else:
         batch = int(os.environ.get("BENCH_BATCH", "1"))
         dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE") == "bfloat16" else jnp.float32

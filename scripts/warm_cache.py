@@ -28,6 +28,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _vl_widths(max_k: int):
+    """Power-of-two position widths: the block loop pads each bucket's
+    attack-position count up to the next power of two (attacks/batched.py),
+    so these widths cover every program the sweep can compile.  Sub-token
+    expansion can push the position count past ``max_k`` words — cover up
+    to the next power of two above ``2 * max_k``."""
+    widths = [1]
+    while widths[-1] < 2 * max_k:
+        widths.append(widths[-1] * 2)
+    return tuple(widths)
+
+
 def _distinct_blocks(max_k: int, total_iters: int):
     """{(block_len, is_first_block)} over k = 0..max_k."""
     from vqattack_tpu.attacks.text_attack import compute_iter_schedule
@@ -62,9 +74,12 @@ def warm_albef(batch_sizes, max_k, total_iters, image_size, use_pallas, cfg=None
     sds = jax.ShapeDtypeStruct
     key = jax.random.key(0)
 
+    from vqattack_tpu.attacks.batched import make_mixed_second_loss
+
     feat = albef_losses.make_feature_loss(model)
     mlm = albef_losses.make_mlm_loss(model)
     vl = albef_losses.make_vl_loss(model)
+    mixed = make_mixed_second_loss(model)
 
     count = 0
     for b in batch_sizes:
@@ -105,19 +120,26 @@ def warm_albef(batch_sizes, max_k, total_iters, image_size, use_pallas, cfg=None
             print(f"albef feature b={b} nb={n} first={first}: "
                   f"{time.perf_counter() - t0:.1f}s", flush=True)
             for label_aux, rank in ((mlm_aux, 2), (mlm_aux3, 3)):
-                t0 = time.perf_counter()
-                pgd_alternating.lower(
-                    feat, mlm, px, px, key, label_aux, nb_iter=n // 2,
-                    rand_init=first and atk.rand_init, **common,
-                ).compile()
-                count += 1
-                print(f"albef alternating b={b} nb={n // 2} first={first} "
-                      f"labels={rank}D: {time.perf_counter() - t0:.1f}s",
-                      flush=True)
+                # plain MAR second step + the per-sample mixed-weight variant
+                # (attacks/batched.py switches to it when a bucket's MAR
+                # alignment drifts mid-attack)
+                mix_aux = dict(label_aux, mlm_weight=sds((b,), f32))
+                for second, second_aux, tag in (
+                    (mlm, label_aux, ""), (mixed, mix_aux, " mixed"),
+                ):
+                    t0 = time.perf_counter()
+                    pgd_alternating.lower(
+                        feat, second, px, px, key, second_aux, nb_iter=n // 2,
+                        rand_init=first and atk.rand_init, **common,
+                    ).compile()
+                    count += 1
+                    print(f"albef alternating{tag} b={b} nb={n // 2} "
+                          f"first={first} labels={rank}D: "
+                          f"{time.perf_counter() - t0:.1f}s", flush=True)
 
         # one VL joint-step program per (batch, positions) width: the block
-        # loop pads positions to the bucket max — warm the common widths
-        for p in (1, 2, 4, 8):
+        # loop pads positions to the next power of two — warm them all
+        for p in _vl_widths(max_k):
             t0 = time.perf_counter()
             pgd_vl_step.lower(
                 vl, px, sds((b, s, d), f32), px, sds((b, p), i32), key, aux,
@@ -150,9 +172,12 @@ def warm_vlmo(batch_sizes, max_k, total_iters, image_size, use_pallas, cfg=None)
     sds = jax.ShapeDtypeStruct
     key = jax.random.key(0)
 
+    from vqattack_tpu.attacks.batched import make_vlmo_mixed_second_loss
+
     feat = vlmo_losses.make_feature_loss(model)
     mlm = vlmo_losses.make_mlm_loss(model)
     vl = vlmo_losses.make_vl_loss(model)
+    mixed = make_vlmo_mixed_second_loss(model)
 
     count = 0
     for b in batch_sizes:
@@ -194,16 +219,20 @@ def warm_vlmo(batch_sizes, max_k, total_iters, image_size, use_pallas, cfg=None)
             print(f"vlmo feature b={b} nb={n} first={first}: "
                   f"{time.perf_counter() - t0:.1f}s", flush=True)
             for label_aux, rank in ((mlm_aux, 2), (mlm_aux3, 3)):
-                t0 = time.perf_counter()
-                pgd_alternating.lower(
-                    feat, mlm, px, px, key, label_aux, nb_iter=n // 2,
-                    rand_init=first and atk.rand_init, **common,
-                ).compile()
-                count += 1
-                print(f"vlmo alternating b={b} nb={n // 2} first={first} "
-                      f"labels={rank}D: {time.perf_counter() - t0:.1f}s",
-                      flush=True)
-        for p in (1, 2, 4, 8):
+                mix_aux = dict(label_aux, mlm_weight=sds((b,), f32))
+                for second, second_aux, tag in (
+                    (mlm, label_aux, ""), (mixed, mix_aux, " mixed"),
+                ):
+                    t0 = time.perf_counter()
+                    pgd_alternating.lower(
+                        feat, second, px, px, key, second_aux, nb_iter=n // 2,
+                        rand_init=first and atk.rand_init, **common,
+                    ).compile()
+                    count += 1
+                    print(f"vlmo alternating{tag} b={b} nb={n // 2} "
+                          f"first={first} labels={rank}D: "
+                          f"{time.perf_counter() - t0:.1f}s", flush=True)
+        for p in _vl_widths(max_k):
             t0 = time.perf_counter()
             pgd_vl_step.lower(
                 vl, px, sds((b, t, d), f32), px, sds((b, p), i32), key, aux,

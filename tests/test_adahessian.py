@@ -68,3 +68,35 @@ def test_factory_exposes_adahessian_and_conv_averaging():
     u = np.asarray(updates["conv"]["kernel"])
     np.testing.assert_allclose(u, np.broadcast_to(u[:1, :1], u.shape), rtol=1e-6)
     assert np.isfinite(np.asarray(updates["dense"]["bias"])).all()
+
+
+def test_train_step_drives_adahessian_end_to_end():
+    """Regression: the trainer must be able to drive the second-order
+    optimizer — make_train_step(needs_hessian=True) computes the Hutchinson
+    diagonal itself and passes it to update() (previously TypeError:
+    missing hess_diag)."""
+    from vqattack_tpu.train.trainer import create_train_state, make_train_step
+
+    a = jnp.asarray([1.0, 10.0, 100.0])
+    params = {"w": jnp.asarray([3.0, -2.0, 1.5])}
+
+    def loss_fn(p, batch, rng):
+        del batch, rng
+        loss = 0.5 * jnp.sum(a * p["w"] * p["w"])
+        return loss, {"loss": loss}
+
+    tx = create_optimizer(params, opt="adahessian", schedule=0.05)
+    state = create_train_state(params, tx)
+    step = make_train_step(loss_fn, tx, donate=False, needs_hessian=True)
+    for i in range(200):
+        state, metrics = step(state, {}, jax.random.key(i))
+    assert float(metrics["loss"]) < 1e-2
+    assert np.isfinite(float(metrics["grad_norm"]))
+
+
+def test_grad_and_hessian_diag_grad_matches_jax_grad():
+    loss = lambda p: 0.5 * jnp.sum(jnp.asarray([2.0, 3.0]) * p * p)
+    p = jnp.asarray([1.5, -0.5])
+    g, _ = grad_and_hessian_diag(loss, p, jax.random.key(0))
+    np.testing.assert_allclose(np.asarray(g), np.asarray(jax.grad(loss)(p)),
+                               rtol=1e-6)

@@ -165,3 +165,44 @@ def test_sweep_runner_dispatches_vlmo():
         assert (np.abs(r["adv_image"] - samples[i]["pixels"])
                 <= cfg.attack.eps + 1e-5).all()
         assert np.isfinite(r["losses"]).all()
+
+
+def test_sweep_runner_feature_only_pipeline_no_mlm():
+    """Regression: a pipeline built WITHOUT a candidate MLM (feature-only
+    image attack) must sweep — _prepare previously crashed dereferencing
+    the missing candidate-MLM entry point."""
+    tok = WordPieceTokenizer.toy(WORDS)
+    base = tiny_test_config()
+    bert = dataclasses.replace(base.albef.bert, vocab_size=tok.vocab_size)
+    albef_cfg = dataclasses.replace(base.albef, bert=bert)
+    cfg = dataclasses.replace(base, albef=albef_cfg)
+
+    surrogate = AlbefPretrain(albef_cfg)
+    px = jnp.zeros((1, 32, 32, 3))
+    ids = jnp.ones((1, cfg.attack.max_text_len), jnp.int32)
+    mask = jnp.ones_like(ids)
+    sparams = jax.jit(
+        lambda k: surrogate.init(k, px, ids, mask, method=AlbefPretrain.init_all)
+    )(jax.random.key(0))
+    pipe = AlbefAttackPipeline(
+        cfg, surrogate, sparams, tok, NullGate(),
+        mlm_model=None, mlm_params=None, use_pallas=False,
+    )
+    mesh = make_mesh(8)
+    runner = make_sweep_runner(pipe, mesh, batch_size=4)
+    rng = np.random.default_rng(3)
+    samples = [
+        {"qid": str(i),
+         "pixels": rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32),
+         "question": "what color is the cat"}
+        for i in range(4)
+    ]
+    out = runner(samples)
+    assert len(out) == 4
+    for i in range(4):
+        r = out[str(i)]
+        assert (np.abs(r["adv_image"] - samples[i]["pixels"])
+                <= cfg.attack.eps + 1e-5).all()
+        assert np.isfinite(r["losses"]).all()
+        # no substitutions possible without a candidate MLM
+        assert r.get("substitutions") in (None, [], ())

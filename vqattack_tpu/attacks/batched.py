@@ -146,11 +146,17 @@ class BatchedAlbefAttack:
             )
         else:
             mar = MarLabels(1, None, None, None, [], [], [], 0)
-        cands = generate_candidates(
-            sample["question"], p.tokenizer, p.candidate_mlm_logits,
-            p.filter_words, total_iters=atk.num_iters,
-            top_k=atk.mlm_top_k, score_threshold=atk.mlm_score_threshold,
-        )
+        if getattr(p, "_cand_mlm_logits", None) is not None:
+            cands = generate_candidates(
+                sample["question"], p.tokenizer, p.candidate_mlm_logits,
+                p.filter_words, total_iters=atk.num_iters,
+                top_k=atk.mlm_top_k, score_threshold=atk.mlm_score_threshold,
+            )
+        else:
+            # no candidate MLM -> image-only attack: empty substitution
+            # state, single full-budget PGD block (iter_list falls back to
+            # [num_iters] in attack_bucket)
+            cands = WordCandidates([], [], [], [])
         ids, _ = self._encode_batch([sample["question"]])
         ori_emb = np.asarray(p._embed_text(p.surrogate_params, ids))[0]
         return _SampleState(
@@ -194,8 +200,12 @@ class BatchedAlbefAttack:
         mlm_losses = [[] for _ in range(b)]
         first_block = True
 
-        # padded attack positions [B, P] + validity
+        # padded attack positions [B, P]; P rounds up to a power of two so
+        # the program lattice stays small and scripts/warm_cache.py's
+        # pre-compiled widths (1,2,4,...) cover every bucket
         max_p = max((len(s.cands.attack_positions) for s in states), default=0)
+        if max_p > 0:
+            max_p = 1 << (max_p - 1).bit_length()
 
         for block_idx, block_iters in enumerate(iter_list):
             ids, mask = self._encode_batch([s.adv_text for s in states])

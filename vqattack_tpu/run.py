@@ -83,6 +83,13 @@ def build_argparser() -> argparse.ArgumentParser:
              "artifacts (host-0 merge is a directory union — SURVEY §5.8)",
     )
     p.add_argument(
+        "--bert-threshold", type=float, default=None,
+        help="operating point for the default BertMeanPoolGate (its own "
+             "score space; default text/similarity.py::BERT_SPACE_DEFAULT). "
+             "Calibrate with --calibrate-gate, then pass the suggested value "
+             "here (docs/GATES.md)",
+    )
+    p.add_argument(
         "--calibrate-gate", action="store_true",
         help="before the sweep, print the similarity gate's score profile "
              "over the dataset questions and a suggested threshold "
@@ -405,7 +412,11 @@ def _make_gate_from_args(args, model, params, tokenizer, cfg, vlmo=False):
         )
         max_len = cfg.attack.max_text_len
     embed_fn = lambda ids, mask: _embed(params, ids, mask)
-    return make_gate("bert", embed_fn=embed_fn, tokenizer=tokenizer, max_length=max_len)
+    kw = {}
+    if getattr(args, "bert_threshold", None) is not None:
+        kw["bert_threshold"] = args.bert_threshold
+    return make_gate("bert", embed_fn=embed_fn, tokenizer=tokenizer,
+                     max_length=max_len, **kw)
 
 
 def _albef_text_tower(module, ids, mask):

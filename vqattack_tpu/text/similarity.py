@@ -22,9 +22,10 @@ threshold into its own space via :meth:`SimilarityGate.operating_point`.
 Mean-pooled BERT cosines are strongly anisotropic — near-paraphrases and
 even unrelated sentences cluster far above USE's range — so
 :class:`BertMeanPoolGate` defaults to a tighter 0.985 point.  To calibrate
-on real checkpoints/data, run :mod:`vqattack_tpu.text.calibrate` and pass
-the suggested value via ``BertMeanPoolGate(..., threshold=...)`` or the
-``sim_threshold_bert`` config field.  See ``docs/GATES.md`` for the
+on real checkpoints/data, run :mod:`vqattack_tpu.text.calibrate` (or the
+sweep CLI's ``--calibrate-gate``) and pass the suggested value via
+``BertMeanPoolGate(..., threshold=...)``, ``make_gate(bert_threshold=...)``,
+or the CLI flag ``--bert-threshold``.  See ``docs/GATES.md`` for the
 threshold table and the known blind spots of each space.
 """
 

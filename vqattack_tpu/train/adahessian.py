@@ -44,6 +44,23 @@ def hutchinson_diag(
 
     One exact HVP per sample: ``H z = jvp(grad(loss), params, z)``.
     """
+    _, hd = grad_and_hessian_diag(loss_fn, params, key, *args,
+                                  n_samples=n_samples)
+    return hd
+
+
+def grad_and_hessian_diag(
+    loss_fn: Callable[..., jnp.ndarray],
+    params: Any,
+    key: jax.Array,
+    *args,
+    n_samples: int = 1,
+):
+    """``(grad, hutchinson diag)`` in one call.
+
+    The gradient is the *primal* output of the first HVP's
+    forward-over-reverse ``jvp`` — no separate backward pass.
+    """
     grad_fn = jax.grad(loss_fn)
     leaves, treedef = jax.tree_util.tree_flatten(params)
 
@@ -55,27 +72,14 @@ def hutchinson_diag(
                 for ki, l in zip(ks, leaves)
             ]
         )
-        _, hz = jax.jvp(lambda p: grad_fn(p, *args), (params,), (z,))
-        return jax.tree.map(lambda zi, hzi: zi * hzi, z, hz)
+        g, hz = jax.jvp(lambda p: grad_fn(p, *args), (params,), (z,))
+        return g, jax.tree.map(lambda zi, hzi: zi * hzi, z, hz)
 
-    acc = one(key)
+    g, acc = one(key)
     for i in range(1, n_samples):
-        nxt = one(jax.random.fold_in(key, i))
+        _, nxt = one(jax.random.fold_in(key, i))
         acc = jax.tree.map(jnp.add, acc, nxt)
-    return jax.tree.map(lambda x: x / n_samples, acc)
-
-
-def grad_and_hessian_diag(
-    loss_fn: Callable[..., jnp.ndarray],
-    params: Any,
-    key: jax.Array,
-    *args,
-    n_samples: int = 1,
-):
-    """Convenience: ``(grad, hutchinson diag)`` in one call."""
-    g = jax.grad(loss_fn)(params, *args)
-    hd = hutchinson_diag(loss_fn, params, key, *args, n_samples=n_samples)
-    return g, hd
+    return g, jax.tree.map(lambda x: x / n_samples, acc)
 
 
 def _spatial_average(hd: jnp.ndarray) -> jnp.ndarray:

@@ -359,7 +359,8 @@ def main(argv=None) -> None:
         if restored is not None:
             state = restored
             print(f"resumed at step {int(state.step)}")
-    step_fn = make_train_step(loss_fn, tx, donate=False)
+    step_fn = make_train_step(loss_fn, tx, donate=False,
+                              needs_hessian=(args.opt == "adahessian"))
 
     logger = MetricLogger()
     key = jax.random.key(args.seed + 1)
