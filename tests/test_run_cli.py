@@ -262,3 +262,58 @@ def test_predict_cli(tmp_path, capsys):
     parsed = json.loads(out)
     assert len(parsed["answers"]) == 2
     assert parsed["answers"][0][0] in ("red", "blue", "dog")
+
+
+def test_cli_mesh_sharded_batched_mode(tmp_path):
+    """--batch-size + --mesh-devices: the BASELINE config-#5 surface — the
+    lockstep bucket shards over the virtual 8-device data mesh from the CLI."""
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+
+    from vqattack_tpu.run import main
+
+    words = ["what", "color", "is", "the", "dog", "cat", "red", "blue"]
+    vocab_file = tmp_path / "vocab.txt"
+    vocab_size = _write_vocab(vocab_file, words)
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(1)
+    ann = []
+    for i in range(8):
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8)).save(
+            img_dir / f"{i}.jpg"
+        )
+        ann.append({"image": f"{i}.jpg", "question": "what color is the cat",
+                    "question_id": 300 + i})
+    (tmp_path / "ann.json").write_text(json.dumps(ann))
+    (tmp_path / "answers.json").write_text(json.dumps(["red", "blue"]))
+
+    base = cfg_mod.tiny_test_config()
+    bert = dataclasses.replace(base.albef.bert, vocab_size=vocab_size)
+    albef = dataclasses.replace(base.albef, bert=bert)
+    data = dataclasses.replace(base.data, image_size=32)
+    cfg = dataclasses.replace(base, albef=albef, data=data, eval_every=4, k_test=2)
+    cfg_path = tmp_path / "cfg.json"
+    cfg_mod.save_config(cfg, str(cfg_path))
+
+    out_dir = tmp_path / "out"
+    main([
+        "--pipeline", "albef",
+        "--config", str(cfg_path),
+        "--vocab", str(vocab_file),
+        "--ann", str(tmp_path / "ann.json"),
+        "--image-root", str(img_dir),
+        "--answer-list", str(tmp_path / "answers.json"),
+        "--output", str(out_dir),
+        "--batch-size", "8",
+        "--mesh-devices", "8",
+        "--no-pallas",
+    ])
+    for qid in range(300, 308):
+        assert (out_dir / f"{qid}.npy").exists()
