@@ -76,6 +76,38 @@ def main(outdir: str) -> None:
     j("para.json", {str(qid): [ans, para] for qid, _, ans, para in samples})
     j("allc.json", {str(qid): [ans] for qid, _, ans, _ in samples})
 
+    # ---- VLMo pipeline assets: pyarrow table + id2answer -----------------
+    try:
+        sys.path.insert(
+            0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        from vqattack_tpu.data.arrow_writer import write_vqa_arrow
+
+        img_dir = os.path.join(outdir, "val2014")
+        os.makedirs(img_dir, exist_ok=True)
+        for qid, *_ in samples:
+            dst = os.path.join(img_dir, f"COCO_val2014_{qid:012d}.jpg")
+            if not os.path.exists(dst):
+                make_image(dst)
+        j("vqa_q.json", {"questions": [
+            {"question": q, "question_id": qid, "image_id": qid}
+            for qid, q, _, _ in samples
+        ]})
+        j("vqa_a.json", {"annotations": [
+            {"question_id": qid, "answers": [{"answer": ans}] * 10}
+            for qid, _, ans, _ in samples
+        ]})
+        write_vqa_arrow(
+            os.path.join(outdir, "vqa_q.json"), os.path.join(outdir, "vqa_a.json"),
+            img_dir, os.path.join(outdir, "vqa.arrow"),
+        )
+        # label index -> answer string (objectives.py:818-820's id2answer)
+        j("id2answer.json", {str(i): a for i, a in
+                             enumerate(["red", "blue", "green", "frisbee",
+                                        "ball", "dog", "cat"])})
+    except ImportError as e:
+        print(f"skipped VLMo arrow assets ({e})")
+
     print(
         f"python -m vqattack_tpu.run --pipeline albef --vocab {outdir}/vocab.txt "
         f"--ann {outdir}/ann.json --image-root {outdir} "
@@ -83,6 +115,13 @@ def main(outdir: str) -> None:
         f"--surrogate-ans {outdir}/sur.json --target-ans {outdir}/tgt.json "
         f"--paraphrases {outdir}/para.json --all-correct {outdir}/allc.json "
         f"--output {outdir}/out --limit 1"
+    )
+    print(
+        f"python -m vqattack_tpu.run --pipeline vlmo --vocab {outdir}/vocab.txt "
+        f"--arrow {outdir}/vqa.arrow --id2answer {outdir}/id2answer.json "
+        f"--right-part {outdir}/right.txt --surrogate-ans {outdir}/sur.json "
+        f"--target-ans {outdir}/tgt.json --paraphrases {outdir}/para.json "
+        f"--all-correct {outdir}/allc.json --output {outdir}/out_vlmo --limit 1"
     )
 
 
