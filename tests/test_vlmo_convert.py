@@ -224,3 +224,33 @@ def test_rel_pos_bias_resize_shapes():
     out_b = interpolate_rel_pos_bias(big, 27, 59)
     assert out_b.shape == (59 ** 2 + 395, 8)
     assert np.isfinite(out_b).all()
+
+
+def test_rel_pos_bias_resize_cubic_exactness():
+    """An interpolating cubic spline reproduces cubic polynomials exactly,
+    so resizing a bias table whose per-head grid is a polynomial (deg<=3)
+    in the geometric source coordinates must equal the polynomial evaluated
+    at the integer destination coordinates (vlmo_module.py:764-801's
+    geometry, modulo the removed scipy.interp2d)."""
+    from vqattack_tpu.checkpoint.interpolate import (
+        _geometric_points,
+        interpolate_rel_pos_bias,
+    )
+
+    src_g, dst_g = 27, 59  # 224px -> 480px real case (2*14-1 -> 2*30-1)
+    x = _geometric_points(src_g, dst_g)
+    polys = [
+        lambda u, v: 0.3 + 0.0 * u,                    # constant
+        lambda u, v: 1.5 * u - 0.7 * v,                # linear
+        lambda u, v: 0.01 * u * u * v - 0.2 * v + 2.0, # mixed cubic-ish
+    ]
+    table = np.stack(
+        [np.asarray([[p(u, v) for v in x] for u in x]).reshape(-1) for p in polys],
+        axis=1,
+    )
+    out = interpolate_rel_pos_bias(table, src_g, dst_g)
+    t = dst_g // 2.0
+    dx = np.arange(-t, t + 0.1, 1.0)
+    for h, p in enumerate(polys):
+        want = np.asarray([[p(u, v) for v in dx] for u in dx]).reshape(-1)
+        np.testing.assert_allclose(out[:, h], want, rtol=1e-7, atol=1e-7)
