@@ -317,3 +317,58 @@ def test_cli_mesh_sharded_batched_mode(tmp_path):
     ])
     for qid in range(300, 308):
         assert (out_dir / f"{qid}.npy").exists()
+
+
+def test_cli_resume_skips_existing_artifacts(tmp_path):
+    """--resume: qids with an artifact already in --output are not
+    re-attacked (SURVEY §5.4's trivially-resumable sweep)."""
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from vqattack_tpu.run import main
+
+    words = ["what", "color", "is", "the", "dog", "cat", "red", "blue"]
+    vocab_file = tmp_path / "vocab.txt"
+    vocab_size = _write_vocab(vocab_file, words)
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(2)
+    ann = []
+    for i in range(3):
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8)).save(
+            img_dir / f"{i}.jpg"
+        )
+        ann.append({"image": f"{i}.jpg", "question": "what color is the dog",
+                    "question_id": 400 + i})
+    (tmp_path / "ann.json").write_text(json.dumps(ann))
+    (tmp_path / "answers.json").write_text(json.dumps(["red", "blue"]))
+
+    base = cfg_mod.tiny_test_config()
+    bert = dataclasses.replace(base.albef.bert, vocab_size=vocab_size)
+    albef = dataclasses.replace(base.albef, bert=bert)
+    data = dataclasses.replace(base.data, image_size=32)
+    cfg = dataclasses.replace(base, albef=albef, data=data, eval_every=8, k_test=2)
+    cfg_path = tmp_path / "cfg.json"
+    cfg_mod.save_config(cfg, str(cfg_path))
+
+    out_dir = tmp_path / "out"
+    common = [
+        "--pipeline", "albef",
+        "--config", str(cfg_path),
+        "--vocab", str(vocab_file),
+        "--ann", str(tmp_path / "ann.json"),
+        "--image-root", str(img_dir),
+        "--answer-list", str(tmp_path / "answers.json"),
+        "--output", str(out_dir),
+        "--no-pallas",
+    ]
+    main(common + ["--limit", "2"])
+    assert (out_dir / "400.npy").exists() and (out_dir / "401.npy").exists()
+    assert not (out_dir / "402.npy").exists()
+    mtimes = {q: (out_dir / f"{q}.npy").stat().st_mtime_ns for q in (400, 401)}
+
+    main(common + ["--resume"])
+    assert (out_dir / "402.npy").exists()
+    for q in (400, 401):  # untouched — not re-attacked
+        assert (out_dir / f"{q}.npy").stat().st_mtime_ns == mtimes[q]
