@@ -372,3 +372,73 @@ def test_cli_resume_skips_existing_artifacts(tmp_path):
     assert (out_dir / "402.npy").exists()
     for q in (400, 401):  # untouched — not re-attacked
         assert (out_dir / f"{q}.npy").stat().st_mtime_ns == mtimes[q]
+
+
+def test_resolve_config_defaults_and_no_remat():
+    """--pipeline vlmo without --config must use the VLMo attack preset
+    (vlmo remat on), and --no-remat must strip remat everywhere."""
+    from vqattack_tpu.run import build_argparser, resolve_config
+
+    ap = build_argparser()
+    a = ap.parse_args(["--pipeline", "vlmo"])
+    cfg = resolve_config(a)
+    assert cfg.vlmo.remat is True
+
+    a = ap.parse_args(["--pipeline", "albef"])
+    cfg = resolve_config(a)
+    assert cfg.albef.vit.remat is True and cfg.albef.bert.remat is True
+
+    a = ap.parse_args(["--pipeline", "albef", "--no-remat"])
+    cfg = resolve_config(a)
+    assert not cfg.albef.vit.remat and not cfg.albef.bert.remat
+    assert not cfg.vlmo.remat
+
+
+def test_cli_bfloat16_trunk(tmp_path):
+    """--dtype bfloat16 runs the sweep with the mixed-precision surrogate
+    (PERF.md's fastest measured configuration)."""
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from vqattack_tpu.run import main
+
+    words = ["what", "color", "is", "the", "dog", "cat", "red", "blue"]
+    vocab_file = tmp_path / "vocab.txt"
+    vocab_size = _write_vocab(vocab_file, words)
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(4)
+    Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8)).save(
+        img_dir / "0.jpg"
+    )
+    (tmp_path / "ann.json").write_text(json.dumps([
+        {"image": "0.jpg", "question": "what color is the dog",
+         "question_id": 600}
+    ]))
+    (tmp_path / "answers.json").write_text(json.dumps(["red", "blue"]))
+
+    base = cfg_mod.tiny_test_config()
+    bert = dataclasses.replace(base.albef.bert, vocab_size=vocab_size)
+    albef = dataclasses.replace(base.albef, bert=bert)
+    data = dataclasses.replace(base.data, image_size=32)
+    cfg = dataclasses.replace(base, albef=albef, data=data, eval_every=2, k_test=2)
+    cfg_path = tmp_path / "cfg.json"
+    cfg_mod.save_config(cfg, str(cfg_path))
+
+    out_dir = tmp_path / "out"
+    main([
+        "--pipeline", "albef",
+        "--config", str(cfg_path),
+        "--vocab", str(vocab_file),
+        "--ann", str(tmp_path / "ann.json"),
+        "--image-root", str(img_dir),
+        "--answer-list", str(tmp_path / "answers.json"),
+        "--output", str(out_dir),
+        "--dtype", "bfloat16",
+        "--no-remat",
+        "--no-pallas",
+    ])
+    adv = np.load(out_dir / "600.npy")
+    assert adv.dtype == np.float32  # the perturbed image stays f32
+    assert np.isfinite(adv).all()

@@ -25,14 +25,27 @@ def threaded_iter(
     lock = threading.Lock()
     sentinel = object()
 
+    class _WorkerError:
+        def __init__(self, exc: BaseException):
+            self.exc = exc
+
     def worker():
-        while True:
-            with lock:
-                i = next(it, None)
-            if i is None:
-                q.put(sentinel)
-                return
-            q.put((i, dataset[i]))
+        # the sentinel MUST reach the consumer even if dataset[i] raises —
+        # a dead worker without its sentinel would deadlock the iterator
+        try:
+            while True:
+                with lock:
+                    i = next(it, None)
+                if i is None:
+                    return
+                try:
+                    item = dataset[i]
+                except BaseException as e:  # re-raised in order, consumer side
+                    q.put((i, _WorkerError(e)))
+                    continue
+                q.put((i, item))
+        finally:
+            q.put(sentinel)
 
     threads = [threading.Thread(target=worker, daemon=True) for _ in range(num_workers)]
     for t in threads:
@@ -49,8 +62,14 @@ def threaded_iter(
         i, item = got
         buf[order[i]] = item
         while want in buf:
-            yield buf.pop(want)
+            nxt = buf.pop(want)
             want += 1
+            if isinstance(nxt, _WorkerError):
+                raise nxt.exc
+            yield nxt
     while want in buf:
-        yield buf.pop(want)
+        nxt = buf.pop(want)
         want += 1
+        if isinstance(nxt, _WorkerError):
+            raise nxt.exc
+        yield nxt

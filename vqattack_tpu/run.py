@@ -56,6 +56,18 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument(
+        "--no-remat", action="store_true",
+        help="disable trunk rematerialization: faster at --batch-size >= 8 "
+             "in f32 (+15%% measured), slower at batch 1 (PERF.md remat A/B)",
+    )
+    p.add_argument(
+        "--dtype", choices=["float32", "bfloat16"], default=None,
+        help="surrogate trunk compute dtype (default: config compute_dtype, "
+             "float32). bfloat16 + --no-remat + --batch-size 8 is the fastest "
+             "measured sweep configuration (0.36 s/pair, PERF.md); losses and "
+             "the perturbation update stay f32 either way",
+    )
+    p.add_argument(
         "--attn", choices=["xla", "flash"], default="xla",
         help="attention backend for every model forward/backward: XLA einsum "
              "or the Pallas flash kernel (ops/attention.py; PERF.md A/Bs)",
@@ -98,6 +110,38 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
+def resolve_config(args):
+    """Pick the run config: explicit --config wins, otherwise the pipeline's
+    attack preset (vlmo remat differs from albef's); apply the seed/output
+    and --no-remat overrides (remat-on wins at batch 1, remat-off at
+    batch>=8 f32 — PERF.md's genuine A/B)."""
+    import dataclasses
+
+    from vqattack_tpu import config as cfg_mod
+
+    if args.config:
+        cfg = cfg_mod.load_config(args.config)
+    elif args.pipeline == "vlmo":
+        cfg = cfg_mod.vlmo_attack_config()
+    else:
+        cfg = cfg_mod.albef_attack_config()
+    if args.seed:
+        cfg = dataclasses.replace(cfg, seed=args.seed, output_dir=args.output)
+    if getattr(args, "no_remat", False):
+        cfg = dataclasses.replace(
+            cfg,
+            albef=dataclasses.replace(
+                cfg.albef,
+                vit=dataclasses.replace(cfg.albef.vit, remat=False),
+                bert=dataclasses.replace(cfg.albef.bert, remat=False),
+            ),
+            vlmo=dataclasses.replace(cfg.vlmo, remat=False),
+        )
+    if getattr(args, "dtype", None):
+        cfg = dataclasses.replace(cfg, compute_dtype=args.dtype)
+    return cfg
+
+
 def main(argv: Optional[list] = None) -> None:
     args = build_argparser().parse_args(argv)
     os.environ.setdefault("HF_HUB_OFFLINE", "1")
@@ -121,11 +165,7 @@ def main(argv: Optional[list] = None) -> None:
     from vqattack_tpu.text.tokenizer import WordPieceTokenizer
     from vqattack_tpu.utils.meters import MetricLogger
 
-    cfg = cfg_mod.load_config(args.config) if args.config else cfg_mod.albef_attack_config()
-    if args.seed:
-        import dataclasses
-
-        cfg = dataclasses.replace(cfg, seed=args.seed, output_dir=args.output)
+    cfg = resolve_config(args)
 
     tokenizer = WordPieceTokenizer.from_file(args.vocab) if args.vocab else None
     assert tokenizer is not None, "--vocab is required for a real run"
@@ -323,11 +363,16 @@ def _build_pipeline(args, cfg, tokenizer, use_pallas):
             jax.random.key(1)
         )
 
+    # surrogate trunk dtype (cfg.compute_dtype / --dtype); the victim and
+    # every loss/softmax/update stay f32 — the validated mixed policy
+    # (tests/test_remat.py, PERF.md "bf16 trunk")
+    sdtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
     if args.pipeline == "albef":
         from vqattack_tpu.attacks.orchestrator import AlbefAttackPipeline
         from vqattack_tpu.models.albef import AlbefPretrain, AlbefVQA
 
-        surrogate = AlbefPretrain(cfg.albef)
+        surrogate = AlbefPretrain(cfg.albef, dtype=sdtype)
         victim = AlbefVQA(cfg.albef)
         size = cfg.albef.vit.image_size
         if args.surrogate_ckpt:
@@ -366,7 +411,7 @@ def _build_pipeline(args, cfg, tokenizer, use_pallas):
     )
     from vqattack_tpu.models.vlmo import VLMo
 
-    model = VLMo(cfg.vlmo)
+    model = VLMo(cfg.vlmo, dtype=sdtype)
     size = cfg.vlmo.image_size
     if args.surrogate_ckpt:
         sparams = ckpt_io.load_vlmo(args.surrogate_ckpt, size, src_image_size=224)
