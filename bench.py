@@ -316,23 +316,32 @@ def main() -> None:
     attn = os.environ.get("BENCH_ATTN", "xla")
 
     if os.environ.get("BENCH_MATRIX") == "1":
+        # batch x dtype x remat grid. b=64 is excluded by default: its
+        # programs crash this relay's remote compiler (HTTP 500, ~1 h per
+        # attempt — PERF.md); set BENCH_MATRIX_B64=1 to include it on a
+        # directly-attached runtime.
+        batches = (1, 8, 64) if os.environ.get("BENCH_MATRIX_B64") == "1" else (1, 8)
         rows = []
         for dtype in (jnp.float32, jnp.bfloat16):
-            for batch in (1, 8, 64):
-                try:
-                    row = measure(model_kind, batch, iters, dtype,
-                                  fused=fused, remat=remat, attn=attn)
-                except Exception as e:  # OOM etc.: record, keep going
-                    row = {"model": model_kind, "batch": batch,
-                           "dtype": jnp.dtype(dtype).name, "error": repr(e)[:200]}
-                rows.append(row)
-                print(json.dumps(row), file=sys.stderr, flush=True)
+            for batch in batches:
+                for remat_on in (True, False):
+                    try:
+                        row = measure(model_kind, batch, iters, dtype,
+                                      fused=fused, remat=remat_on, attn=attn)
+                    except Exception as e:  # OOM etc.: record, keep going
+                        row = {"model": model_kind, "batch": batch,
+                               "remat": remat_on,
+                               "dtype": jnp.dtype(dtype).name,
+                               "error": repr(e)[:200]}
+                    rows.append(row)
+                    print(json.dumps(row), file=sys.stderr, flush=True)
         with open(os.path.join(os.path.dirname(__file__), "BENCH_MATRIX.json"), "w") as f:
             json.dump({"device": jax.devices()[0].device_kind, "rows": rows}, f, indent=1)
         # headline = b=1 f32 if it measured, else ANY measured row, else a
         # valid error line (never KeyError after the whole matrix ran)
         head = next((r for r in rows if r.get("batch") == 1
-                     and r.get("dtype") == "float32" and "error" not in r),
+                     and r.get("dtype") == "float32" and r.get("remat")
+                     and "error" not in r),
                     next((r for r in rows if "error" not in r), None))
         if head is None:
             print(json.dumps({

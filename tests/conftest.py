@@ -22,8 +22,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: on this single-core machine compilation dominates
-# test wall-clock; repeat runs hit the cache
-_cache = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache_tests")
+# test wall-clock; repeat runs hit the cache.  The dir is keyed by a host
+# CPU-feature fingerprint (utils/cache.py): XLA:CPU AOT executables cached on
+# a machine with different vector extensions SIGILL/segfault when loaded here
+# (observed — the cache outlives VM reassignment).
+from vqattack_tpu.utils.cache import cpu_fingerprint  # noqa: E402
+
+_cache = os.path.join(
+    os.path.dirname(os.path.dirname(__file__)),
+    f".jax_cache_tests-{cpu_fingerprint()}",
+)
 try:
     jax.config.update("jax_compilation_cache_dir", _cache)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -1,27 +1,70 @@
-"""Persistent XLA compile cache (one switch for every entry point).
+"""Persistent XLA compile cache wiring.
 
-On this runtime, full-size compiles go through a remote-compile relay and
-take minutes; the on-disk cache makes every repeat instant.  bench.py,
-``vqattack_tpu.run``, ``vqattack_tpu.transfer_eval`` and the training CLI all
+Full-size compiles through the tunneled-TPU remote-compile relay take
+minutes; every entry point (run/predict/transfer_eval/train CLIs, bench,
+the driver hooks) shares one on-disk cache so repeats are instant —
 call :func:`enable_compile_cache` at startup.
+
+CPU-platform runs get a *separate* cache dir keyed by a host CPU-feature
+fingerprint: XLA:CPU serializes AOT executables specialized to the build
+machine's vector extensions, and loading an entry cached on a different
+machine can SIGILL/segfault (observed — these caches outlive VM
+reassignment).  TPU executables have no such host dependence.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 
+def cpu_fingerprint() -> str:
+    """Short stable hash of this host's CPU feature flags."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha1(feats.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
+
+
+def _platform() -> str:
+    """The platform jax will initialize, without initializing it."""
+    try:
+        import jax
+
+        p = jax.config.values.get("jax_platforms")
+        if p:
+            return str(p).split(",")[0]
+    except Exception:
+        pass
+    return os.environ.get("JAX_PLATFORMS", "").split(",")[0] or "default"
+
+
+def default_cache_dir(repo_root: str | None = None) -> str:
+    if repo_root is None:
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+    if _platform() == "cpu":
+        return os.path.join(repo_root, f".jax_cache_cpu-{cpu_fingerprint()}")
+    return os.path.join(repo_root, ".jax_cache")
+
+
 def enable_compile_cache(cache_dir: str | None = None) -> None:
+    """Point jax's persistent compile cache at ``cache_dir`` (default:
+    the repo-level platform-appropriate dir; override with
+    ``VQATTACK_CACHE_DIR``).  Safe to call more than once — e.g. again
+    after forcing the CPU platform in-process."""
     import jax
 
     if cache_dir is None:
-        cache_dir = os.environ.get(
-            "VQATTACK_CACHE_DIR",
-            os.path.join(
-                os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-                ".jax_cache",
-            ),
-        )
+        cache_dir = os.environ.get("VQATTACK_CACHE_DIR") or default_cache_dir()
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
