@@ -74,7 +74,9 @@ def _hard_sync(x) -> None:
 # Algorithmic (model) FLOPs per attack iteration per sample at the headline
 # geometry, measured once via XLA's own compiled-HLO cost analysis on the
 # identical no-remat program (jax.jit(...).lower().compile().cost_analysis()
-# on the CPU backend — the tunneled-TPU relay does not expose cost_analysis).
+# on the CPU backend; the tunneled-TPU relay does expose cost_analysis, but
+# counting there would pay a ~30-min remote compile per config — see
+# _flops_of).
 # MFU convention counts algorithmic FLOPs, so remat recompute is correctly
 # EXCLUDED from this numerator.
 _MODEL_FLOPS_PER_SAMPLE_ITER = {
@@ -83,23 +85,16 @@ _MODEL_FLOPS_PER_SAMPLE_ITER = {
 }
 
 
-def _backend_reports_flops() -> bool:
-    """Probe cost_analysis support with a trivial (cheap) program BEFORE
-    compiling the expensive no-remat flops program: the tunneled-TPU relay
-    compiles fine but reports no flops, and its compiles take minutes."""
-    try:
-        compiled = jax.jit(lambda x: x @ x).lower(jnp.ones((8, 8))).compile()
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        return float(ca.get("flops", 0.0)) > 0.0
-    except Exception:
-        return False
-
-
 def _flops_of(fn, *args) -> float:
-    """XLA's compiled flop count for fn(*args); 0.0 if unavailable."""
-    if not _backend_reports_flops():
+    """XLA's compiled flop count for fn(*args); 0.0 if unavailable.
+
+    Only attempted on the in-process CPU backend: the tunneled-TPU relay
+    does report cost_analysis, but counting FLOPs there would compile the
+    dedicated no-remat program through a ~30-min remote compile per config.
+    Algorithmic FLOPs are backend-independent and linear in batch x iters,
+    so the CPU-calibrated constants (_MODEL_FLOPS_PER_SAMPLE_ITER) are
+    exact for TPU rows."""
+    if jax.default_backend() != "cpu":
         return 0.0
     try:
         compiled = jax.jit(fn).lower(*args).compile()
