@@ -29,19 +29,50 @@ def test_distinct_blocks_cover_schedules():
         assert (sched[0], True) in blocks
 
 
+def _warm_in_subprocess(fn_name: str) -> int:
+    """Run a warm function in a FRESH interpreter.
+
+    The full suite accumulates hundreds of XLA:CPU compilations in one
+    process; compiling the warm lattice on top of that has segfaulted
+    XLA:CPU twice (flaky, never reproduces standalone).  A subprocess
+    isolates the crash domain: worst case this test fails instead of
+    killing the whole pytest run.
+    """
+    import subprocess
+    import sys
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from vqattack_tpu.utils.cache import enable_compile_cache\n"
+        "enable_compile_cache()\n"
+        "from vqattack_tpu.config import tiny_test_config\n"
+        "import importlib.util, os\n"
+        "spec = importlib.util.spec_from_file_location('warm_cache', "
+        f"{os.path.join(os.path.dirname(__file__), '..', 'scripts', 'warm_cache.py')!r})\n"
+        "wc = importlib.util.module_from_spec(spec); spec.loader.exec_module(wc)\n"
+        f"n = wc.{fn_name}((1,), 1, 4, 32, False, cfg=tiny_test_config())\n"
+        "print('WARMED', n)\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=900, env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    for line in out.stdout.splitlines():
+        if line.startswith("WARMED"):
+            return int(line.split()[1])
+    raise AssertionError(out.stdout[-2000:])
+
+
 def test_warm_albef_compiles_tiny():
-    cfg = tiny_test_config()
-    n = warm_cache.warm_albef((1,), 1, 4, 32, False, cfg=cfg)
     # k in {0,1}: blocks {(4,True),(2,True),(2,False)} -> 3 feature + 12
     # alternating (2D/3D labels x plain/mixed) + 2 vl widths (max_k=1 ->
     # pow2 widths {1,2}) = 17 programs
-    assert n == 17
+    assert _warm_in_subprocess("warm_albef") == 17
 
 
 def test_warm_vlmo_compiles_tiny():
-    cfg = tiny_test_config()
-    n = warm_cache.warm_vlmo((1,), 1, 4, 32, False, cfg=cfg)
-    assert n == 17
+    assert _warm_in_subprocess("warm_vlmo") == 17
 
 
 def test_vl_widths_cover_pow2_padding():
