@@ -292,13 +292,9 @@ def measure(model_kind, batch, iters, dtype, *, fused=False, remat=True,
 
 def main() -> None:
     os.environ.setdefault("HF_HUB_OFFLINE", "1")
-    cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-    except Exception:
-        pass
+    from vqattack_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     if os.environ.get("BENCH_PRECISION"):
         jax.config.update(
             "jax_default_matmul_precision", os.environ["BENCH_PRECISION"]

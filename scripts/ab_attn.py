@@ -70,6 +70,11 @@ def main() -> None:
 
     traj = {}
     for impl in ("xla", "flash"):
+        # pgd_feature is a module-level jit whose statics/avals are identical
+        # across the two legs; the attention impl is only read at TRACE time,
+        # so without clearing the jit cache the second leg would silently
+        # reuse the first leg's executable and the A/B would be vacuous.
+        pgd_feature.clear_cache()
         with attention_impl(impl):
             adv, losses = pgd_feature(
                 loss, px, px, jax.random.key(7), aux,

@@ -13,7 +13,12 @@ this script walks the whole shape lattice up front, lowering with
 Usage::
 
     python scripts/warm_cache.py [--model albef|vlmo] [--batch-sizes 1,8]
-        [--max-k 8] [--iters 40] [--image-size 480] [--cache-dir .jax_cache]
+        [--max-k 8] [--iters 40] [--image-size 480] [--cache-dir DIR]
+        [--dtype bfloat16] [--no-remat]
+
+Pass the same ``--dtype`` / ``--no-remat`` the sweep will use (e.g. the
+fastest measured config ``--dtype bfloat16 --no-remat``) — they change the
+compiled HLO, so warming the default config does not cover them.
 
 Prints one line per compiled program; re-runs are no-ops (cache hits).
 """
@@ -53,7 +58,34 @@ def _distinct_blocks(max_k: int, total_iters: int):
     return sorted(out)
 
 
-def warm_albef(batch_sizes, max_k, total_iters, image_size, use_pallas, cfg=None):
+def _apply_overrides(cfg, dtype, no_remat):
+    """Mirror run.py::resolve_config's --dtype/--no-remat transforms so the
+    warmed programs are HLO-identical to what the sweep compiles."""
+    import dataclasses
+
+    if no_remat:
+        cfg = dataclasses.replace(
+            cfg,
+            albef=dataclasses.replace(
+                cfg.albef,
+                vit=dataclasses.replace(cfg.albef.vit, remat=False),
+                bert=dataclasses.replace(cfg.albef.bert, remat=False),
+            ),
+            vlmo=dataclasses.replace(cfg.vlmo, remat=False),
+        )
+    if dtype:
+        cfg = dataclasses.replace(cfg, compute_dtype=dtype)
+    return cfg
+
+
+def _trunk_dtype(cfg):
+    import jax.numpy as jnp
+
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
+def warm_albef(batch_sizes, max_k, total_iters, image_size, use_pallas,
+               cfg=None, *, dtype=None, no_remat=False):
     import jax
     import jax.numpy as jnp
 
@@ -62,8 +94,8 @@ def warm_albef(batch_sizes, max_k, total_iters, image_size, use_pallas, cfg=None
     from vqattack_tpu.config import albef_attack_config
     from vqattack_tpu.models.albef import AlbefPretrain
 
-    cfg = cfg or albef_attack_config()
-    model = AlbefPretrain(cfg.albef)
+    cfg = _apply_overrides(cfg or albef_attack_config(), dtype, no_remat)
+    model = AlbefPretrain(cfg.albef, dtype=_trunk_dtype(cfg))
     atk = cfg.attack
     s = atk.max_text_len
     d = cfg.albef.bert.hidden_size
@@ -151,7 +183,8 @@ def warm_albef(batch_sizes, max_k, total_iters, image_size, use_pallas, cfg=None
     return count
 
 
-def warm_vlmo(batch_sizes, max_k, total_iters, image_size, use_pallas, cfg=None):
+def warm_vlmo(batch_sizes, max_k, total_iters, image_size, use_pallas,
+              cfg=None, *, dtype=None, no_remat=False):
     import jax
     import jax.numpy as jnp
 
@@ -160,8 +193,8 @@ def warm_vlmo(batch_sizes, max_k, total_iters, image_size, use_pallas, cfg=None)
     from vqattack_tpu.config import vlmo_attack_config
     from vqattack_tpu.models.vlmo import VLMo
 
-    cfg = cfg or vlmo_attack_config()
-    model = VLMo(cfg.vlmo)
+    cfg = _apply_overrides(cfg or vlmo_attack_config(), dtype, no_remat)
+    model = VLMo(cfg.vlmo, dtype=_trunk_dtype(cfg))
     atk = cfg.attack
     t = cfg.vlmo.max_text_len
     d = cfg.vlmo.hidden_size
@@ -251,24 +284,30 @@ def main() -> None:
     ap.add_argument("--max-k", type=int, default=8)
     ap.add_argument("--iters", type=int, default=40)
     ap.add_argument("--image-size", type=int, default=480)
-    ap.add_argument("--cache-dir", default=os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
+    ap.add_argument(
+        "--cache-dir", default=None,
+        help="compile-cache dir (default: the platform-appropriate repo "
+             "cache — .jax_cache on TPU, the CPU-fingerprinted dir on CPU)")
     ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--dtype", choices=["float32", "bfloat16"], default=None,
+                    help="match the sweep's --dtype so the warmed programs "
+                         "are the ones the sweep compiles")
+    ap.add_argument("--no-remat", action="store_true",
+                    help="match the sweep's --no-remat")
     args = ap.parse_args()
 
     import jax
 
-    try:
-        jax.config.update("jax_compilation_cache_dir", args.cache_dir)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-    except Exception:
-        pass
+    from vqattack_tpu.utils.cache import default_cache_dir, enable_compile_cache
+
+    cache_dir = args.cache_dir or default_cache_dir()
+    enable_compile_cache(cache_dir)
     use_pallas = (not args.no_pallas) and jax.default_backend() not in ("cpu",)
     batch_sizes = tuple(int(x) for x in args.batch_sizes.split(","))
     fn = warm_vlmo if args.model == "vlmo" else warm_albef
-    n = fn(batch_sizes, args.max_k, args.iters, args.image_size, use_pallas)
-    print(f"warmed {n} programs into {args.cache_dir}")
+    n = fn(batch_sizes, args.max_k, args.iters, args.image_size, use_pallas,
+           dtype=args.dtype, no_remat=args.no_remat)
+    print(f"warmed {n} programs into {cache_dir}")
 
 
 if __name__ == "__main__":

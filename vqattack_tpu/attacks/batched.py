@@ -146,7 +146,7 @@ class BatchedAlbefAttack:
             )
         else:
             mar = MarLabels(1, None, None, None, [], [], [], 0)
-        if getattr(p, "_cand_mlm_logits", None) is not None:
+        if p.mlm_model is not None:
             cands = generate_candidates(
                 sample["question"], p.tokenizer, p.candidate_mlm_logits,
                 p.filter_words, total_iters=atk.num_iters,

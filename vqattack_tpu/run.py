@@ -125,8 +125,9 @@ def resolve_config(args):
         cfg = cfg_mod.vlmo_attack_config()
     else:
         cfg = cfg_mod.albef_attack_config()
-    if args.seed:
-        cfg = dataclasses.replace(cfg, seed=args.seed, output_dir=args.output)
+    cfg = dataclasses.replace(cfg, output_dir=args.output)
+    if args.seed is not None:
+        cfg = dataclasses.replace(cfg, seed=args.seed)
     if getattr(args, "no_remat", False):
         cfg = dataclasses.replace(
             cfg,

@@ -98,10 +98,9 @@ class BertMeanPoolGate(SimilarityGate):
         self._threshold = threshold
 
     def operating_point(self, use_space_threshold: float) -> float:
-        if use_space_threshold == USE_SPACE_DEFAULT:
-            return self._threshold
-        # off-default config: preserve the user's margin relative to 0.95 by
-        # shrinking it into the remaining headroom of this space
+        # maps USE_SPACE_DEFAULT (0.95) to exactly self._threshold, and
+        # preserves the user's margin relative to 0.95 by scaling it into
+        # the remaining headroom of this space
         scale = (1.0 - self._threshold) / (1.0 - USE_SPACE_DEFAULT)
         return 1.0 - (1.0 - use_space_threshold) * scale
 

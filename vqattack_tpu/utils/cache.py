@@ -34,7 +34,14 @@ def cpu_fingerprint() -> str:
 
 
 def _platform() -> str:
-    """The platform jax will initialize, without initializing it."""
+    """The platform jax will (or did) initialize.
+
+    Prefers the explicit signals (config / env var) so the common paths
+    never touch the backend; with no signal — jax silently falling back
+    to CPU on a host without accelerators — asks jax directly, because
+    misclassifying an implicit-CPU run would hand it the shared
+    unfingerprinted cache and reintroduce the cross-host SIGILL hazard.
+    """
     try:
         import jax
 
@@ -42,8 +49,14 @@ def _platform() -> str:
         if p:
             return str(p).split(",")[0]
     except Exception:
-        pass
-    return os.environ.get("JAX_PLATFORMS", "").split(",")[0] or "default"
+        return os.environ.get("JAX_PLATFORMS", "").split(",")[0] or "default"
+    env = os.environ.get("JAX_PLATFORMS", "").split(",")[0]
+    if env:
+        return env
+    try:
+        return jax.default_backend()
+    except Exception:
+        return "default"
 
 
 def default_cache_dir(repo_root: str | None = None) -> str:
