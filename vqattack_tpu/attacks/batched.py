@@ -207,27 +207,17 @@ class BatchedAlbefAttack:
         if max_p > 0:
             max_p = 1 << (max_p - 1).bit_length()
 
+        if self.mesh is not None:
+            ori_px = self._place(ori_px, {})[0]
+
         for block_idx, block_iters in enumerate(iter_list):
             ids, mask = self._encode_batch([s.adv_text for s in states])
             n_adv = np.asarray(mask).sum(1)
             n = np.minimum(n_adv, n_ori)
             aux = self._block_aux(targets, ids, mask, n, self._max_text_len)
-            adv_px, aux = self._place(adv_px, aux)
-            ori_px, _ = (self._place(ori_px, {})[0], None) if self.mesh is not None else (ori_px, None)
-            r_pgd, r_block = jax.random.split(r_pgd)
-            rand_init = first_block and atk.rand_init
-
-            if old_alg == 1:
-                adv_px, losses = pgd_feature(
-                    p._feature_loss, adv_px, ori_px, r_block, aux,
-                    eps=atk.eps, eps_iter=atk.step_size, nb_iter=block_iters,
-                    clip_min=atk.clip_min, clip_max=atk.clip_max,
-                    rand_init=rand_init, use_pallas=p.use_pallas,
-                )
-                ln = np.asarray(losses)
-                for j in range(b):
-                    feat_losses[j].append(ln[:, j])
-            else:
+            if old_alg != 1:
+                # add the MLM entries BEFORE placement so they carry the
+                # same mesh sharding as every other batch array
                 mlm_ids, mlm_mask, weights = [], [], []
                 for s in states:
                     ci, cm = p.tokenizer.encode(" ".join(s.mar_words), self._max_text_len)
@@ -244,6 +234,21 @@ class BatchedAlbefAttack:
                 else:
                     second = self._mixed_loss
                     aux["mlm_weight"] = jnp.asarray(weights, jnp.float32)
+            adv_px, aux = self._place(adv_px, aux)
+            r_pgd, r_block = jax.random.split(r_pgd)
+            rand_init = first_block and atk.rand_init
+
+            if old_alg == 1:
+                adv_px, losses = pgd_feature(
+                    p._feature_loss, adv_px, ori_px, r_block, aux,
+                    eps=atk.eps, eps_iter=atk.step_size, nb_iter=block_iters,
+                    clip_min=atk.clip_min, clip_max=atk.clip_max,
+                    rand_init=rand_init, use_pallas=p.use_pallas,
+                )
+                ln = np.asarray(losses)
+                for j in range(b):
+                    feat_losses[j].append(ln[:, j])
+            else:
                 adv_px, fl, ml = pgd_alternating(
                     p._feature_loss, second, adv_px, ori_px, r_block, aux,
                     eps=atk.eps, eps_iter=atk.step_size, nb_iter=block_iters // 2,

@@ -70,6 +70,10 @@ def build_mar_labels(
     matched_words: List[str] = []
     for w in ans_words:
         if w in pa_words:
+            # .index() = FIRST occurrence, also for duplicated answer words
+            # ("side by side" -> 'side' maps to the same position twice and
+            # the masking loop below rewrites it twice) — exactly the
+            # reference's behavior (adv_attack.py:456-465), kept for parity
             p = pa_words.index(w)
             mask_positions.append(p)
             sub_lengths.append(pa_keys[p][1] - pa_keys[p][0])
@@ -87,6 +91,11 @@ def build_mar_labels(
         mp, sl = mask_positions[i], sub_lengths[i]
         list_words = list_words[:mp] + ["[MASK]"] * sl + list_words[mp + 1:]
         s, e = pa_keys[mp]
+        # spans past the max_len truncation clamp to empty/partial writes —
+        # numpy slicing no-ops exactly like the reference's torch slice
+        # assignment on its truncated encoding (adv_attack.py:477-483);
+        # a fully-truncated answer leaves all-IGNORE labels with old_alg=0,
+        # as in the reference (its CE then sees only ignored targets)
         labels0[s + 1 : e + 1] = gt_ids[s + 1 : e + 1]  # +1 = [CLS] offset
 
     mlm_ids, mlm_mask, _ = _encode_fixed(tokenizer, " ".join(list_words), max_len)
@@ -102,7 +111,12 @@ def build_mar_labels(
         if len(cand_words) != len(matched_words):
             continue
         # every candidate word must occupy the same number of sub-tokens as
-        # the word it replaces, or the label positions would shift
+        # the word it replaces, or the label positions would shift.
+        # NOTE cand_keys is indexed with the POST-filter word index i — for
+        # candidates with leading filler words this reads the wrong word's
+        # span.  That is the reference's own indexing
+        # (adv_attack.py:514-517: cand_ans_keys[i] with i over
+        # cand_attack_ans_words), reproduced verbatim for parity
         if any(
             (cand_keys[i][1] - cand_keys[i][0]) != sub_lengths[i]
             for i in range(len(cand_words))

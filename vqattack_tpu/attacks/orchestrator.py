@@ -198,7 +198,6 @@ class AlbefAttackPipeline:
         iter_list = cands.iter_list if cands.iter_list else [atk.num_iters]
 
         mar_words = list(mar.paraphrase_words)
-        mlm_ids, mlm_mask = mar.mlm_ids, mar.mlm_mask
         mlm_true_len = mar.true_len
 
         adv_px = ori_px

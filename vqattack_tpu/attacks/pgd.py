@@ -182,11 +182,16 @@ def pgd_multi_restart(
 
     Returns ``(adv_x [B, ...], best_losses [T, B])``.
     """
-    keys = jax.random.split(rng, n_restarts)
+    keys = jax.random.split(rng, n_restarts + 1)
     advs, losses = jax.vmap(
         lambda k: pgd_feature(loss_fn, x, ori_x, k, aux, rand_init=True, **kw)
-    )(keys)  # advs [R, B, ...], losses [R, T, B]
-    best = jnp.argmax(losses[:, -1, :], axis=0)  # [B]
+    )(keys[:-1])  # advs [R, B, ...], losses [R, T, B]
+    # rank by the loss of the adv actually returned: the scan's recorded
+    # loss at step t is evaluated BEFORE that step's update, so
+    # losses[:, -1] is loss(adv_{T-1}), one update behind advs
+    final_keys = jax.random.split(keys[-1], n_restarts)
+    final = jax.vmap(lambda a, k: loss_fn(a, k, aux)[1])(advs, final_keys)  # [R, B]
+    best = jnp.argmax(final, axis=0)  # [B]
     b = x.shape[0]
     adv = advs[best, jnp.arange(b)]
     best_losses = jnp.transpose(losses[best, :, jnp.arange(b)])  # [T, B]

@@ -128,7 +128,10 @@ def generate_candidates(
     substitutable = [
         i
         for i, (w, (s, e)) in enumerate(zip(words, spans))
-        if e - s == 1 and w not in filter_words
+        # the span must lie inside the MLM window ([CLS] + max_length-2
+        # sub-tokens): the reference's cap is its 510-token slice
+        # (adv_attack.py:241); beyond it there are no logits to read
+        if e - s == 1 and w not in filter_words and e <= max_length - 2
     ]
     iter_list = compute_iter_schedule(len(substitutable), total_iters)
     if not substitutable:
@@ -201,10 +204,16 @@ def select_substitutions(
     # build every candidate sentence (word wi replaced by candidate c)
     entries = []  # (word_idx, cand_idx, grad_row, sub_tok_pos)
     sentences = []
+    max_pos = min(max_length, ori_emb.shape[0]) - 1  # last real (pre-[SEP]) slot
     for p, (wi, pos) in enumerate(zip(cands.attack_word_indices, cands.attack_positions)):
         if wi >= len(adv_words):
             # tokenization drift (reference 'onebug' guard, adv_attack.py:280-283)
             return " ".join(ori_words), []
+        if pos >= max_pos:
+            # word lies past the surrogate's text truncation: its embedding
+            # row does not exist (the vl-step gather clamps on device), so
+            # it can't be scored — skip it, keeping grad-row alignment via p
+            continue
         for ci, cand in enumerate(cands.candidate_lists[wi]):
             trial = list(adv_words)
             trial[wi] = cand

@@ -285,7 +285,12 @@ def load_id2answer(path: str) -> Dict[int, str]:
             d = json.load(f)
         return {int(k): v for k, v in d.items()}
     except (UnicodeDecodeError, json.JSONDecodeError):
-        import pickle
+        # dill first: the reference's file is dill-pickled and its
+        # defaultdict factory (a lambda) is not loadable by stdlib pickle
+        try:
+            import dill as pickle
+        except ImportError:
+            import pickle
 
         with open(path, "rb") as f:
             d = pickle.load(f)
