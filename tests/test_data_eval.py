@@ -140,8 +140,11 @@ def test_arrow_roundtrip(tmp_path):
 
 
 def test_vqa_soft_accuracy():
-    assert vqa_soft_accuracy("red", ["red"] * 3 + ["blue"] * 7) == 1.0
-    assert vqa_soft_accuracy("red", ["red", "blue", "blue"]) == pytest.approx(1 / 3)
+    # official leave-one-out values (vqaEval.py:97-105): k matches of n are
+    # NOT min(1, k/3) — each matching annotator's own subset sees k-1
+    assert vqa_soft_accuracy("red", ["red"] * 3 + ["blue"] * 7) == pytest.approx(0.9)
+    assert vqa_soft_accuracy("red", ["red", "blue", "blue"]) == pytest.approx(2 / 9)
+    assert vqa_soft_accuracy("red", ["red"] * 4 + ["blue"] * 6) == 1.0
     assert vqa_soft_accuracy("Red!", ["red"] * 5) == 1.0  # normalization
     assert vqa_soft_accuracy("two", ["2"] * 5) == 1.0  # number words
     assert normalize_answer("The dog") == "dog"  # article strip

@@ -45,6 +45,16 @@ def test_fixed_cases(pair):
         assert ours.tokenize(text) == hf.tokenize(text), text
 
 
+def test_embedded_special_tokens(pair):
+    """HF's added-token trie splits special tokens out of the MIDDLE of a
+    word — the reference's ALBEF answer list is built as ``answer+'[SEP]'``
+    with no space (answer-encoding path), so this must match exactly."""
+    ours, hf = pair
+    for text in ["dog[SEP]", "red[SEP] blue[SEP]", "cat[MASK]dog",
+                 "[CLS]dog", "a[SEP]"]:
+        assert ours.tokenize(text) == hf.tokenize(text), text
+
+
 def test_fuzz_parity(pair):
     ours, hf = pair
     rng = np.random.default_rng(0)

@@ -61,6 +61,53 @@ def test_threaded_iter_propagates_worker_exception_no_deadlock():
     assert got == [0, 1, 2]  # everything before the bad sample, in order
 
 
+def test_threaded_iter_duplicate_indices():
+    """Oversampling (duplicate indices) must yield every requested position —
+    an idx-keyed reorder map would collide the duplicates and drop items."""
+    out = [d["i"] for d in threaded_iter(_SlowDataset(4), indices=[0, 1, 0, 2],
+                                         num_workers=2)]
+    assert out == [0, 1, 0, 2]
+
+
+def test_threaded_iter_early_break_releases_workers():
+    """Breaking out of the iterator must unblock workers stuck on the full
+    prefetch queue (they would otherwise leak threads + decoded batches)."""
+    import threading
+
+    before = threading.active_count()
+    for _ in range(5):
+        it = threaded_iter(_SlowDataset(32), num_workers=4, prefetch=2)
+        next(it)
+        it.close()  # what GC / a `break` does to the generator
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before + 1  # workers drained, no leak
+
+
+def test_maybe_cached_keys_on_converter_tag(tmp_path):
+    """The conversion cache must key on (file, converter tag): the same
+    torch file ingested as pretrain vs vqa (or at different geometries) is a
+    DIFFERENT tree — a basename-only key would return the first conversion
+    for both."""
+    from vqattack_tpu.checkpoint.io import _maybe_cached
+
+    src = tmp_path / "ALBEF.pth"
+    src.write_bytes(b"x")
+    cache = str(tmp_path / "cache")
+    import os
+
+    os.makedirs(cache)
+    a = _maybe_cached(str(src), cache, lambda: {"w": np.ones(2)}, "pretrain480")
+    b = _maybe_cached(str(src), cache, lambda: {"w": np.zeros(2)}, "vqa480")
+    np.testing.assert_array_equal(a["w"], np.ones(2))
+    np.testing.assert_array_equal(b["w"], np.zeros(2))
+    # same tag -> cache hit (build not called again)
+    c = _maybe_cached(str(src), cache, lambda: {"w": np.full(2, 9.0)}, "pretrain480")
+    np.testing.assert_array_equal(c["w"], np.ones(2))
+    assert len(os.listdir(cache)) == 2
+
+
 def test_with_retries_transient_then_success():
     calls = {"n": 0}
 

@@ -157,6 +157,42 @@ def test_vlmo_nlvr2_head():
     assert not np.allclose(np.asarray(logits), np.asarray(logits_sw), atol=1e-6)
 
 
+def test_vlmo_nlvr2_default_config_widens_token_types():
+    """with_nlvr2_head must widen the modality table to 3 rows even when the
+    config says 2 (the reference widens at load, vlmo_module.py:291-296) —
+    an unwidened table makes row-2 lookups silently NaN."""
+    model = VLMo(CFG, with_nlvr2_head=True)  # CFG.type_vocab_size == 2
+    b, t = 1, CFG.max_text_len
+    rng = np.random.default_rng(1)
+    px1 = jnp.asarray(rng.uniform(-1, 1, (b, 32, 32, 3)), jnp.float32)
+    px2 = jnp.asarray(rng.uniform(-1, 1, (b, 32, 32, 3)), jnp.float32)
+    ids = jnp.ones((b, t), jnp.int32)
+    mask = jnp.ones_like(ids)
+    params = jax.jit(
+        lambda k: model.init(k, ids, mask, px1, method=VLMo.init_all)
+    )(jax.random.key(0))
+    tbl = params["params"]["token_type_embeddings"]["embedding"]
+    assert tbl.shape[0] == 3
+    logits = model.apply(params, px1, px2, ids, mask, method=VLMo.nlvr2_logits)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_widen_token_type_embeddings_row_copy():
+    from vqattack_tpu.checkpoint.convert import widen_token_type_embeddings
+
+    tree = {"token_type_embeddings": {"embedding": np.arange(8.0).reshape(2, 4)}}
+    out = widen_token_type_embeddings(tree, 3)
+    emb = out["token_type_embeddings"]["embedding"]
+    assert emb.shape == (3, 4)
+    # the new row replicates the image row (reference vlmo_module.py:296)
+    np.testing.assert_array_equal(emb[2], emb[1])
+    # already-wide tables pass through untouched
+    out2 = widen_token_type_embeddings(out, 3)
+    np.testing.assert_array_equal(
+        out2["token_type_embeddings"]["embedding"], emb
+    )
+
+
 def test_precomputed_rel_biases_identical(vlmo_setup):
     """Hoisted per-layer bias stack reproduces the in-loop gather exactly."""
     model, params, px, ids, masks = vlmo_setup

@@ -278,8 +278,6 @@ def convert_vlmo(
     if "relative_position_bias_table" in sd:
         tbl = sd["relative_position_bias_table"]
         if new_window is not None and src_window is not None and new_window != src_window:
-            from vqattack_tpu.checkpoint.interpolate import interpolate_rel_pos_bias
-
             tbl = resize_vlmo_rel_pos_table(tbl, src_window, new_window)
         tree["relative_position_bias_table"] = tbl
 
@@ -340,6 +338,21 @@ def convert_vlmo(
     return tree
 
 
+def widen_token_type_embeddings(tree: Dict[str, Any], n_types: int = 3) -> Dict[str, Any]:
+    """NLVR2 load surgery: widen the modality token-type table to
+    ``n_types`` rows, replicating row 1 (the image row) into every new row —
+    the reference's in-place widening when loading a 2-row pretrain
+    checkpoint into the 3-row NLVR2 model (``vlmo_module.py:291-296``).
+    No-op if the table already has ``n_types`` rows."""
+    out = dict(tree)
+    emb = np.asarray(out["token_type_embeddings"]["embedding"])
+    if emb.shape[0] >= n_types:
+        return out
+    pad = np.broadcast_to(emb[1:2], (n_types - emb.shape[0], emb.shape[1]))
+    out["token_type_embeddings"] = {"embedding": np.concatenate([emb, pad])}
+    return out
+
+
 def convert_textpt_state_dict(
     sd: Dict[str, np.ndarray],
     all_num_relative_distance: int,
@@ -354,7 +367,13 @@ def convert_textpt_state_dict(
     - ``mlp``/``norm2`` keys re-target the image expert (``mlp_imag`` /
       ``norm2_imag``); everything gains the ``transformer.`` prefix.
 
-    Returns a torch-layout state dict consumable by :func:`convert_vlmo`.
+    Returns a PARTIAL torch-layout state dict: a BEiT image checkpoint has
+    no text embeddings / text experts / heads, and the reference loads the
+    converted dict with ``load_state_dict(strict=False)`` (missing keys stay
+    at init).  To feed :func:`convert_vlmo`, merge it over a complete
+    state dict first — ``convert_vlmo({**full_sd, **textpt_sd})`` — or graft
+    the converted subtree onto initialized params (the ``--init-ckpt``
+    pattern in ``train/cli.py``).
     """
     out: Dict[str, np.ndarray] = {}
     per_layer_tables = {}

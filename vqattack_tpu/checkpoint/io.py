@@ -32,11 +32,21 @@ def load_params(path: str, like: Optional[Any] = None) -> Any:
     return ckptr.restore(path)
 
 
-def _maybe_cached(torch_path: str, cache_dir: Optional[str], build):
-    """Convert once, then reuse the orbax cache next to the torch file."""
+def _maybe_cached(torch_path: str, cache_dir: Optional[str], build, tag: str):
+    """Convert once, then reuse the orbax cache next to the torch file.
+
+    The key carries the converter ``tag`` (converter name + geometry) and a
+    hash of the source's absolute path — the basename alone would collide
+    when the SAME file is ingested through different converters (pretrain vs
+    vqa) or geometries (rel-pos resize windows), silently returning the
+    wrong tree."""
     if cache_dir is None:
         return build()
-    key = os.path.basename(torch_path).replace(".", "_")
+    import hashlib
+
+    ap = os.path.abspath(torch_path)
+    h = hashlib.sha1(ap.encode()).hexdigest()[:8]
+    key = f"{os.path.basename(torch_path).replace('.', '_')}-{tag}-{h}"
     cache = os.path.join(cache_dir, key)
     if os.path.isdir(cache):
         return load_params(cache)
@@ -63,7 +73,9 @@ def load_albef_pretrain(
             sd, new_num_patches=(image_size // 16) ** 2
         )
 
-    return {"params": _maybe_cached(torch_path, cache_dir, build)}
+    return {"params": _maybe_cached(
+        torch_path, cache_dir, build, f"albef_pretrain{image_size}"
+    )}
 
 
 def load_albef_vqa(
@@ -81,7 +93,9 @@ def load_albef_vqa(
         sd = load_torch_checkpoint(torch_path)
         return convert_albef_vqa(sd, new_num_patches=(image_size // 16) ** 2)
 
-    return {"params": _maybe_cached(torch_path, cache_dir, build)}
+    return {"params": _maybe_cached(
+        torch_path, cache_dir, build, f"albef_vqa{image_size}"
+    )}
 
 
 def load_vlmo(
@@ -89,11 +103,20 @@ def load_vlmo(
     image_size: int = 480,
     src_image_size: Optional[int] = None,
     cache_dir: Optional[str] = None,
+    token_types: Optional[int] = None,
 ) -> Any:
     """VLMo ckpt -> flax tree, with BEiT-style rel-pos-bias resize when the
     checkpoint was trained at a different resolution
-    (``vlmo_module.py:741-804``)."""
-    from vqattack_tpu.checkpoint.convert import convert_vlmo, load_torch_checkpoint
+    (``vlmo_module.py:741-804``).
+
+    ``token_types=3`` widens the modality token-type table for
+    ``VLMo(with_nlvr2_head=True)`` models (the reference's 2->3 row copy at
+    load, ``vlmo_module.py:291-296``)."""
+    from vqattack_tpu.checkpoint.convert import (
+        convert_vlmo,
+        load_torch_checkpoint,
+        widen_token_type_embeddings,
+    )
 
     def build():
         sd = load_torch_checkpoint(torch_path)
@@ -102,9 +125,16 @@ def load_vlmo(
             kw = dict(
                 new_window=image_size // 16, src_window=src_image_size // 16
             )
-        return convert_vlmo(sd, **kw)
+        tree = convert_vlmo(sd, **kw)
+        if token_types is not None:
+            tree = widen_token_type_embeddings(tree, token_types)
+        return tree
 
-    return {"params": _maybe_cached(torch_path, cache_dir, build)}
+    return {"params": _maybe_cached(
+        torch_path, cache_dir, build,
+        f"vlmo{image_size}src{src_image_size or image_size}"
+        + (f"tt{token_types}" if token_types else ""),
+    )}
 
 
 def save_train_state(state: Any, ckpt_dir: str, step: int, keep: int = 3) -> str:

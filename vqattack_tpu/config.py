@@ -327,15 +327,21 @@ def to_dict(cfg: Any) -> Any:
 
 
 def from_dict(cls, d: dict):
+    """Generic inverse of :func:`to_dict`.  Field types are resolved through
+    ``typing.get_type_hints`` — under ``from __future__ import annotations``
+    every ``f.type`` is a STRING, so testing it with ``is_dataclass``
+    directly would silently leave nested dicts unconverted."""
+    import typing
+
+    hints = typing.get_type_hints(cls)
     kwargs = {}
     for f in dataclasses.fields(cls):
         if f.name not in d:
             continue
         v = d[f.name]
-        if dataclasses.is_dataclass(f.type) or (
-            isinstance(f.type, type) and dataclasses.is_dataclass(f.type)
-        ):
-            kwargs[f.name] = from_dict(f.type, v)
+        t = hints.get(f.name, f.type)
+        if dataclasses.is_dataclass(t) and isinstance(v, dict):
+            kwargs[f.name] = from_dict(t, v)
         elif isinstance(v, list):
             kwargs[f.name] = tuple(v)
         else:

@@ -10,40 +10,21 @@ from __future__ import annotations
 
 import json
 import os
-import re
 from collections import Counter, defaultdict
 from typing import Dict, List, Optional, Sequence
 
-_CONTRACTIONS_SRC = (
-    "aint,arent,cant,couldve,couldnt,didnt,doesnt,dont,hadnt,hasnt,havent,hed,"
-    "hes,howd,howll,hows,Id,Im,Ive,isnt,itd,itll,lets,mightve,mustve,shant,"
-    "shed,shes,shouldve,shouldnt,somebodyd,somebodyll,somebodys,someoned,"
-    "someonell,someones,somethingd,somethingll,somethings,thered,therell,"
-    "theres,theyd,theyll,theyre,theyve,twas,wasnt,wed,well,were,werent,whatll,"
-    "whatre,whats,whatve,whens,whered,wheres,whereve,whod,wholl,whos,whove,"
-    "whyll,whyre,whys,wont,wouldve,wouldnt,yall,youd,youll,youre,youve"
-)
-
-_ARTICLES = {"a", "an", "the"}
-_PUNCT = re.compile(r"[;/\[\]\"{}()=+\\_\-><@`,?!.]")
-_NUMBER_MAP = {
-    "none": "0", "zero": "0", "one": "1", "two": "2", "three": "3",
-    "four": "4", "five": "5", "six": "6", "seven": "7", "eight": "8",
-    "nine": "9", "ten": "10",
-}
-
 
 def normalize_word(word: str) -> str:
-    """Glossary-style answer normalization (``vlmo/utils/glossary.py``):
-    punctuation strip, number words -> digits, article removal."""
-    w = _PUNCT.sub("", word.lower().strip())
-    parts = []
-    for tok in w.split():
-        tok = _NUMBER_MAP.get(tok, tok)
-        if tok in _ARTICLES:
-            continue
-        parts.append(tok)
-    return " ".join(parts)
+    """Glossary answer normalization (``vlmo/utils/glossary.py:167-190``) =
+    the official VQA rules: punctuation rules (digit-aware period/comma
+    handling), number words -> digits, article removal, contraction
+    restoration — delegated to :mod:`vqattack_tpu.eval.vqa_eval`, which
+    implements the identical spec constants.  A simplified strip (no
+    contractions, unconditional period removal) would build a DIFFERENT
+    3,129-answer vocabulary ("dont know" vs "don't know", "1.5" vs "15")."""
+    from vqattack_tpu.eval.vqa_eval import normalize_answer
+
+    return normalize_answer(word)
 
 
 def build_answer_vocab(

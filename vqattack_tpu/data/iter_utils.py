@@ -21,31 +21,49 @@ def threaded_iter(
             yield dataset[i]
         return
     q: queue_mod.Queue = queue_mod.Queue(maxsize=prefetch)
-    it = iter(indices)
+    # workers draw (position, index) pairs so duplicate indices (oversampling)
+    # fill distinct output slots instead of colliding in an idx-keyed map
+    it = iter(enumerate(indices))
     lock = threading.Lock()
+    stop = threading.Event()
     sentinel = object()
 
     class _WorkerError:
         def __init__(self, exc: BaseException):
             self.exc = exc
 
+    def _put(x) -> bool:
+        # bounded put that gives up once the consumer is gone (early break /
+        # GC sets ``stop``) — a plain q.put would block the worker forever
+        # against a full queue nobody drains
+        while not stop.is_set():
+            try:
+                q.put(x, timeout=0.1)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
+
     def worker():
         # the sentinel MUST reach the consumer even if dataset[i] raises —
         # a dead worker without its sentinel would deadlock the iterator
         try:
-            while True:
+            while not stop.is_set():
                 with lock:
-                    i = next(it, None)
-                if i is None:
+                    nxt = next(it, None)
+                if nxt is None:
                     return
+                pos, i = nxt
                 try:
                     item = dataset[i]
                 except BaseException as e:  # re-raised in order, consumer side
-                    q.put((i, _WorkerError(e)))
+                    if not _put((pos, _WorkerError(e))):
+                        return
                     continue
-                q.put((i, item))
+                if not _put((pos, item)):
+                    return
         finally:
-            q.put(sentinel)
+            _put(sentinel)
 
     threads = [threading.Thread(target=worker, daemon=True) for _ in range(num_workers)]
     for t in threads:
@@ -53,23 +71,32 @@ def threaded_iter(
     done = 0
     buf: Dict[int, Any] = {}
     want = 0
-    order = {idx: pos for pos, idx in enumerate(indices)}
-    while done < num_workers:
-        got = q.get()
-        if got is sentinel:
-            done += 1
-            continue
-        i, item = got
-        buf[order[i]] = item
+    try:
+        while done < num_workers:
+            got = q.get()
+            if got is sentinel:
+                done += 1
+                continue
+            pos, item = got
+            buf[pos] = item
+            while want in buf:
+                nxt = buf.pop(want)
+                want += 1
+                if isinstance(nxt, _WorkerError):
+                    raise nxt.exc
+                yield nxt
         while want in buf:
             nxt = buf.pop(want)
             want += 1
             if isinstance(nxt, _WorkerError):
                 raise nxt.exc
             yield nxt
-    while want in buf:
-        nxt = buf.pop(want)
-        want += 1
-        if isinstance(nxt, _WorkerError):
-            raise nxt.exc
-        yield nxt
+    finally:
+        # consumer exited (exhaustion, break, error): release any workers
+        # blocked on a full queue, then drain so their puts complete
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue_mod.Empty:
+            pass

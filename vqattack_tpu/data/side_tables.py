@@ -16,6 +16,7 @@ then ``update()``s the ``_after`` variant).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 from typing import Dict, List, Optional, Sequence
 
@@ -70,10 +71,14 @@ class SideTables:
             return False
         return weights[list(answers).index(pred)] == max(weights)
 
+    @functools.cached_property
+    def _correct_qid_set(self) -> frozenset:
+        return frozenset(self.correct_qids)
+
     def attack_inputs(self, qid) -> Optional[dict]:
         """(paraphrase, target answer, acceptable answers) for one qid."""
         key = str(int(qid))
-        if int(qid) not in set(self.correct_qids):
+        if int(qid) not in self._correct_qid_set:
             return None
         para = self.paraphrases.get(key)
         return {

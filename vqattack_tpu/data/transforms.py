@@ -126,16 +126,34 @@ _RA_OPS = [
 ]
 
 
+# geometric ops whose magnitude the reference negates half the time
+# (randaugment.py:217,226); _rotate encodes sign directly, shears/translates
+# encode it around v=0.5
+_RA_SIGNED = {_shear_x, _shear_y, _translate_x, _translate_y}
+
+
 class RandomAugment:
-    """Pick ``n`` ops, each at magnitude ``m/10`` (timm/vendored semantics)."""
+    """Pick ``n`` ops at magnitude ``m/10`` with the vendored augmenter's
+    sampling distribution (``randaugment.py:310-334``): ops drawn WITH
+    replacement (np.random.choice semantics — the same op can repeat), each
+    applied with probability 0.5, and geometric magnitudes randomly
+    negated."""
 
     def __init__(self, n: int = 2, m: int = 7, rng: Optional[random.Random] = None):
         self.n, self.m = n, m
         self.rng = rng or random.Random()
 
     def __call__(self, img):
-        for op in self.rng.sample(_RA_OPS, self.n):
-            img = op(img, self.m / 10.0)
+        for op in self.rng.choices(_RA_OPS, k=self.n):
+            if self.rng.random() > 0.5:  # per-op apply gate (ref :330)
+                continue
+            v = self.m / 10.0
+            if self.rng.random() > 0.5:
+                if op is _rotate:
+                    v = -v
+                elif op in _RA_SIGNED:
+                    v = 1.0 - v  # mirrors (v - 0.5) -> -(v - 0.5)
+            img = op(img, v)
         return img
 
 

@@ -17,8 +17,6 @@ from __future__ import annotations
 import json
 import os
 import re
-import threading
-import queue as queue_mod
 from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
 
 

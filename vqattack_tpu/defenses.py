@@ -29,14 +29,19 @@ def random_resize_pad(
     x: [B, H, W, C]."""
     b, h, w, c = x.shape
     k_s, k_t, k_l = jax.random.split(rng, 3)
-    # static target: resize to the min scale, then randomly *place*; the
-    # scale randomness is folded into a random crop-fraction of the canvas
-    nh, nw = int(h * min_scale), int(w * min_scale)
-    small = jax.image.resize(x, (b, nh, nw, c), method="bilinear")
-    top = jax.random.randint(k_t, (), 0, h - nh + 1)
-    left = jax.random.randint(k_l, (), 0, w - nw + 1)
-    canvas = jnp.zeros_like(x)
-    return jax.lax.dynamic_update_slice(canvas, small, (0, top, left, 0))
+    # a genuinely random scale with STATIC shapes: scale_and_translate
+    # resamples at an arbitrary float scale onto the fixed [h, w] canvas
+    # (out-of-image regions come back zero = the reference's pad), so the
+    # randint-resize of the reference maps to a continuous uniform scale
+    # without any dynamic intermediate shape
+    s = jax.random.uniform(k_s, (), minval=min_scale, maxval=1.0)
+    top = jax.random.uniform(k_t, (), minval=0.0, maxval=(1.0 - s) * h)
+    left = jax.random.uniform(k_l, (), minval=0.0, maxval=(1.0 - s) * w)
+    return jax.image.scale_and_translate(
+        x, (b, h, w, c), (1, 2),
+        jnp.stack([s, s]), jnp.stack([top, left]),
+        method="linear",
+    )
 
 
 @partial(jax.jit, static_argnames=("window",))

@@ -72,6 +72,10 @@ def all_reduce_mean(values: Sequence[float]) -> float:
     arr = np.asarray(values, np.float64)
     if jax.process_count() == 1:
         return float(arr.mean()) if arr.size else 0.0
-    total = jax.experimental.multihost_utils.process_allgather(arr.sum())
-    count = jax.experimental.multihost_utils.process_allgather(np.float64(arr.size))
+    # the submodule is not reachable as an attribute of jax.experimental —
+    # it must be imported explicitly
+    from jax.experimental import multihost_utils
+
+    total = multihost_utils.process_allgather(arr.sum())
+    count = multihost_utils.process_allgather(np.float64(arr.size))
     return float(np.sum(total) / max(1.0, float(np.sum(count))))

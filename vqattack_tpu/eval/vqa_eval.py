@@ -73,11 +73,27 @@ def normalize_answer(ans: str) -> str:
 
 
 def vqa_soft_accuracy(pred: str, gt_answers: Sequence[str]) -> float:
-    """min(1, #matching human answers / 3) with official normalization."""
+    """The official leave-one-annotator-out accuracy (``vqaEval.py:84-105``):
+    for each of the n human answers, count the prediction's matches among
+    the OTHER n-1 and take min(1, matches/3); average the n values.  This is
+    NOT min(1, total_matches/3): with k total matches the official value is
+    (k*min(1,(k-1)/3) + (n-k)*min(1,k/3)) / n — e.g. k=3 of 10 scores 0.9,
+    not 1.0.
+
+    Normalization follows the official quirk: the prediction gets the full
+    punctuation + digit/article pipeline, ground truths only the punctuation
+    pass, and only when the answer set is non-unanimous."""
     p = normalize_answer(pred)
-    gts = [normalize_answer(a) for a in gt_answers]
-    matches = sum(1 for g in gts if g == p)
-    return min(1.0, matches / 3.0)
+    gts = list(gt_answers)
+    if len(set(gts)) > 1:
+        gts = [process_punctuation(a) for a in gts]
+    n = len(gts)
+    if n == 0:
+        return 0.0
+    k = sum(1 for g in gts if g == p)
+    acc_when_match_left_out = min(1.0, (k - 1) / 3.0)
+    acc_when_other_left_out = min(1.0, k / 3.0)
+    return (k * acc_when_match_left_out + (n - k) * acc_when_other_left_out) / n
 
 
 class VQAEval:

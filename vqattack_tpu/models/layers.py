@@ -106,7 +106,11 @@ class MultiHeadAttention(nn.Module):
 
         from vqattack_tpu.ops import attention as attn_backend
 
-        if attn_backend.get_impl() == "flash" and q.shape[1] >= 128:
+        # the Grad-CAM probe needs the materialized attention matrix, which
+        # flash never forms — fall back to einsum whenever a probe is passed
+        # (a flash branch would silently return zero probe gradients)
+        if (attn_backend.get_impl() == "flash" and q.shape[1] >= 128
+                and attn_scale is None):
             out = attn_backend.flash_attention(q, k, v, bias, scale)
         else:
             attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)

@@ -245,10 +245,18 @@ class VLMo(nn.Module):
             type_vocab_size=cfg.type_vocab_size,
             layer_norm_eps=1e-12,
         )
-        self._bert_cfg = bert_cfg
         self.text_embeddings = BertEmbeddings(bert_cfg, dtype=self.dtype)
+        # nlvr2 routes its second image stream through modality-type row 2,
+        # so the table must hold >= 3 rows (the reference widens 2 -> 3 at
+        # load, vlmo_module.py:291-296; checkpoint/convert.py::
+        # widen_token_type_embeddings reproduces the row copy) — an
+        # unwidened table would silently return NaN rows for index 2
+        n_token_types = (
+            max(cfg.type_vocab_size, 3) if self.with_nlvr2_head
+            else cfg.type_vocab_size
+        )
         self.token_type_embeddings = nn.Embed(
-            cfg.type_vocab_size, cfg.hidden_size,
+            n_token_types, cfg.hidden_size,
             embedding_init=nn.initializers.normal(0.02),
             dtype=self.dtype,
         )
@@ -354,6 +362,7 @@ class VLMo(nn.Module):
     def _joint_trunk(
         self, text_ids, text_masks, pixels, image_token_type_idx: int = 1,
         rel_biases: Optional[jnp.ndarray] = None, stack: bool = True,
+        text_embeds: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """Shared VL forward: returns (normed_x, feats [B, L+1, S, D],
         co_masks [B, S]) with S = max_text_len + image_seq_len.
@@ -361,9 +370,11 @@ class VLMo(nn.Module):
         image stream, ``vlmo_module.py:884-916`` imgkey handling).
         ``stack=False`` returns the per-layer feats as a tuple (fused-loss
         path — the attack reduces each layer without materializing the
-        stack)."""
+        stack).  ``text_embeds`` (pre-token-type-add) bypasses the embedding
+        lookup — the differentiable entry of the VL joint step."""
         cfg = self.cfg
-        text_embeds = self.text_embeddings(text_ids)
+        if text_embeds is None:
+            text_embeds = self.text_embeddings(text_ids)
         image_embeds = self.visual_embed(pixels)
         image_masks = jnp.ones(image_embeds.shape[:2], dtype=text_masks.dtype)
         text_embeds = text_embeds + self.token_type_embeddings(
@@ -479,28 +490,13 @@ class VLMo(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """``pgd_attack_vl`` (``vlmo_module.py:1328-1385``): text embeddings
         enter pre-token-type-add, differentiable."""
-        cfg = self.cfg
-        image_embeds = self.visual_embed(pixels)
-        image_masks = jnp.ones(image_embeds.shape[:2], dtype=text_masks.dtype)
-        te = text_embeds + self.token_type_embeddings(jnp.zeros_like(text_masks))
-        ie = image_embeds + self.token_type_embeddings(jnp.ones_like(image_masks))
-        x = jnp.concatenate([te, ie], axis=1)
-        co_masks = jnp.concatenate([text_masks, image_masks], axis=1)
-        mask_bias = mask_to_bias(co_masks, self.dtype)
-        feats = [x]
-        for i, blk in enumerate(self.blocks):
-            if rel_biases is not None:
-                bias = rel_biases[i][None] + mask_bias
-            else:
-                bias = self._rel_bias(i, "joint")
-                bias = mask_bias if bias is None else bias + mask_bias
-            x = blk(x, "vl", bias)
-            feats.append(x)
-        xn = self.norm(x)
-        feats = tuple(feats) if self.fused_feats else jnp.stack(feats, axis=1)
+        xn, feats, co_masks = self._joint_trunk(
+            None, text_masks, pixels, rel_biases=rel_biases,
+            stack=not self.fused_feats, text_embeds=text_embeds,
+        )
         cls_feats = self.pooler(xn)
         layer_cls = _layer_cls_of(feats)
-        img_ones = jnp.ones_like(co_masks[:, cfg.max_text_len :])
+        img_ones = jnp.ones_like(co_masks[:, self.cfg.max_text_len :])
         token_mask = jnp.concatenate([text_masks, img_ones], axis=1)
         return cls_feats, layer_cls, feats, token_mask
 

@@ -98,7 +98,14 @@ def _prepare(q, k, v, bias, scale):
             )
     else:
         # the kernel computes softmax((q@k + ab) * sm_scale): pre-divide so
-        # our additive bias lands post-scale like the einsum path
+        # our additive bias lands post-scale like the einsum path.
+        # KNOWN COST: this materializes a [B, H, Sq_p, Sk_p] f32 bias (plus
+        # its dab in backward) — for a genuinely dense bias (VLMo rel-pos)
+        # there is no smaller exact representation the kernel accepts, and
+        # it's one reason the flash path measures slower than XLA's fused
+        # attention at this geometry (PERF.md); a pure key-mask bias could
+        # in principle ride segment_ids instead, but every bias-carrying
+        # caller here fuses the dense rel-pos component anyway
         ab = jnp.broadcast_to(bias, (b, bias.shape[1], sq, sk)).astype(jnp.float32) / scale
         ab = _pad_to(_pad_to(ab, 2, sq_p), 3, sk_p)
         if sk_p > sk:

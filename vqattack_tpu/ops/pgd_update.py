@@ -36,7 +36,10 @@ def _update_kernel(adv_ref, grad_ref, ori_ref, out_ref, *, eps, eps_iter, cmin, 
 
 
 def _on_tpu() -> bool:
-    return jax.default_backend() not in ("cpu", "METAL")
+    # positive check: the Mosaic kernel (pltpu.VMEM) only lowers on TPU —
+    # a denylist would route GPU/ROCm hosts into a compile crash.  The
+    # tunneled-relay backend also reports "tpu" here.
+    return jax.default_backend() == "tpu"
 
 
 @functools.partial(

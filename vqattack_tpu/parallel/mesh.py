@@ -65,13 +65,41 @@ def shard_params(params, mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Shard leading (sample) axis over the data axis; replicate scalars."""
+    """Shard leading (sample) axis over the data axis; replicate scalars.
+
+    A batch axis that does not divide the data-mesh size replicates instead
+    (needed for a sweep's ragged TAIL bucket), but warns once per (batch,
+    mesh) shape: if every bucket replicates — --batch-size not a multiple of
+    --mesh-devices — the "sharded" sweep silently computes the full batch on
+    every device with zero speedup.
+    """
+    n = mesh.shape[DATA_AXIS]
 
     def place(x):
-        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % mesh.shape[DATA_AXIS] == 0:
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            if x.shape[0] % n != 0:
+                _warn_indivisible_once(x.shape[0], n)
+                return jax.device_put(x, NamedSharding(mesh, P()))
             return jax.device_put(
                 x, NamedSharding(mesh, P(DATA_AXIS, *([None] * (x.ndim - 1))))
             )
         return jax.device_put(x, NamedSharding(mesh, P()))
 
     return jax.tree_util.tree_map(place, batch)
+
+
+_warned_indivisible: set = set()
+
+
+def _warn_indivisible_once(b: int, n: int) -> None:
+    if (b, n) in _warned_indivisible:
+        return
+    _warned_indivisible.add((b, n))
+    import warnings
+
+    warnings.warn(
+        f"batch axis {b} not divisible by data-mesh size {n}: replicating "
+        f"(fine for a sweep's tail bucket; if this happens for EVERY "
+        f"bucket, pick --batch-size as a multiple of --mesh-devices)",
+        stacklevel=3,
+    )

@@ -58,6 +58,12 @@ def batched_attack_step(
             sharded_aux[k] = shard_params(v, mesh)
         elif k == "special_ids":
             sharded_aux[k] = v
+        elif k == "rel_biases":
+            # layer-stacked bias is batch-free: replicate (leading dim is
+            # depth, not B — shard_batch would reject it)
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            sharded_aux[k] = jax.device_put(v, NamedSharding(mesh, PartitionSpec()))
         else:
             sharded_aux[k] = shard_batch(v, mesh)
     return pgd_feature(

@@ -210,7 +210,14 @@ def main(argv: Optional[list] = None) -> None:
             print("suggested threshold: n/a (not enough probe data)")
 
     answer_ids = answer_mask = None
-    if args.pipeline == "albef" and answer_list:
+    if args.pipeline == "albef":
+        if not answer_list:
+            raise SystemExit(
+                "--answer-list is required for --pipeline albef: the ALBEF "
+                "victim ranks a fixed candidate-answer list (rank_answer, "
+                "model_vqa.py:149); without it the black-box eval loop has "
+                "nothing to score"
+            )
         ids, mask = tokenizer.encode_batch(
             [a + "[SEP]" for a in answer_list], max_length=args.answer_max_len
         )

@@ -15,6 +15,7 @@ vocabs work.
 
 from __future__ import annotations
 
+import re
 import unicodedata
 from typing import Dict, Iterable, List, Sequence, Tuple
 
@@ -22,6 +23,10 @@ import numpy as np
 
 PAD, UNK, CLS, SEP, MASK = "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"
 SPECIAL_TOKENS = (PAD, UNK, CLS, SEP, MASK)
+
+# split-on-special-tokens pattern (HF added-token-trie semantics: exact,
+# case-sensitive match; the capture group keeps the token in the parts)
+_SPECIAL_SPLIT = re.compile("(" + "|".join(re.escape(t) for t in SPECIAL_TOKENS) + ")")
 
 
 def _is_punctuation(ch: str) -> bool:
@@ -140,12 +145,25 @@ class WordPieceTokenizer:
 
     def _word_to_pieces(self, raw_word: str) -> List[str]:
         """Sub-tokenize one whitespace word, honoring special tokens
-        (``[MASK]`` in masked paraphrases must stay atomic)."""
+        (``[MASK]`` in masked paraphrases must stay atomic).
+
+        Special tokens EMBEDDED in a word are split out exactly like HF's
+        added-token trie: the reference's ALBEF answer list is built as
+        ``answer + '[SEP]'`` with no space, which HF resolves to
+        ``[..., '[SEP]']`` — naive wordpiece would shred it into
+        ``'[', 'sep', ']'`` junk and corrupt every answer encoding."""
         if raw_word.upper() in SPECIAL_TOKENS:
             return [raw_word.upper()]
         out: List[str] = []
-        for word in basic_tokenize(raw_word, self.lowercase):
-            out.extend(self.wordpiece(word))
+        parts = _SPECIAL_SPLIT.split(raw_word)
+        for part in parts:
+            if not part:
+                continue
+            if part in SPECIAL_TOKENS:
+                out.append(part)
+                continue
+            for word in basic_tokenize(part, self.lowercase):
+                out.extend(self.wordpiece(word))
         return out
 
     def tokenize(self, text: str) -> List[str]:

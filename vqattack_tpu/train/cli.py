@@ -61,6 +61,12 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def _batches(dataset, batch_size: int, seed: int) -> Iterator[list]:
+    if len(dataset) < batch_size:
+        # the drop-last epoch loop below would yield nothing and spin forever
+        raise ValueError(
+            f"dataset has {len(dataset)} items < batch size {batch_size}; "
+            "lower --batch-size"
+        )
     rng = np.random.default_rng(seed)
     while True:
         order = rng.permutation(len(dataset))

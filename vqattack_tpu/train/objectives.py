@@ -272,11 +272,13 @@ def albef_pretrain_loss(
         mode="multi_modal",
     )
     if teacher_params is not None and alpha > 0:
-        t_img_embeds, _ = tm.visual_encoder(batch["pixels"])
+        # reuse the teacher image embeds computed for the ITA branch — a
+        # second teacher ViT-B forward at 480px would be the single most
+        # expensive redundant op in the step
         _, _, t_mlm_logits = tm.text_encoder(
             batch["mlm_ids"],
             attention_mask=batch["text_mask"],
-            encoder_states=t_img_embeds,
+            encoder_states=t_image_embeds,
             encoder_mask=image_mask,
             mode="multi_modal",
         )

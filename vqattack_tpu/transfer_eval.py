@@ -89,7 +89,12 @@ def main(argv=None) -> None:
 
     answer_ids = answer_mask = None
     answer_list = []
-    if args.pipeline == "albef" and args.answer_list:
+    if args.pipeline == "albef":
+        if not args.answer_list:
+            raise SystemExit(
+                "--answer-list is required for --pipeline albef (the ALBEF "
+                "victim ranks a fixed candidate-answer list)"
+            )
         with open(args.answer_list) as f:
             answer_list = json.load(f)
         ids, mask = tokenizer.encode_batch(

@@ -30,16 +30,17 @@ def trace(log_dir: str):
 
 
 def hard_sync(tree: Any) -> None:
-    """Force completion by transferring one scalar from each leaf's first
-    element (reliable even where block_until_ready is advisory)."""
+    """Force completion by transferring one scalar from EACH leaf (reliable
+    even where block_until_ready is advisory).  Syncing only the first leaf
+    would let independently-dispatched computations still be in flight when
+    the timer stops."""
     import jax
 
-    leaves = [l for l in jax.tree_util.tree_leaves(tree) if hasattr(l, "shape")]
-    if not leaves:
-        return
-    x = leaves[0]
-    flat = x.reshape(-1) if x.ndim else x
-    np.asarray(jax.device_get(flat[:1] if x.ndim else flat))
+    for x in jax.tree_util.tree_leaves(tree):
+        if not hasattr(x, "shape"):
+            continue
+        flat = x.reshape(-1) if x.ndim else x
+        np.asarray(jax.device_get(flat[:1] if x.ndim else flat))
 
 
 class StepTimer:
