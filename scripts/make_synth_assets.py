@@ -7,8 +7,11 @@ json, and the five side-table families.  Weights stay random (``run.py``
 initializes when no ``--surrogate-ckpt`` is given) — this exercises every
 code path at real geometry, which is what on-TPU verification needs.
 
-Usage: ``python scripts/make_synth_assets.py [outdir]`` (default
-``/tmp/vqa_synth_assets``); prints the ready-to-paste CLI invocation.
+Usage: ``python scripts/make_synth_assets.py [outdir] [n_samples]``
+(default ``/tmp/vqa_synth_assets``, 2 samples); prints the ready-to-paste
+CLI invocation.  ``n_samples > 2`` cycles question templates with varying
+substitutable-word counts, so a batched sweep over them exercises the
+lockstep bucketing across distinct block schedules (attacks/batched.py).
 """
 
 from __future__ import annotations
@@ -50,7 +53,7 @@ def make_image(path: str, size: int = 640) -> None:
     Image.fromarray(arr, "RGB").save(path, quality=90)
 
 
-def main(outdir: str) -> None:
+def main(outdir: str, n_samples: int = 2) -> None:
     os.makedirs(outdir, exist_ok=True)
     j = lambda name, obj: json.dump(  # noqa: E731
         obj, open(os.path.join(outdir, name), "w")
@@ -63,12 +66,29 @@ def main(outdir: str) -> None:
         (1001, "what color is the dog", "red", "the dog is red"),
         (1002, "what is the man holding", "frisbee", "the man is holding a frisbee"),
     ]
+    # extra samples cycle templates with different substitutable-word counts
+    # (different k -> different block schedules -> distinct sweep buckets)
+    templates = [
+        ("what color is the cat", "blue", "the cat is blue"),
+        ("what is the woman wearing", "hat", "the woman is wearing a hat"),
+        ("how many dog are there", "two", "there are two dog"),
+        ("what is the person playing", "ball", "the person is playing ball"),
+        ("what color is the shirt the man is wearing", "green",
+         "the shirt the man is wearing is green"),
+        ("is the cat sitting on the table", "yes", "the cat is sitting on the table"),
+    ]
+    for i in range(max(0, n_samples - len(samples))):
+        q, ans, para = templates[i % len(templates)]
+        samples.append((1003 + i, q, ans, para))
+    samples = samples[:max(1, n_samples)]
     ann = [
         {"image": "img0.jpg", "question": q, "question_id": qid}
         for qid, q, _, _ in samples
     ]
     j("ann.json", ann)
-    j("answers.json", ["red", "blue", "green", "frisbee", "ball", "dog", "cat"])
+    answer_vocab = ["red", "blue", "green", "frisbee", "ball", "dog", "cat",
+                    "hat", "two", "yes"]
+    j("answers.json", answer_vocab)
     with open(os.path.join(outdir, "right.txt"), "w") as f:
         f.write("\n".join(str(qid) for qid, *_ in samples) + "\n")
     j("sur.json", {str(qid): ans for qid, _, ans, _ in samples})
@@ -102,9 +122,7 @@ def main(outdir: str) -> None:
             img_dir, os.path.join(outdir, "vqa.arrow"),
         )
         # label index -> answer string (objectives.py:818-820's id2answer)
-        j("id2answer.json", {str(i): a for i, a in
-                             enumerate(["red", "blue", "green", "frisbee",
-                                        "ball", "dog", "cat"])})
+        j("id2answer.json", {str(i): a for i, a in enumerate(answer_vocab)})
     except ImportError as e:
         print(f"skipped VLMo arrow assets ({e})")
 
@@ -126,4 +144,7 @@ def main(outdir: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/vqa_synth_assets")
+    main(
+        sys.argv[1] if len(sys.argv) > 1 else "/tmp/vqa_synth_assets",
+        int(sys.argv[2]) if len(sys.argv) > 2 else 2,
+    )

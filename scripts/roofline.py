@@ -110,6 +110,17 @@ def main() -> None:
     out["attention_geometry_bf16_tflops"] = round(
         attention_shape_flops(dtype=jnp.bfloat16) / 1e12, 1
     )
+    # occupancy sweep: the same contraction at the batched attack's
+    # batch*heads counts.  b_heads=12 is batch 1; 96 is batch 8; 384 batch
+    # 32.  The spread (5 -> ~31 -> ~64 TF/s measured here) shows the
+    # batch-1 number is a latency/occupancy floor of the thin-K geometry,
+    # NOT a hardware cap — see PERF.md "roofline" for the interpretation.
+    out["attention_geometry_bf16_tflops_by_bheads"] = {
+        str(bh): round(
+            attention_shape_flops(b_heads=bh, dtype=jnp.bfloat16) / 1e12, 1
+        )
+        for bh in (12, 96, 384)
+    }
     out["hbm_gib_per_s"] = round(hbm_bandwidth() / 2**30, 1)
     print(json.dumps(out))
 
