@@ -74,6 +74,55 @@ def test_vqa_dataset_json(tmp_path):
     assert len(items) == 1 and items[0]["qid"] == 7
 
 
+def test_vqa_dataset_reference_task_dialects(tmp_path):
+    """The reference's VE / NLVR / grounding annotation jsons load as-is
+    (ve_dataset.py / nlvr_dataset.py / grounding_dataset.py layouts)."""
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for name in ("a.jpg", "b.jpg", "ve_img.jpg"):
+        Image.fromarray(np.zeros((16, 16, 3), np.uint8)).save(img_dir / name)
+
+    # VE: 'sentence' text, string entailment label, extensionless image name
+    # (ve_dataset.py:24 appends '.jpg')
+    ve = tmp_path / "ve.json"
+    ve.write_text(json.dumps([
+        {"image": "ve_img", "sentence": "A man rides.", "label": "entailment"},
+        {"image": "ve_img", "sentence": "A man sleeps.", "label": "contradiction"},
+    ]))
+    ds = VQADataset([str(ve)], str(img_dir), make_eval_transform(16))
+    assert ds[0]["question"] == "a man rides"  # pre_question lowercase+strip
+    assert ds[0]["label"] == 2 and ds[1]["label"] == 0
+
+    # NLVR: paired 'images', 'True'/'False' labels (nlvr_dataset.py:25-38)
+    nl = tmp_path / "nlvr.json"
+    nl.write_text(json.dumps([
+        {"images": ["a.jpg", "b.jpg"], "sentence": "Both match.",
+         "label": "True"},
+    ]))
+    ds = VQADataset([str(nl)], str(img_dir), make_eval_transform(16))
+    item = ds[0]
+    assert item["pixels0"].shape == (1, 16, 16, 3)
+    assert item["pixels1"].shape == (1, 16, 16, 3)
+    assert item["label"] == 1
+
+    # grounding: 'text' field, ref_id passthrough, image-identity indices
+    # shared across same-image rows (grounding_dataset.py:17-45)
+    gr = tmp_path / "grounding.json"
+    gr.write_text(json.dumps([
+        {"image": "a.jpg", "text": "left dog", "ref_id": 11},
+        {"image": "b.jpg", "text": "right dog", "ref_id": 12},
+        {"image": "a.jpg", "text": "the same image again", "ref_id": 13},
+    ]))
+    ds = VQADataset([str(gr)], str(img_dir), make_eval_transform(16))
+    items = [ds[i] for i in range(3)]
+    assert [i["ref_id"] for i in items] == [11, 12, 13]
+    assert items[0]["img_idx"] == items[2]["img_idx"] != items[1]["img_idx"]
+    assert items[0]["question"] == "left dog"
+
+
 def test_side_tables(tmp_path):
     (tmp_path / "right.txt").write_text("100\n200\n")
     (tmp_path / "sur.json").write_text(json.dumps({"100": "red", "200": "dog"}))
@@ -137,6 +186,46 @@ def test_arrow_roundtrip(tmp_path):
     i11 = 0 if item["qid"] == 11 else 1
     it = ds[i11]
     assert max(it["answer_scores"]) == 1.0
+
+
+def test_vqa_api_and_typed_eval():
+    """The official VQA annotation api + per-type accuracy breakdown
+    (vqaTools/vqa.py:24-160, vqaEval.py:68-121)."""
+    from vqattack_tpu.eval.vqa_eval import VQA, VQAEval
+
+    gt = {"annotations": [
+        {"question_id": 1, "image_id": 10, "question_type": "what color",
+         "answer_type": "other",
+         "answers": [{"answer": "red"}] * 5 + [{"answer": "blue"}] * 5},
+        {"question_id": 2, "image_id": 10, "question_type": "is the",
+         "answer_type": "yes/no", "answers": [{"answer": "yes"}] * 10},
+        {"question_id": 3, "image_id": 11, "question_type": "is the",
+         "answer_type": "yes/no", "answers": [{"answer": "no"}] * 10},
+    ]}
+    qs = {"questions": [
+        {"question_id": 1, "image_id": 10, "question": "what color is it"},
+        {"question_id": 2, "image_id": 10, "question": "is the dog real"},
+        {"question_id": 3, "image_id": 11, "question": "is the cat real"},
+    ]}
+    vqa = VQA(gt, qs)
+    assert sorted(vqa.getQuesIds(imgIds=[10])) == [1, 2]
+    assert sorted(set(vqa.getImgIds(ansTypes=["yes/no"]))) == [10, 11]
+    assert vqa.loadQA(2)[0]["answers"][0]["answer"] == "yes"
+    assert vqa.qqa[3]["question"] == "is the cat real"
+
+    res = vqa.load_res([
+        {"question_id": 1, "answer": "red"},
+        {"question_id": 2, "answer": "yes"},
+        {"question_id": 3, "answer": "yes"},
+    ])
+    assert res.qa[1]["answer_type"] == "other"
+
+    ev = VQAEval()
+    out = ev.evaluate(vqa, res)
+    # q1: "red" matches 5 of 10 -> 1.0; q2 correct 1.0; q3 wrong 0.0
+    assert out["overall"] == pytest.approx(100 * (1.0 + 1.0 + 0.0) / 3)
+    assert out["perAnswerType"]["yes/no"] == pytest.approx(50.0)
+    assert out["perQuestionType"]["what color"] == pytest.approx(100.0)
 
 
 def test_vqa_soft_accuracy():

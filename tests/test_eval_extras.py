@@ -106,3 +106,57 @@ def test_visualize_cli(tmp_path):
     assert out.exists()
     with Image.open(out) as im:
         assert im.size == (32, 32)
+
+
+def test_grounding_eval(tmp_path):
+    """REFER loader + grounding accuracy (refTools/refer_python3.py +
+    dataset/utils.py:149-213 semantics) on a synthetic RefCOCO tree."""
+    import json
+    import os
+
+    from vqattack_tpu.eval.grounding import (
+        Refer,
+        compute_iou,
+        grounding_accuracy,
+    )
+
+    data_dir = tmp_path / "refcoco+"
+    os.makedirs(data_dir)
+    refs = [
+        # val ref whose box sits in the bright quadrant of the heatmap
+        {"ref_id": 1, "ann_id": 10, "image_id": 100, "category_id": 1,
+         "split": "val", "sentences": [{"sent_id": 0, "sent": "left thing",
+                                        "tokens": ["left", "thing"]}]},
+        # testA ref whose box does NOT match where the heatmap points
+        {"ref_id": 2, "ann_id": 11, "image_id": 100, "category_id": 1,
+         "split": "testA", "sentences": [{"sent_id": 1, "sent": "right thing",
+                                          "tokens": ["right", "thing"]}]},
+    ]
+    json.dump(refs, open(data_dir / "refs(unc).json", "w"))
+    json.dump(
+        {"images": [{"id": 100, "height": 48, "width": 48}],
+         "annotations": [
+             {"id": 10, "image_id": 100, "bbox": [0, 0, 24, 24]},
+             {"id": 11, "image_id": 100, "bbox": [24, 24, 24, 24]},
+         ],
+         "categories": [{"id": 1, "name": "thing"}]},
+        open(data_dir / "instances.json", "w"),
+    )
+    refer = Refer(str(tmp_path), "refcoco+", "unc")
+    assert set(refer.getRefIds("val")) == {1}
+    assert refer.getRefBox(2) == [24, 24, 24, 24]
+
+    # IoU follows the reference's inclusive-pixel formula
+    assert compute_iou([0, 0, 10, 10], [0, 0, 10, 10]) == 1.0
+    assert compute_iou([0, 0, 10, 10], [20, 20, 5, 5]) == 0.0
+
+    # heatmap bright in the top-left quadrant -> both refs pick the
+    # top-left detection box: correct for ref 1 (val), wrong for ref 2
+    pred = np.zeros((24, 24), np.float32)
+    pred[:12, :12] = 1.0
+    dets = {"100": [[0, 0, 24, 24], [24, 24, 24, 24]]}
+    acc = grounding_accuracy(
+        [{"ref_id": 1, "pred": pred}, {"ref_id": 2, "pred": pred}],
+        dets, refer, alpha=0.5, mask_size=24,
+    )
+    assert acc == {"val_d": 1.0, "testA_d": 0.0}

@@ -123,6 +123,18 @@ def data_root(tmp_path_factory):
     with open(nl / "nlvr2" / "data" / "train.json", "w") as f:
         f.write("\n".join(json.dumps(r) for r in rows))
 
+    # --- textvqa ------------------------------------------------------------
+    tv = root / "textvqa"
+    _save_img(str(tv / "train_images" / "tvimg0.jpg"), seed=70)
+    for split, qid in (("train", 1), ("val", 2)):
+        # 10 human answers: "sign" x4, "stop sign" x6 -> scores 1.0, 1.0
+        json.dump(
+            {"data": [{"image_id": "tvimg0", "question_id": qid,
+                       "question": f"what does the {split} sign say",
+                       "answers": ["sign"] * 4 + ["stop sign"] * 6}]},
+            open(tv / f"TextVQA_0.5.1_{split}.json", "w"),
+        )
+
     return root
 
 
@@ -136,6 +148,7 @@ def arrow_root(data_root, tmp_path_factory):
     assert len(w.write_vg(str(data_root / "vg"), out)) == 1
     assert len(w.write_wikibk(str(data_root / "wikibk"), out)) == 2
     assert len(w.write_nlvr2(str(data_root / "nlvr2root"), out)) == 1
+    assert len(w.write_text_vqa(str(data_root / "textvqa"), out)) == 2
     return out
 
 
@@ -169,6 +182,31 @@ def test_nlvr2_dataset(arrow_root):
     assert item["label"] in (0, 1)
     labels = sorted(ds[i]["label"] for i in range(len(ds)))
     assert labels == [0, 1]
+
+
+def test_text_vqa_writer(arrow_root):
+    """TextVQA rows carry the writer's occurrence-score quirks
+    (write_text_vqa.py:13-23,44): non-official score table, zero-filled
+    answer_labels, both splits drawn from train_images."""
+    import pyarrow as pa
+
+    for split in ("train", "val"):
+        with pa.memory_map(
+            os.path.join(arrow_root, f"text_vqa_{split}.arrow"), "r"
+        ) as src:
+            tbl = pa.ipc.RecordBatchFileReader(src).read_all()
+        assert tbl.column_names == [
+            "image", "questions", "answers", "answer_labels",
+            "answer_scores", "image_id", "question_id", "split"]
+        assert tbl.num_rows == 1
+        row = tbl.to_pylist()[0]
+        assert row["image_id"] == "tvimg0"
+        assert row["answers"] == [["sign", "stop sign"]]
+        assert row["answer_scores"] == [[1.0, 1.0]]  # counts 4 and 6 both cap
+        assert row["answer_labels"] == [[0, 0]]
+    assert w.textvqa_occurrence_score(1) == pytest.approx(0.3)
+    assert w.textvqa_occurrence_score(3) == pytest.approx(0.9)
+    assert w.textvqa_occurrence_score(7) == 1.0
 
 
 def test_concat_dataset(arrow_root):

@@ -21,8 +21,12 @@ only when actually mixed).
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import functools
+import os
+import time
+from collections import defaultdict
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -40,6 +44,49 @@ from vqattack_tpu.attacks.text_attack import (
     select_substitutions,
 )
 from vqattack_tpu.models.albef import AlbefPretrain
+
+
+class PhaseTimer:
+    """Wall-clock attribution of the sweep's phases, for finding where
+    end-to-end time goes beyond the PGD kernels (PERF.md "end-to-end").
+    Enabled via ``VQATTACK_PHASE_TIMING=1``; each phase context syncs the
+    values passed to ``phase(..., sync=...)`` so async device work is
+    charged to the phase that launched it."""
+
+    def __init__(self, enabled: bool):
+        self.enabled = enabled
+        self.acc: Dict[str, float] = defaultdict(float)
+
+    def add(self, name: str, seconds: float) -> None:
+        if self.enabled:
+            self.acc[name] += seconds
+
+    @contextlib.contextmanager
+    def phase(self, name: str, sync=None):
+        if not self.enabled:
+            yield
+            return
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            if sync is not None:
+                jax.block_until_ready(sync() if callable(sync) else sync)
+            self.acc[name] += time.perf_counter() - t0
+
+    def report(self, log_fn=print) -> None:
+        if not self.enabled or not self.acc:
+            return
+        total = sum(self.acc.values())
+        parts = ", ".join(
+            f"{k}={v:.2f}s"
+            for k, v in sorted(self.acc.items(), key=lambda kv: -kv[1])
+        )
+        log_fn(f"phase timing: {parts} (sum {total:.2f}s)")
+
+
+def _make_timer() -> PhaseTimer:
+    return PhaseTimer(os.environ.get("VQATTACK_PHASE_TIMING") == "1")
 
 
 @functools.lru_cache(maxsize=None)
@@ -89,6 +136,7 @@ class BatchedAlbefAttack:
         self.p = pipeline
         self.mesh = mesh
         self._mixed_loss = make_mixed_second_loss(pipeline.surrogate)
+        self._timer = _make_timer()
 
     def _place(self, px, aux):
         if self.mesh is None:
@@ -193,7 +241,8 @@ class BatchedAlbefAttack:
         adv_px = ori_px
         ori_ids, ori_mask = self._encode_batch([s.question for s in states])
         r_tgt, r_pgd = jax.random.split(rng)
-        targets = self._clean_targets(ori_px, ori_ids, ori_mask, r_tgt)
+        with self._timer.phase("clean_targets", sync=lambda: targets):
+            targets = self._clean_targets(ori_px, ori_ids, ori_mask, r_tgt)
         n_ori = np.asarray(ori_mask).sum(1)
 
         feat_losses = [[] for _ in range(b)]
@@ -211,89 +260,93 @@ class BatchedAlbefAttack:
             ori_px = self._place(ori_px, {})[0]
 
         for block_idx, block_iters in enumerate(iter_list):
-            ids, mask = self._encode_batch([s.adv_text for s in states])
-            n_adv = np.asarray(mask).sum(1)
-            n = np.minimum(n_adv, n_ori)
-            aux = self._block_aux(targets, ids, mask, n, self._max_text_len)
-            if old_alg != 1:
-                # add the MLM entries BEFORE placement so they carry the
-                # same mesh sharding as every other batch array
-                mlm_ids, mlm_mask, weights = [], [], []
-                for s in states:
-                    ci, cm = p.tokenizer.encode(" ".join(s.mar_words), self._max_text_len)
-                    mlm_ids.append(ci)
-                    mlm_mask.append(cm)
-                    weights.append(1.0 if int(cm.sum()) == s.mar.true_len else 0.0)
-                aux["mlm_ids"] = jnp.asarray(np.stack(mlm_ids))
-                aux["mlm_mask"] = jnp.asarray(np.stack(mlm_mask))
-                aux["mlm_labels"] = jnp.asarray(
-                    np.stack([s.mar.labels for s in states])
-                )
-                if all(w == 1.0 for w in weights):
-                    second = p._mlm_loss
-                else:
-                    second = self._mixed_loss
-                    aux["mlm_weight"] = jnp.asarray(weights, jnp.float32)
-            adv_px, aux = self._place(adv_px, aux)
+            with self._timer.phase("block_prep"):
+                ids, mask = self._encode_batch([s.adv_text for s in states])
+                n_adv = np.asarray(mask).sum(1)
+                n = np.minimum(n_adv, n_ori)
+                aux = self._block_aux(targets, ids, mask, n, self._max_text_len)
+                if old_alg != 1:
+                    # add the MLM entries BEFORE placement so they carry the
+                    # same mesh sharding as every other batch array
+                    mlm_ids, mlm_mask, weights = [], [], []
+                    for s in states:
+                        ci, cm = p.tokenizer.encode(" ".join(s.mar_words), self._max_text_len)
+                        mlm_ids.append(ci)
+                        mlm_mask.append(cm)
+                        weights.append(1.0 if int(cm.sum()) == s.mar.true_len else 0.0)
+                    aux["mlm_ids"] = jnp.asarray(np.stack(mlm_ids))
+                    aux["mlm_mask"] = jnp.asarray(np.stack(mlm_mask))
+                    aux["mlm_labels"] = jnp.asarray(
+                        np.stack([s.mar.labels for s in states])
+                    )
+                    if all(w == 1.0 for w in weights):
+                        second = p._mlm_loss
+                    else:
+                        second = self._mixed_loss
+                        aux["mlm_weight"] = jnp.asarray(weights, jnp.float32)
+                adv_px, aux = self._place(adv_px, aux)
             r_pgd, r_block = jax.random.split(r_pgd)
             rand_init = first_block and atk.rand_init
 
-            if old_alg == 1:
-                adv_px, losses = pgd_feature(
-                    p._feature_loss, adv_px, ori_px, r_block, aux,
-                    eps=atk.eps, eps_iter=atk.step_size, nb_iter=block_iters,
-                    clip_min=atk.clip_min, clip_max=atk.clip_max,
-                    rand_init=rand_init, use_pallas=p.use_pallas,
-                )
-                ln = np.asarray(losses)
-                for j in range(b):
-                    feat_losses[j].append(ln[:, j])
-            else:
-                adv_px, fl, ml = pgd_alternating(
-                    p._feature_loss, second, adv_px, ori_px, r_block, aux,
-                    eps=atk.eps, eps_iter=atk.step_size, nb_iter=block_iters // 2,
-                    clip_min=atk.clip_min, clip_max=atk.clip_max,
-                    rand_init=rand_init, use_pallas=p.use_pallas,
-                )
-                fln, mln = np.asarray(fl), np.asarray(ml)
-                for j in range(b):
-                    feat_losses[j].append(fln[:, j])
-                    mlm_losses[j].append(mln[:, j])
+            with self._timer.phase("pgd"):
+                if old_alg == 1:
+                    adv_px, losses = pgd_feature(
+                        p._feature_loss, adv_px, ori_px, r_block, aux,
+                        eps=atk.eps, eps_iter=atk.step_size, nb_iter=block_iters,
+                        clip_min=atk.clip_min, clip_max=atk.clip_max,
+                        rand_init=rand_init, use_pallas=p.use_pallas,
+                    )
+                    ln = np.asarray(losses)
+                    for j in range(b):
+                        feat_losses[j].append(ln[:, j])
+                else:
+                    adv_px, fl, ml = pgd_alternating(
+                        p._feature_loss, second, adv_px, ori_px, r_block, aux,
+                        eps=atk.eps, eps_iter=atk.step_size, nb_iter=block_iters // 2,
+                        clip_min=atk.clip_min, clip_max=atk.clip_max,
+                        rand_init=rand_init, use_pallas=p.use_pallas,
+                    )
+                    fln, mln = np.asarray(fl), np.asarray(ml)
+                    for j in range(b):
+                        feat_losses[j].append(fln[:, j])
+                        mlm_losses[j].append(mln[:, j])
             first_block = False
 
             if block_idx == len(iter_list) - 1 or max_p == 0:
                 break
 
             # --- VL step: every sample's text gradient in one program ------
-            adv_embeds = p._embed_text(p.surrogate_params, ids)
-            pos = np.zeros((b, max_p), np.int32)
-            for j, s in enumerate(states):
-                ap = s.cands.attack_positions
-                pos[j, : len(ap)] = ap
-            r_pgd, r_vl = jax.random.split(r_pgd)
-            adv_px, text_grad = pgd_vl_step(
-                p._vl_loss, adv_px, adv_embeds, ori_px, jnp.asarray(pos), r_vl, aux,
-                eps=atk.eps, eps_iter=atk.step_size,
-                clip_min=atk.clip_min, clip_max=atk.clip_max,
-                use_pallas=p.use_pallas,
-            )
-            tg = np.asarray(text_grad)
+            with self._timer.phase("vl_step"):
+                adv_embeds = p._embed_text(p.surrogate_params, ids)
+                pos = np.zeros((b, max_p), np.int32)
+                for j, s in enumerate(states):
+                    ap = s.cands.attack_positions
+                    pos[j, : len(ap)] = ap
+                r_pgd, r_vl = jax.random.split(r_pgd)
+                adv_px, text_grad = pgd_vl_step(
+                    p._vl_loss, adv_px, adv_embeds, ori_px, jnp.asarray(pos), r_vl, aux,
+                    eps=atk.eps, eps_iter=atk.step_size,
+                    clip_min=atk.clip_min, clip_max=atk.clip_max,
+                    use_pallas=p.use_pallas,
+                )
+                tg = np.asarray(text_grad)
 
             # --- substitution selection (host; embeddings batched inside) --
-            for j, s in enumerate(states):
-                if not s.cands.attack_word_indices:
-                    continue
-                np_grad = tg[j, : len(s.cands.attack_positions)]
-                new_text, ops = select_substitutions(
-                    s.adv_text, s.question, np_grad, s.cands, s.ori_emb,
-                    p.embed_texts, p.gate.scores,
-                    sim_threshold=p.gate.operating_point(atk.sim_threshold),
-                    max_length=self._max_text_len,
-                )
-                s.adv_text = new_text
-                s.substitutions.extend(ops)
-                if old_alg == 0 and ops:
-                    s.mar_words = apply_substitutions_to_paraphrase(s.mar_words, ops)
+            with self._timer.phase("substitution"):
+                for j, s in enumerate(states):
+                    if not s.cands.attack_word_indices:
+                        continue
+                    np_grad = tg[j, : len(s.cands.attack_positions)]
+                    new_text, ops = select_substitutions(
+                        s.adv_text, s.question, np_grad, s.cands, s.ori_emb,
+                        p.embed_texts, p.gate.scores,
+                        sim_threshold=p.gate.operating_point(atk.sim_threshold),
+                        max_length=self._max_text_len,
+                    )
+                    s.adv_text = new_text
+                    s.substitutions.extend(ops)
+                    if old_alg == 0 and ops:
+                        s.mar_words = apply_substitutions_to_paraphrase(s.mar_words, ops)
 
         adv_np = np.asarray(adv_px)
         results = []
@@ -324,7 +377,8 @@ class BatchedAlbefAttack:
         the last sample, run lockstep, drop padding results."""
         if rng is None:
             rng = jax.random.key(self.p.cfg.seed)
-        prepared = [(self._prepare(s), s) for s in samples]
+        with self._timer.phase("prepare"):
+            prepared = [(self._prepare(s), s) for s in samples]
         buckets: Dict[Tuple[int, int], List[Tuple[_SampleState, dict]]] = {}
         for st, s in prepared:
             buckets.setdefault(self.bucket_key(st), []).append((st, s))
@@ -352,6 +406,7 @@ class BatchedAlbefAttack:
                 step += 1
                 out = self.attack_bucket(px, states, jax.random.fold_in(rng, step))
                 results.extend(out[:n_real])
+        self._timer.report()
         return results
 
 
@@ -383,6 +438,7 @@ class BatchedVlmoAttack(BatchedAlbefAttack):
         self.p = pipeline
         self.mesh = mesh
         self._mixed_loss = make_vlmo_mixed_second_loss(pipeline.model)
+        self._timer = _make_timer()
 
     @property
     def _max_text_len(self) -> int:

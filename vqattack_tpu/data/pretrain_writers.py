@@ -20,7 +20,10 @@ built by either side are interchangeable:
   sentence files -> ``wikibk_train_{i}.arrow``, text-only: image = "None");
 - :func:`write_nlvr2`           (``write_nlvr2.py``: jsonl annotation files +
   paired pngs -> ``nlvr2_{split}.arrow``, schema [image_0, image_1,
-  questions, answers, identifier]).
+  questions, answers, identifier]);
+- :func:`write_text_vqa`        (``write_text_vqa.py``: TextVQA 0.5.1 jsons +
+  ``train_images`` jpegs -> ``text_vqa_{split}.arrow``, VQA-style schema
+  with the writer's occurrence-count soft scores).
 
 All writers are pure pyarrow (no pandas dependency) and shard/iterate
 deterministically — the reference shuffles image order before writing
@@ -289,4 +292,73 @@ def write_nlvr2(root: str, dataset_root: str) -> List[str]:
             arrow_path,
         )
         out.append(arrow_path)
+    return out
+
+
+def textvqa_occurrence_score(count: int) -> float:
+    """The TextVQA writer's occurrence->soft-score table
+    (``write_text_vqa.py:13-23``) — note it is NOT the official VQA
+    min(1, n/3): 1 -> 0.3, 2 -> 0.6, 3 -> 0.9, >=4 -> 1.0."""
+    return min(1.0, 0.3 * count) if count < 4 else 1.0
+
+
+def write_text_vqa(root: str, dataset_root: str) -> List[str]:
+    """TextVQA 0.5.1 -> arrow (``write_text_vqa.py:62-198``): reads
+    ``TextVQA_0.5.1_{train,val}.json`` ("data" lists of {image_id,
+    question_id, question, answers}); BOTH splits draw images from
+    ``train_images`` (``:150-153``).  One row per annotated image, with the
+    image's questions grouped into parallel lists; answers are deduped per
+    question with occurrence-count soft scores, and ``answer_labels`` is
+    zero-filled (the reference writer leaves vocabulary indexing to the
+    consumer, ``:44``).  Emits ``text_vqa_{train,val}.arrow``."""
+    per_split: Dict[str, Dict[str, dict]] = {}
+    for split in ["train", "val"]:
+        with open(os.path.join(root, f"TextVQA_0.5.1_{split}.json")) as f:
+            questions = json.load(f)["data"]
+        annot: Dict[str, dict] = defaultdict(dict)
+        for q in questions:
+            answer_count: Dict[str, int] = {}
+            for answer in q.get("answers", []):
+                answer_count[answer] = answer_count.get(answer, 0) + 1
+            annot[str(q["image_id"])][q["question_id"]] = {
+                "question": q["question"],
+                "answers": list(answer_count.keys()),
+                "scores": [
+                    textvqa_occurrence_score(c) for c in answer_count.values()
+                ],
+            }
+        per_split[split] = annot
+
+    out = []
+    for split in ["train", "val"]:
+        annot = per_split[split]
+        rows = []
+        # both splits' jpegs live under train_images (write_text_vqa.py:150)
+        for path in sorted(glob(os.path.join(root, "train_images", "*.jpg"))):
+            iid = os.path.basename(path)[: -len(".jpg")]
+            if iid not in annot:
+                continue
+            qas = list(annot[iid].items())
+            rows.append(
+                {
+                    "image": _read_bytes(path),
+                    "questions": [qa["question"] for _, qa in qas],
+                    "answers": [qa["answers"] for _, qa in qas],
+                    "answer_labels": [
+                        [0] * len(qa["scores"]) for _, qa in qas
+                    ],
+                    "answer_scores": [qa["scores"] for _, qa in qas],
+                    "image_id": iid,
+                    "question_id": [qid for qid, _ in qas],
+                    "split": split,
+                }
+            )
+        path = os.path.join(dataset_root, f"text_vqa_{split}.arrow")
+        _write_table(
+            rows,
+            ["image", "questions", "answers", "answer_labels",
+             "answer_scores", "image_id", "question_id", "split"],
+            path,
+        )
+        out.append(path)
     return out

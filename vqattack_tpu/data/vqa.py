@@ -53,6 +53,7 @@ class VQADataset:
         if answer_list:
             with open(answer_list) as fh:
                 self.answer_list = json.load(fh)
+        self._img_ids: Dict[str, int] = {}
 
     def __len__(self) -> int:
         return len(self.ann)
@@ -71,23 +72,52 @@ class VQADataset:
                 idx = _random.Random(idx + attempt).randrange(len(self))
         raise RuntimeError("unreachable")
 
-    def _get_item(self, idx: int) -> Dict[str, Any]:
-        ann = self.ann[idx]
+    # string-label dialects of the reference task annotations:
+    # ve_dataset.py:14 maps SNLI-VE entailment labels; nlvr_dataset.py:35-38
+    # maps 'True'/'False'
+    _STR_LABELS = {"entailment": 2, "neutral": 1, "contradiction": 0,
+                   "True": 1, "False": 0}
+
+    def _load_pixels(self, name: str):
         from PIL import Image
 
-        path = os.path.join(self.image_root, ann["image"])
+        path = os.path.join(self.image_root, name)
+        if "." not in os.path.basename(name):
+            path += ".jpg"  # ve_dataset.py:24 appends the extension
         with Image.open(path) as img:
-            pixels = self.transform(img)
+            return self.transform(img)[None]  # [1, H, W, 3]
 
+    def _get_item(self, idx: int) -> Dict[str, Any]:
+        ann = self.ann[idx]
+
+        # text field across the reference's annotation dialects: VQA
+        # 'question', VE/NLVR 'sentence', grounding 'text', caption 'caption'
+        text = ann.get("question")
+        if text is None:
+            text = ann.get("sentence", ann.get("text", ann.get("caption", "")))
+        if isinstance(text, list):  # caption jsons may carry several
+            text = text[0] if text else ""
         item: Dict[str, Any] = {
-            "pixels": pixels[None],  # [1, H, W, 3]
-            "question": pre_question(ann["question"], self.max_ques_words),
+            "question": pre_question(text, self.max_ques_words),
             "qid": ann.get("question_id"),
         }
+        if "images" in ann:  # NLVR paired streams (nlvr_dataset.py:25-31)
+            item["pixels0"] = self._load_pixels(ann["images"][0])
+            item["pixels1"] = self._load_pixels(ann["images"][1])
+            item["pixels"] = item["pixels0"]
+        else:
+            item["pixels"] = self._load_pixels(ann["image"])
+            # image-identity index: retrieval/grounding training treats
+            # same-image samples as positives (grounding_dataset.py:17-24)
+            img_id = str(ann["image"]).split("/")[-1]
+            item["img_idx"] = self._img_ids.setdefault(img_id, len(self._img_ids))
         # task annotations pass through (VE/NLVR labels, VLMo soft targets)
-        for key in ("label", "answer_labels", "answer_scores", "sentence"):
+        for key in ("label", "answer_labels", "answer_scores", "sentence",
+                    "ref_id"):
             if key in ann:
                 item[key] = ann[key]
+        if isinstance(item.get("label"), str):
+            item["label"] = self._STR_LABELS.get(item["label"], 0)
         if self.split == "test":
             return item
         # train: answer-frequency weights (vqa_dataset.py:55-66)

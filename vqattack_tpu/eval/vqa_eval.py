@@ -1,16 +1,20 @@
-"""Official VQA evaluation: answer normalization + soft accuracy.
+"""Official VQA evaluation: annotation api, answer normalization, accuracy.
 
-Reference: ``ALBEF_attack/vqaTools/vqaEval.py`` — the official pipeline:
-contraction restoration, punctuation rules, number-word mapping, article
-removal, then per-question accuracy ``min(1, #matching_humans / 3)`` averaged
-over 10-choose-9 human subsets (``vqaEval.py:100`` family), equivalently
-``min(1, count/3)`` per unique answer.
+Reference: ``ALBEF_attack/vqaTools/`` — :class:`VQA` is the official
+annotation-browsing api (``vqa.py:24-160``: question/answer indices,
+``getQuesIds``/``getImgIds``/``loadQA``/``load_res``); the normalization
+pipeline is contraction restoration, punctuation rules, number-word mapping,
+article removal; accuracy is the leave-one-annotator-out soft score
+(``vqaEval.py:84-121``) with per-question-type and per-answer-type
+breakdowns.
 """
 
 from __future__ import annotations
 
+import json
 import re
-from typing import Dict, List, Sequence
+from collections import defaultdict
+from typing import Any, Dict, List, Optional, Sequence, Union
 
 _CONTRACTIONS = {
     "aint": "ain't", "arent": "aren't", "cant": "can't", "couldve": "could've",
@@ -96,18 +100,138 @@ def vqa_soft_accuracy(pred: str, gt_answers: Sequence[str]) -> float:
     return (k * acc_when_match_left_out + (n - k) * acc_when_other_left_out) / n
 
 
+def _load_json(src: Union[str, dict, list, None]):
+    if src is None or isinstance(src, (dict, list)):
+        return src
+    with open(src) as f:
+        return json.load(f)
+
+
+class VQA:
+    """The official VQA annotation api (``vqaTools/vqa.py:24-160``).
+
+    Accepts file paths or already-parsed dicts for the annotation json
+    (``{"annotations": [...]}``) and question json (``{"questions": [...]}``).
+    """
+
+    def __init__(self, annotation_file=None, question_file=None):
+        self.dataset = _load_json(annotation_file) or {}
+        self.questions = _load_json(question_file) or {}
+        self.qa: Dict[Any, dict] = {}
+        self.qqa: Dict[Any, dict] = {}
+        self.imgToQA: Dict[Any, List[dict]] = defaultdict(list)
+        if self.dataset:
+            self.create_index()
+
+    def create_index(self) -> None:
+        for ann in self.dataset.get("annotations", []):
+            self.qa[ann["question_id"]] = ann
+            self.imgToQA[ann["image_id"]].append(ann)
+        for q in self.questions.get("questions", []):
+            self.qqa[q["question_id"]] = q
+
+    @staticmethod
+    def _filter(anns: List[dict], ques_types, ans_types) -> List[dict]:
+        if ques_types:
+            anns = [a for a in anns if a.get("question_type") in set(ques_types)]
+        if ans_types:
+            anns = [a for a in anns if a.get("answer_type") in set(ans_types)]
+        return anns
+
+    def getQuesIds(self, imgIds=(), quesTypes=(), ansTypes=()) -> List[Any]:
+        if imgIds:
+            anns = [a for i in imgIds for a in self.imgToQA.get(i, [])]
+        else:
+            anns = list(self.dataset.get("annotations", []))
+        return [a["question_id"] for a in self._filter(anns, quesTypes, ansTypes)]
+
+    def getImgIds(self, quesIds=(), quesTypes=(), ansTypes=()) -> List[Any]:
+        if quesIds:
+            anns = [self.qa[q] for q in quesIds if q in self.qa]
+        else:
+            anns = list(self.dataset.get("annotations", []))
+        return [a["image_id"] for a in self._filter(anns, quesTypes, ansTypes)]
+
+    def loadQA(self, ids=()) -> List[dict]:
+        if isinstance(ids, (int, str)):
+            ids = [ids]
+        return [self.qa[i] for i in ids]
+
+    def load_res(self, res_file) -> "VQA":
+        """Result-set VQA (``vqa.py:144-160``): one ``{"question_id",
+        "answer"}`` record per question, with image id and type fields
+        copied from this (ground-truth) instance."""
+        res = VQA()
+        res.questions = self.questions
+        anns = _load_json(res_file)
+        if isinstance(anns, dict):
+            anns = anns.get("annotations", [])
+        out = []
+        for ann in anns:
+            qid = ann["question_id"]
+            gt = self.qa[qid]
+            out.append({
+                "question_id": qid,
+                "answer": ann["answer"],
+                "image_id": gt["image_id"],
+                "question_type": gt.get("question_type"),
+                "answer_type": gt.get("answer_type"),
+            })
+        res.dataset = {"annotations": out}
+        res.create_index()
+        return res
+
+    # PEP8 twins of the official camelCase names
+    loadRes = load_res
+
+
 class VQAEval:
-    """Accumulating evaluator (``vqaTools/vqaEval.py`` interface)."""
+    """Accumulating evaluator (``vqaTools/vqaEval.py`` interface), with the
+    official per-question-type / per-answer-type breakdown."""
 
     def __init__(self):
         self.accuracies: List[float] = []
         self.per_question: Dict[str, float] = {}
+        self._by_ques_type: Dict[str, List[float]] = defaultdict(list)
+        self._by_ans_type: Dict[str, List[float]] = defaultdict(list)
 
-    def update(self, qid, pred: str, gt_answers: Sequence[str]) -> float:
+    def update(self, qid, pred: str, gt_answers: Sequence[str],
+               ques_type: Optional[str] = None,
+               ans_type: Optional[str] = None) -> float:
         acc = vqa_soft_accuracy(pred, gt_answers)
         self.accuracies.append(acc)
         self.per_question[str(qid)] = acc
+        if ques_type is not None:
+            self._by_ques_type[ques_type].append(acc)
+        if ans_type is not None:
+            self._by_ans_type[ans_type].append(acc)
         return acc
+
+    def evaluate(self, vqa: VQA, vqa_res: VQA, ques_ids=None) -> Dict[str, Any]:
+        """The official driver (``vqaEval.py:68-121``): score every result
+        question against the ground-truth api and return the accuracy dict
+        ``{"overall", "perQuestionType", "perAnswerType"}`` (percentages)."""
+        if ques_ids is None:
+            ques_ids = vqa_res.getQuesIds()
+        for qid in ques_ids:
+            gt = vqa.qa[qid]
+            self.update(
+                qid, vqa_res.qa[qid]["answer"],
+                [a["answer"] for a in gt.get("answers", [])],
+                ques_type=gt.get("question_type"),
+                ans_type=gt.get("answer_type"),
+            )
+        return {
+            "overall": self.accuracy,
+            "perQuestionType": {
+                k: 100.0 * sum(v) / len(v)
+                for k, v in self._by_ques_type.items()
+            },
+            "perAnswerType": {
+                k: 100.0 * sum(v) / len(v)
+                for k, v in self._by_ans_type.items()
+            },
+        }
 
     @property
     def accuracy(self) -> float:

@@ -220,10 +220,16 @@ def main(argv=None) -> None:
         def collate(items):
             texts = [i.get("question", "") for i in items]
             ids, mask = tok.encode_batch(texts, max_len)
+            # image-identity indices: same-image rows are positives for the
+            # ITA loss (grounding_dataset.py:17-24 / model_retrieval idx);
+            # positional fallback for sources without an image-id notion
+            idx = np.asarray(
+                [i.get("img_idx", n) for n, i in enumerate(items)]
+            )
             return {
                 "pixels": jnp.asarray(np.concatenate([i["pixels"] for i in items])),
                 "text_ids": jnp.asarray(ids), "text_mask": jnp.asarray(mask),
-                "idx": jnp.arange(len(items)),
+                "idx": jnp.asarray(idx),
             }
 
     elif args.task in ("ve", "nlvr2"):
