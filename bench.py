@@ -114,11 +114,14 @@ def _make_albef(batch, iters, dtype, fused, remat):
     from vqattack_tpu.config import albef_attack_config
     from vqattack_tpu.models.albef import AlbefPretrain
 
-    def _with_remat(c, on):
+    def _with_remat(c, mode):
+        # mode: True (full block remat) | False (none) | "scores" (checkpoint
+        # only the [B,H,S,S] attention scores/probs — see PERF.md)
+        on, scores = mode is True, mode == "scores"
         albef = dataclasses.replace(
             c.albef,
-            vit=dataclasses.replace(c.albef.vit, remat=on),
-            bert=dataclasses.replace(c.albef.bert, remat=on),
+            vit=dataclasses.replace(c.albef.vit, remat=on, remat_scores=scores),
+            bert=dataclasses.replace(c.albef.bert, remat=on, remat_scores=scores),
         )
         return dataclasses.replace(c, albef=albef)
 
@@ -187,15 +190,18 @@ def _make_vlmo(batch, iters, dtype, fused, remat):
     from vqattack_tpu.config import vlmo_attack_config
     from vqattack_tpu.models.vlmo import VLMo
 
-    # vlmo_attack_config() defaults remat ON — honor BENCH_REMAT both ways
+    # vlmo_attack_config() defaults remat ON — honor BENCH_REMAT all ways
     cfg = vlmo_attack_config()
     cfg = dataclasses.replace(
-        cfg, vlmo=dataclasses.replace(cfg.vlmo, remat=remat)
+        cfg,
+        vlmo=dataclasses.replace(
+            cfg.vlmo, remat=remat is True, remat_scores=remat == "scores"
+        ),
     )
     model = VLMo(cfg.vlmo, dtype=dtype, fused_feats=fused)
     flops_model = VLMo(
-        dataclasses.replace(cfg.vlmo, remat=False), dtype=dtype,
-        fused_feats=fused,
+        dataclasses.replace(cfg.vlmo, remat=False, remat_scores=False),
+        dtype=dtype, fused_feats=fused,
     )
     t = cfg.vlmo.max_text_len
     rng = np.random.default_rng(0)
@@ -269,7 +275,7 @@ def measure(model_kind, batch, iters, dtype, *, fused=False, remat=True,
         "nb_iter": iters,
         "dtype": jnp.dtype(dtype).name,
         "fused_loss": bool(fused),
-        "remat": bool(remat),
+        "remat": remat if isinstance(remat, str) else bool(remat),
         "wall_s_per_scan": round(dt, 4),
         "scan_steps_per_s": round(iters / dt, 2),
         "aggregate_sample_iters_per_s": round(agg, 2),
@@ -302,7 +308,9 @@ def main() -> None:
 
     model_kind = os.environ.get("BENCH_MODEL", "albef")
     iters = int(os.environ.get("BENCH_ITERS", "40"))
-    remat = os.environ.get("BENCH_REMAT", "1") == "1"
+    # "1" full block remat | "0" none | "scores" attention-scores-only
+    remat_env = os.environ.get("BENCH_REMAT", "1")
+    remat = "scores" if remat_env == "scores" else remat_env == "1"
     fused = os.environ.get("BENCH_FUSED_LOSS") == "1"
     attn = os.environ.get("BENCH_ATTN", "xla")
 
@@ -315,7 +323,7 @@ def main() -> None:
         rows = []
         for dtype in (jnp.float32, jnp.bfloat16):
             for batch in batches:
-                for remat_on in (True, False):
+                for remat_on in (True, False, "scores"):
                     try:
                         row = measure(model_kind, batch, iters, dtype,
                                       fused=fused, remat=remat_on, attn=attn)

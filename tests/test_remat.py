@@ -61,6 +61,91 @@ def test_vlmo_remat_matches():
     np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=2e-4, atol=1e-4)
 
 
+def test_albef_remat_scores_matches():
+    """Selective remat (checkpoint only the [B,H,S,S] attention scores/probs)
+    replays the identical ops in backward — forwards and gradients must match
+    the plain path."""
+    base = CFG.albef
+    r = dataclasses.replace(
+        base,
+        vit=dataclasses.replace(base.vit, remat_scores=True),
+        bert=dataclasses.replace(base.bert, remat_scores=True),
+    )
+    m0, m1 = AlbefPretrain(base), AlbefPretrain(r)
+    px = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (1, 32, 32, 3)), jnp.float32)
+    ids = jnp.ones((1, 8), jnp.int32)
+    mask = jnp.ones_like(ids)
+    params = jax.jit(m0.init)(jax.random.key(0), px, ids, mask)
+
+    def loss(m):
+        def f(p):
+            img_f, txt_f, _ = m.apply(params, p, ids, mask)
+            return jnp.sum(img_f ** 2) + jnp.sum(txt_f ** 2)
+        return f
+
+    v0, g0 = jax.jit(jax.value_and_grad(loss(m0)))(px)
+    v1, g1 = jax.jit(jax.value_and_grad(loss(m1)))(px)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=2e-4, atol=1e-4)
+
+
+def test_vlmo_remat_scores_matches():
+    base = CFG.vlmo
+    r = dataclasses.replace(base, remat_scores=True)
+    m0, m1 = VLMo(base), VLMo(r)
+    px = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (1, 32, 32, 3)), jnp.float32)
+    ids = jnp.ones((1, base.max_text_len), jnp.int32)
+    mask = jnp.ones_like(ids)
+    params = jax.jit(lambda k: m0.init(k, ids, mask, px, method=VLMo.init_all))(
+        jax.random.key(0)
+    )
+
+    def loss(m):
+        def f(p):
+            out = m.apply(params, ids, mask, p)
+            return jnp.sum(out["cls_feats"] ** 2)
+        return f
+
+    v0, g0 = jax.jit(jax.value_and_grad(loss(m0)))(px)
+    v1, g1 = jax.jit(jax.value_and_grad(loss(m1)))(px)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=2e-4, atol=1e-4)
+
+
+def test_remat_scores_full_attack_trajectory_identical():
+    """Inside the real pgd_feature scan the scores-checkpoint path must
+    produce the identical trajectory (same ops, same order, f32)."""
+    import dataclasses as dc
+
+    from vqattack_tpu.attacks import albef as albef_losses
+    from vqattack_tpu.attacks.pgd import pgd_feature
+
+    base = dc.replace(CFG.albef, mlm_probability=0.0)
+    sel = dc.replace(
+        base,
+        vit=dc.replace(base.vit, remat_scores=True),
+        bert=dc.replace(base.bert, remat_scores=True),
+    )
+    m0, m1 = AlbefPretrain(base), AlbefPretrain(sel)
+    rng = np.random.default_rng(0)
+    px = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(5, base.bert.vocab_size, (2, 8)), jnp.int32)
+    mask = jnp.ones_like(ids)
+    params = jax.jit(m0.init)(jax.random.key(0), px, ids, mask)
+    img_f, txt_f, _ = m0.apply(params, px, ids, mask)
+    aux = {"variables": params, "text_ids": ids, "text_mask": mask,
+           "tgt_img": img_f, "tgt_txt": txt_f, "txt_token_mask": None,
+           "special_ids": (4, 0, 2)}
+    kw = dict(eps=0.125, eps_iter=0.01, nb_iter=10, rand_init=False,
+              use_pallas=False)
+    a0, l0 = pgd_feature(albef_losses.make_feature_loss(m0), px, px,
+                         jax.random.key(1), aux, **kw)
+    a1, l1 = pgd_feature(albef_losses.make_feature_loss(m1), px, px,
+                         jax.random.key(1), aux, **kw)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(a0), np.asarray(a1), atol=1e-6)
+
+
 def test_bf16_mixed_policy_sign_agreement():
     """bf16 trunk (softmax/losses stay f32 by construction) must take nearly
     the same sign steps as f32 — the evidence behind BENCH_DTYPE=bfloat16."""

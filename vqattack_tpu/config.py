@@ -39,6 +39,9 @@ class ViTConfig:
     layer_norm_eps: float = 1e-6
     qkv_bias: bool = True
     remat: bool = False  # jax.checkpoint each block (memory for FLOPs)
+    # checkpoint only the [B,H,S,S] attention scores/probs (recomputed in
+    # backward); the selective point between remat on/off — see PERF.md
+    remat_scores: bool = False
 
     @property
     def num_patches(self) -> int:
@@ -72,6 +75,7 @@ class BertConfig:
     is_decoder: bool = False  # causal self-attention (answer decoder)
     pad_token_id: int = 0
     remat: bool = False  # jax.checkpoint each layer
+    remat_scores: bool = False  # checkpoint only attention scores/probs
 
     @property
     def head_dim(self) -> int:
@@ -124,6 +128,7 @@ class VLMoConfig:
     vqa_label_size: int = 3129  # config.py:37 vqav2_label_size
     drop_path_rate: float = 0.0
     remat: bool = False  # jax.checkpoint each block
+    remat_scores: bool = False  # checkpoint only attention scores/probs
     # False = single shared FFN per block (the ViLT single-stream family —
     # the paper's black-box transfer target — is VLMo minus the experts)
     moe: bool = True

@@ -109,6 +109,7 @@ class BertLayer(nn.Module):
             head_dim=cfg.head_dim,
             out_dim=cfg.num_heads * cfg.head_dim,
             use_out_proj=False,  # HF layout: proj lives in the output block
+            remat_scores=cfg.remat_scores,
             dtype=self.dtype,
             name="attention_self",
         )(x, bias=self_bias)
@@ -121,6 +122,7 @@ class BertLayer(nn.Module):
                 head_dim=cfg.head_dim,
                 out_dim=cfg.num_heads * cfg.head_dim,
                 use_out_proj=False,
+                remat_scores=cfg.remat_scores,
                 dtype=self.dtype,
                 name="crossattention_self",
             )(x, kv=encoder_states, bias=cross_bias, attn_scale=cross_attn_scale)

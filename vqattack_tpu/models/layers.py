@@ -81,6 +81,12 @@ class MultiHeadAttention(nn.Module):
     # projection — the HF BERT layout keeps that dense in its own
     # "attention output" block (post-LN residual)
     use_out_proj: bool = True
+    # checkpoint ONLY the [B, H, Sq, Sk] score/prob tensors: the attack
+    # backward recomputes them from (q, k, v) instead of keeping them live
+    # across forward->backward.  Unlike full block remat this stores every
+    # O(S*D) activation and recomputes only the O(S^2) ones — the selective
+    # point between the remat on/off extremes A/B'd in PERF.md.
+    remat_scores: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -113,15 +119,29 @@ class MultiHeadAttention(nn.Module):
                 and attn_scale is None):
             out = attn_backend.flash_attention(q, k, v, bias, scale)
         else:
-            attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
-            if bias is not None:
-                attn = attn + bias.astype(attn.dtype)
-            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-            if attn_scale is not None:
-                # differentiable probe: d(score)/d(attn_scale) at ones equals
-                # grad x attention — the Grad-CAM product (utils/gradcam.py)
-                attn = attn * attn_scale
-            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+            def _attn_out(q, k, v, bias, attn_scale):
+                attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+                if bias is not None:
+                    attn = attn + bias.astype(attn.dtype)
+                attn = jax.nn.softmax(
+                    attn.astype(jnp.float32), axis=-1
+                ).astype(self.dtype)
+                if attn_scale is not None:
+                    # differentiable probe: d(score)/d(attn_scale) at ones
+                    # equals grad x attention — the Grad-CAM product
+                    # (utils/gradcam.py)
+                    attn = attn * attn_scale
+                return jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+
+            if self.remat_scores:
+                # residuals = (q, k, v, bias) only; the O(S^2) scores, probs
+                # and softmax internals are rebuilt in the backward pass —
+                # one extra QK^T + softmax per layer instead of keeping
+                # [B, H, S, S] live across the whole trunk backward
+                _attn_out = jax.checkpoint(
+                    _attn_out, policy=jax.checkpoint_policies.nothing_saveable
+                )
+            out = _attn_out(q, k, v, bias, attn_scale)
         out = out.reshape(out.shape[0], out.shape[1], d)
         if not self.use_out_proj:
             return out
@@ -134,6 +154,7 @@ class ViTBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     layer_norm_eps: float = 1e-6
+    remat_scores: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -145,6 +166,7 @@ class ViTBlock(nn.Module):
             num_heads=self.num_heads,
             head_dim=head_dim,
             out_dim=dim,
+            remat_scores=self.remat_scores,
             dtype=self.dtype,
             name="attn",
         )(h)

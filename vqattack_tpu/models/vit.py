@@ -73,6 +73,7 @@ class VisionTransformer(nn.Module):
                 num_heads=cfg.num_heads,
                 mlp_ratio=cfg.mlp_ratio,
                 layer_norm_eps=cfg.layer_norm_eps,
+                remat_scores=cfg.remat_scores,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x)

@@ -152,6 +152,7 @@ class MultiWayBlock(nn.Module):
             q_bias=True,
             k_bias=False,  # decomposed qkv bias: k un-biased (:75-93)
             v_bias=True,
+            remat_scores=cfg.remat_scores,
             dtype=self.dtype,
             name="attn",
         )(h, bias=attn_bias)

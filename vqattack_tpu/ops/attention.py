@@ -133,15 +133,21 @@ def flash_attention(
     )
 
     qt, kt, vt, ab, seg, sq = _prepare(q, k, v, bias, scale)
-    blk = 128
     sq_p, sk_p = qt.shape[2], kt.shape[2]
+    # Grid granularity: the 128-lane minimum is correct but makes an
+    # (b, h, sq/128) grid of tiny programs whose launch/pipeline overhead
+    # dominated the round-1/2 A/Bs (PERF.md).  Tunable for retuning on new
+    # geometries; must divide the padded sequence lengths.
+    import os as _os
+    bq = min(int(_os.environ.get("VQATTACK_FLASH_BLOCK_Q", "128")), sq_p)
+    bk = min(int(_os.environ.get("VQATTACK_FLASH_BLOCK_K", "128")), sk_p)
     sizes = BlockSizes(
-        block_q=min(blk, sq_p), block_k_major=min(blk, sk_p), block_k=min(blk, sk_p),
+        block_q=bq, block_k_major=bk, block_k=bk,
         block_b=1,
-        block_q_major_dkv=min(blk, sq_p), block_k_major_dkv=min(blk, sk_p),
-        block_k_dkv=min(blk, sk_p), block_q_dkv=min(blk, sq_p),
-        block_k_major_dq=min(blk, sk_p), block_k_dq=min(blk, sk_p),
-        block_q_dq=min(blk, sq_p),
+        block_q_major_dkv=bq, block_k_major_dkv=bk,
+        block_k_dkv=bk, block_q_dkv=bq,
+        block_k_major_dq=bk, block_k_dq=bk,
+        block_q_dq=bq,
     )
     segment_ids = SegmentIds(q=seg[0], kv=seg[1]) if seg is not None else None
     out = _fa(qt, kt, vt, ab=ab, segment_ids=segment_ids, sm_scale=scale,

@@ -61,6 +61,13 @@ def build_argparser() -> argparse.ArgumentParser:
              "in f32 (+15%% measured), slower at batch 1 (PERF.md remat A/B)",
     )
     p.add_argument(
+        "--remat-scores", action="store_true",
+        help="selective rematerialization: store every O(S*D) activation but "
+             "recompute the [B,H,S,S] attention scores/probs in backward — "
+             "the middle point between full remat and --no-remat (PERF.md); "
+             "implies --no-remat for the trunk blocks",
+    )
+    p.add_argument(
         "--dtype", choices=["float32", "bfloat16"], default=None,
         help="surrogate trunk compute dtype (default: config compute_dtype, "
              "float32). bfloat16 + --no-remat + --batch-size 8 is the fastest "
@@ -128,15 +135,22 @@ def resolve_config(args):
     cfg = dataclasses.replace(cfg, output_dir=args.output)
     if args.seed is not None:
         cfg = dataclasses.replace(cfg, seed=args.seed)
-    if getattr(args, "no_remat", False):
+    if getattr(args, "no_remat", False) or getattr(args, "remat_scores", False):
+        scores = bool(getattr(args, "remat_scores", False))
         cfg = dataclasses.replace(
             cfg,
             albef=dataclasses.replace(
                 cfg.albef,
-                vit=dataclasses.replace(cfg.albef.vit, remat=False),
-                bert=dataclasses.replace(cfg.albef.bert, remat=False),
+                vit=dataclasses.replace(
+                    cfg.albef.vit, remat=False, remat_scores=scores
+                ),
+                bert=dataclasses.replace(
+                    cfg.albef.bert, remat=False, remat_scores=scores
+                ),
             ),
-            vlmo=dataclasses.replace(cfg.vlmo, remat=False),
+            vlmo=dataclasses.replace(
+                cfg.vlmo, remat=False, remat_scores=scores
+            ),
         )
     if getattr(args, "dtype", None):
         cfg = dataclasses.replace(cfg, compute_dtype=args.dtype)
