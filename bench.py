@@ -23,9 +23,16 @@ Baseline caveat: the reference publishes no wall-clock numbers (SURVEY §6).
 reference's loop (batch locked to 1, host sync every iteration, 1x
 A100-class GPU) — a measured-vs-assumed ratio, labeled as such everywhere.
 
-Env knobs: BENCH_BATCH (default 1), BENCH_ITERS (default 40),
-BENCH_DTYPE (float32|bfloat16), BENCH_ATTN (xla|flash),
-BENCH_PRECISION (default|high|highest), BENCH_REMAT (default 1),
+The default (no env knobs) measures the PRODUCTION configuration — the
+best point of the measured batch x dtype x remat matrix (PERF.md):
+bfloat16 trunk (f32 softmax/losses/update), no remat, batch 16.  Set the
+env knobs to reproduce any other matrix point (the round-1 headline was
+the reference's own config: BENCH_BATCH=1 BENCH_DTYPE=float32).
+
+Env knobs: BENCH_BATCH (default 16), BENCH_ITERS (default 40),
+BENCH_DTYPE (float32|bfloat16, default bfloat16), BENCH_ATTN (xla|flash),
+BENCH_PRECISION (default|high|highest), BENCH_REMAT (default 0;
+1 = full block remat, "scores" = attention-scores-only),
 BENCH_FUSED_LOSS (1 = per-layer cosine without materializing the image
 feature stack), BENCH_MODEL (albef|vlmo), BENCH_MATRIX (1 = run the
 batch x dtype matrix, write BENCH_MATRIX.json, print per-config lines to
@@ -309,7 +316,7 @@ def main() -> None:
     model_kind = os.environ.get("BENCH_MODEL", "albef")
     iters = int(os.environ.get("BENCH_ITERS", "40"))
     # "1" full block remat | "0" none | "scores" attention-scores-only
-    remat_env = os.environ.get("BENCH_REMAT", "1")
+    remat_env = os.environ.get("BENCH_REMAT", "0")
     remat = "scores" if remat_env == "scores" else remat_env == "1"
     fused = os.environ.get("BENCH_FUSED_LOSS") == "1"
     attn = os.environ.get("BENCH_ATTN", "xla")
@@ -352,8 +359,9 @@ def main() -> None:
             }))
             return
     else:
-        batch = int(os.environ.get("BENCH_BATCH", "1"))
-        dtype = jnp.bfloat16 if os.environ.get("BENCH_DTYPE") == "bfloat16" else jnp.float32
+        batch = int(os.environ.get("BENCH_BATCH", "16"))
+        dtype = (jnp.float32 if os.environ.get("BENCH_DTYPE") == "float32"
+                 else jnp.bfloat16)
         head = measure(model_kind, batch, iters, dtype,
                        fused=fused, remat=remat, attn=attn)
 

@@ -134,13 +134,15 @@ def flash_attention(
 
     qt, kt, vt, ab, seg, sq = _prepare(q, k, v, bias, scale)
     sq_p, sk_p = qt.shape[2], kt.shape[2]
-    # Grid granularity: the 128-lane minimum is correct but makes an
-    # (b, h, sq/128) grid of tiny programs whose launch/pipeline overhead
-    # dominated the round-1/2 A/Bs (PERF.md).  Tunable for retuning on new
-    # geometries; must divide the padded sequence lengths.
+    # Grid granularity: the 128-lane minimum makes a (b, h, sq/128) grid of
+    # tiny programs whose launch/pipeline overhead dominated the round-1/2
+    # A/Bs; the on-chip retune (scripts/flash_blocks.py, PERF.md) found
+    # whole-sequence 1024 blocks fastest at S~1k — big enough to beat XLA's
+    # fused attention at b>=8.  Env-tunable for new geometries; must divide
+    # the padded sequence lengths (min() clamps to them).
     import os as _os
-    bq = min(int(_os.environ.get("VQATTACK_FLASH_BLOCK_Q", "128")), sq_p)
-    bk = min(int(_os.environ.get("VQATTACK_FLASH_BLOCK_K", "128")), sk_p)
+    bq = min(int(_os.environ.get("VQATTACK_FLASH_BLOCK_Q", "1024")), sq_p)
+    bk = min(int(_os.environ.get("VQATTACK_FLASH_BLOCK_K", "1024")), sk_p)
     sizes = BlockSizes(
         block_q=bq, block_k_major=bk, block_k=bk,
         block_b=1,
