@@ -341,8 +341,22 @@ def main() -> None:
                                "error": repr(e)[:200]}
                     rows.append(row)
                     print(json.dumps(row), file=sys.stderr, flush=True)
-        with open(os.path.join(os.path.dirname(__file__), "BENCH_MATRIX.json"), "w") as f:
-            json.dump({"device": jax.devices()[0].device_kind, "rows": rows}, f, indent=1)
+        path = os.path.join(os.path.dirname(__file__), "BENCH_MATRIX.json")
+        merged = {"device": jax.devices()[0].device_kind, "rows": []}
+        if os.path.exists(path):
+            with open(path) as f:
+                merged = json.load(f)
+
+        def _key(r):
+            return (r.get("model"), r.get("batch"), r.get("dtype"),
+                    str(r.get("remat")), r.get("fused_loss", False))
+
+        fresh = {_key(r) for r in rows}
+        merged["rows"] = [r for r in merged["rows"] if _key(r) not in fresh]
+        merged["rows"].extend(rows)
+        merged["device"] = jax.devices()[0].device_kind
+        with open(path, "w") as f:
+            json.dump(merged, f, indent=1)
         # headline = b=1 f32 if it measured, else ANY measured row, else a
         # valid error line (never KeyError after the whole matrix ran)
         head = next((r for r in rows if r.get("batch") == 1
