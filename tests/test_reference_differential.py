@@ -808,3 +808,187 @@ def test_midsize_40iter_trajectory_parity():
     d = np.abs(np.asarray(adv_j) - _torch_nhwc(adv_t))
     assert (d <= 1e-5).mean() >= 0.99, f"pixel agreement {(d <= 1e-5).mean():.4f}"
     assert d.mean() < 5e-4, f"mean drift {d.mean():.2e}"
+
+
+# ---------------------------------------------------------------------------
+# text attack: substitution SELECTION vs the reference's update_adv_text
+# ---------------------------------------------------------------------------
+
+
+def _toy_substitution_world():
+    """A tiny shared world for the selection differential: one HF tokenizer +
+    biased MLM (candidate source), one HF ``BertEmbeddings`` (the dir-sim
+    embedding space, ``adv_attack.py:369-384``), and a deterministic USE
+    stand-in whose cosine sits just above 0.95 for single-word edits."""
+    import hashlib
+
+    from transformers import BertForMaskedLM as HFBertForMaskedLM
+    from transformers import BertTokenizer as HFBertTokenizer
+    from transformers.models.bert.configuration_bert import BertConfig as HFBertConfig
+    from transformers.models.bert.modeling_bert import BertEmbeddings
+
+    vocab = [
+        "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+        "what", "color", "is", "the", "dog", "cat", "hat", "red", "blue",
+        "green", "man", "woman", "person", "wearing", "hold", "##ing",
+        "frisbee", "ball", "shirt", "a", "an", "?", "big", "small", "tall",
+    ]
+    d = tempfile.mkdtemp()
+    vf = os.path.join(d, "vocab.txt")
+    with open(vf, "w") as f:
+        f.write("\n".join(vocab) + "\n")
+    hf_tok = HFBertTokenizer(vf, do_lower_case=True)
+    cfg = HFBertConfig(
+        vocab_size=len(vocab), hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64, max_position_embeddings=64,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(7)
+    mlm = HFBertForMaskedLM(cfg).eval()
+    with torch.no_grad():
+        bias = mlm.cls.predictions.decoder.bias
+        for w, b in (("cat", 6.0), ("hat", 5.0), ("red", 4.0), ("blue", 3.8),
+                     ("small", 3.6), ("ball", 3.4)):
+            bias[vocab.index(w)] = b
+    emb = BertEmbeddings(cfg).eval()
+
+    def use_embed(texts):
+        """Deterministic sentence embedding: a heavy shared anchor + unit
+        word vectors -> one-word edits score ~0.978, two-word ~0.956."""
+        out = []
+        for t in texts:
+            vec = np.zeros(24, np.float64)
+            for w in t.split():
+                h = hashlib.md5(w.encode()).digest()
+                rng = np.random.RandomState(
+                    int.from_bytes(h[:4], "little") & 0x7FFFFFFF)
+                wv = rng.randn(24)
+                vec += wv / np.linalg.norm(wv)
+            vec[0] += 6.5  # anchor mass: sqrt(40)-ish
+            out.append(vec)
+        return np.asarray(out, np.float32)
+
+    return types.SimpleNamespace(
+        vocab=vocab, vocab_file=vf, hf_tok=hf_tok, mlm=mlm, emb=emb,
+        use_embed=use_embed,
+    )
+
+
+def test_substitution_selection_matches_reference(monkeypatch):
+    """``update_adv_text`` (``adv_attack.py:265-324``: dir-sim ranking over
+    every (position, candidate) pair, greedy acceptance under the ratcheting
+    USE gate, occupied-word skip) vs :func:`select_substitutions` — identical
+    adversarial text and (ori, new) op lists over multiple blocks, driven by
+    the same embeddings, gradients, and gate."""
+    aa = rs.adv_attack_module()
+    from vqattack_tpu.attacks.text_attack import (
+        WordCandidates,
+        select_substitutions,
+    )
+    from vqattack_tpu.text.tokenizer import WordPieceTokenizer
+
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    w = _toy_substitution_world()
+
+    atk = aa.Adv_attack.__new__(aa.Adv_attack)
+    atk.tokenizer_mlm = w.hf_tok
+    atk.mlm_model = w.mlm
+    atk.device = torch.device("cpu")
+    atk.embeddings = w.emb
+    atk.USE_model = lambda texts: torch.from_numpy(w.use_embed(texts))
+
+    our_tok = WordPieceTokenizer.from_file(w.vocab_file)
+
+    def embed_texts_fn(sentences):
+        outs = []
+        for s in sentences:
+            ids = w.hf_tok(s, padding="longest", truncation=True,
+                           max_length=25, return_tensors="pt")["input_ids"]
+            with torch.no_grad():
+                outs.append(w.emb(input_ids=ids)[0].numpy())
+        S = max(o.shape[0] for o in outs)
+        return np.stack([
+            np.pad(o, ((0, S - o.shape[0]), (0, 0))) for o in outs
+        ])
+
+    def gate_scores_fn(ref, texts):
+        embs = w.use_embed([ref] + list(texts))
+        embs = embs / np.linalg.norm(embs, axis=1)[:, None]
+        return (embs[:1] * embs[1:]).sum(axis=1)
+
+    questions = [
+        "what color is the big dog",
+        "is the man wearing a red hat ?",
+        "what is the tall woman holding the ball",
+    ]
+    rng = np.random.RandomState(11)
+    for q in questions:
+        ref_iters, ref_cands = atk.cal_text_attack_list(q)
+        if not ref_iters:
+            continue
+        words, _, keys = atk._tokenize(q.lower(), w.hf_tok)
+        attack_vector, sub_list = [], []
+        for wi, (key, cand) in enumerate(zip(keys, ref_cands)):
+            if cand is not None:
+                attack_vector.append(key[0] + 1)
+                sub_list.append(wi)
+
+        cands = WordCandidates(
+            words=list(words),
+            spans=[tuple(k) for k in keys],
+            candidate_lists=[list(c) if c else None for c in ref_cands],
+            iter_list=list(ref_iters),
+        )
+
+        ori_ids = w.hf_tok(q, padding="longest", truncation=True,
+                           max_length=25, return_tensors="pt")["input_ids"]
+        with torch.no_grad():
+            ori_emb_t = w.emb(input_ids=ori_ids)
+        ori_emb = ori_emb_t[0].numpy()
+
+        adv_text_ref = q
+        adv_text_ours = q
+        for _block in range(3):  # the attack calls this once per VL step
+            G = rng.randn(25, 32).astype(np.float32)
+            grad_ref = torch.from_numpy(G[None])[:, attack_vector]
+            grad_ours = G[np.asarray(cands.attack_positions)]
+
+            adv_text_ref, ops_ref = atk.update_adv_text(
+                grad_ref, ref_cands, sub_list, adv_text_ref, attack_vector,
+                ori_emb_t, q,
+            )
+            adv_text_ours, ops_ours = select_substitutions(
+                adv_text_ours, q, grad_ours, cands, ori_emb,
+                embed_texts_fn, gate_scores_fn,
+            )
+            assert adv_text_ours == adv_text_ref, q
+            assert [tuple(o) for o in ops_ref] == list(ops_ours), q
+        assert adv_text_ref != q  # the gate accepted at least one edit
+
+
+def test_update_mlm_text_matches_reference(monkeypatch):
+    """Paraphrase propagation of accepted substitutions: the reference's
+    ``update_mlm_text`` (``adv_attack.py:334-353``, all-occurrence in-place
+    replacement, sequentially chained across ops) vs
+    :func:`apply_substitutions_to_paraphrase`."""
+    aa = rs.adv_attack_module()
+    from vqattack_tpu.attacks.text_attack import apply_substitutions_to_paraphrase
+
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    w = _toy_substitution_world()
+    atk = aa.Adv_attack.__new__(aa.Adv_attack)
+    atk.tokenizer_mlm = w.hf_tok
+    atk.batch = {}
+
+    cases = [
+        (["the", "dog", "is", "[MASK]", "dog"], [("dog", "cat")]),
+        (["the", "dog", "is", "[MASK]"], [("dog", "cat"), ("cat", "red")]),
+        (["a", "man", "wearing", "[MASK]"], [("woman", "person")]),
+        (["big", "ball", "small", "ball"],
+         [("ball", "frisbee"), ("big", "tall")]),
+    ]
+    for base, ops in cases:
+        ref_words = list(base)
+        atk.update_mlm_text([list(o) for o in ops], ref_words)
+        ours = apply_substitutions_to_paraphrase(list(base), ops)
+        assert ours == ref_words, (base, ops)
