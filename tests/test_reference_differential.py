@@ -992,3 +992,120 @@ def test_update_mlm_text_matches_reference(monkeypatch):
         atk.update_mlm_text([list(o) for o in ops], ref_words)
         ours = apply_substitutions_to_paraphrase(list(base), ops)
         assert ours == ref_words, (base, ops)
+
+
+def test_vlmo_substitution_dialect_matches_reference(monkeypatch):
+    """The VLMo monolith's text-attack copy diverges from ALBEF's: it strips
+    the trailing ``?`` off the raw arrow question before tokenizing
+    (``vlmo_module.py:1539,1644``) and re-appends ``?`` to every candidate /
+    gate / returned sentence (``:1662,1692,1704``).  Drive the reference's
+    own ``cal_text_attack_list`` + ``update_adv_text`` with ``?``-terminated
+    questions against :func:`generate_candidates` (stripped input) +
+    :func:`select_substitutions` (``question_suffix='?'``)."""
+    vm = rs.vlmo_module()
+    from vqattack_tpu.attacks.text_attack import (
+        generate_candidates,
+        select_substitutions,
+        WordCandidates,
+    )
+    from vqattack_tpu.text.filter_words import default_filter_words
+    from vqattack_tpu.text.tokenizer import WordPieceTokenizer
+
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+    w = _toy_substitution_world()
+
+    atk = vm.VLMo.__new__(vm.VLMo)
+    nn.Module.__init__(atk)  # VLMo is an nn.Module; __new__ skips _modules
+    atk.tokenizer_mlm = w.hf_tok
+    atk.mlm_model = w.mlm
+    atk.device = torch.device("cpu")
+    atk.text_embeddings = w.emb          # a BertEmbeddings module in VLMo
+    atk.USE_model = lambda texts: torch.from_numpy(w.use_embed(texts))
+    atk.hparams = types.SimpleNamespace(config={"loss_names": {}})
+
+    our_tok = WordPieceTokenizer.from_file(w.vocab_file)
+    fw = default_filter_words()
+
+    def mlm_logits_fn(ids, mask):
+        with torch.no_grad():
+            out = w.mlm(
+                torch.from_numpy(np.asarray(ids, np.int64)),
+                attention_mask=torch.from_numpy(np.asarray(mask, np.int64)),
+            )
+        return out.logits.numpy()
+
+    def embed_texts_fn(sentences):
+        outs = []
+        for s in sentences:
+            ids = torch.tensor(
+                w.hf_tok(s, padding="max_length", truncation=True,
+                         max_length=40)["input_ids"]
+            ).unsqueeze(0)
+            with torch.no_grad():
+                outs.append(w.emb(input_ids=ids)[0].numpy())
+        return np.stack(outs)
+
+    def gate_scores_fn(ref, texts):
+        embs = w.use_embed([ref] + list(texts))
+        embs = embs / np.linalg.norm(embs, axis=1)[:, None]
+        return (embs[:1] * embs[1:]).sum(axis=1)
+
+    questions = [
+        "what color is the big dog?",      # '?' attached: dog must stay attackable
+        "is the man wearing a red hat?",
+        "what is the tall woman holding the ball?",
+    ]
+    rng = np.random.RandomState(23)
+    for q in questions:
+        ref_iters, ref_cands = atk.cal_text_attack_list(q)
+        ours = generate_candidates(
+            q.strip("?"), our_tok, mlm_logits_fn, fw
+        )
+        assert list(ref_iters) == list(ours.iter_list), q
+        assert len(ref_cands) == len(ours.candidate_lists), q
+        for rc, oc in zip(ref_cands, ours.candidate_lists):
+            assert (rc or None) == (oc or None), q
+        if not ref_iters:
+            continue
+
+        words, _, keys = atk._tokenize(q.strip("?").lower(), w.hf_tok)
+        attack_vector, sub_list = [], []
+        for wi, (key, cand) in enumerate(zip(keys, ref_cands)):
+            if cand is not None:
+                attack_vector.append(key[0] + 1)
+                sub_list.append(wi)
+
+        cands = WordCandidates(
+            words=list(words),
+            spans=[tuple(k) for k in keys],
+            candidate_lists=[list(c) if c else None for c in ref_cands],
+            iter_list=list(ref_iters),
+        )
+
+        ori_ids = torch.tensor(
+            w.hf_tok(q, padding="max_length", truncation=True,
+                     max_length=40)["input_ids"]
+        ).unsqueeze(0)
+        with torch.no_grad():
+            ori_emb_t = w.emb(input_ids=ori_ids)
+        ori_emb = ori_emb_t[0].numpy()
+
+        adv_text_ref = q
+        adv_text_ours = q
+        for _block in range(3):
+            G = rng.randn(40, 32).astype(np.float32)
+            grad_ref = torch.from_numpy(G[None])[:, attack_vector]
+            grad_ours = G[np.asarray(cands.attack_positions)]
+
+            adv_text_ref, ops_ref = atk.update_adv_text(
+                grad_ref, ref_cands, sub_list, adv_text_ref, attack_vector,
+                ori_emb_t, q,
+            )
+            adv_text_ours, ops_ours = select_substitutions(
+                adv_text_ours, q, grad_ours, cands, ori_emb,
+                embed_texts_fn, gate_scores_fn, max_length=40,
+                question_suffix="?",
+            )
+            assert adv_text_ours == adv_text_ref, q
+            assert [tuple(o) for o in ops_ref] == list(ops_ours), q
+        assert adv_text_ref.endswith("?") and adv_text_ref != q

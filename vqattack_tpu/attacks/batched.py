@@ -128,6 +128,12 @@ class BatchedAlbefAttack:
     adapters to reuse the identical block-loop over the VLMo pipeline.
     """
 
+    # text dialect: VLMo strips/re-appends '?' around questions and ends
+    # every encoded paraphrase sentence with '.' (vlmo_module.py:1539,1644,
+    # 1756,1802); ALBEF text arrives pre_question-normalized with no appends
+    _question_suffix = ""
+    _sentence_suffix = ""
+
     def __init__(self, pipeline: AlbefAttackPipeline, mesh=None):
         """``mesh``: optional ``jax.sharding.Mesh`` — sample batches shard
         over its data axis (params replicate/column-shard per
@@ -191,12 +197,16 @@ class BatchedAlbefAttack:
                 sample["paraphrase"], sample["target_answer"],
                 sample.get("all_correct_answers", ()),
                 p.tokenizer, self._max_text_len, atk.max_answers,
+                sentence_suffix=self._sentence_suffix,
             )
         else:
             mar = MarLabels(1, None, None, None, [], [], [], 0)
         if p.mlm_model is not None:
+            q = sample["question"]
+            if self._question_suffix:
+                q = q.strip(self._question_suffix)
             cands = generate_candidates(
-                sample["question"], p.tokenizer, p.candidate_mlm_logits,
+                q, p.tokenizer, p.candidate_mlm_logits,
                 p.filter_words, total_iters=atk.num_iters,
                 top_k=atk.mlm_top_k, score_threshold=atk.mlm_score_threshold,
             )
@@ -270,7 +280,10 @@ class BatchedAlbefAttack:
                     # same mesh sharding as every other batch array
                     mlm_ids, mlm_mask, weights = [], [], []
                     for s in states:
-                        ci, cm = p.tokenizer.encode(" ".join(s.mar_words), self._max_text_len)
+                        ci, cm = p.tokenizer.encode(
+                            " ".join(s.mar_words) + self._sentence_suffix,
+                            self._max_text_len,
+                        )
                         mlm_ids.append(ci)
                         mlm_mask.append(cm)
                         weights.append(1.0 if int(cm.sum()) == s.mar.true_len else 0.0)
@@ -342,6 +355,7 @@ class BatchedAlbefAttack:
                         p.embed_texts, p.gate.scores,
                         sim_threshold=p.gate.operating_point(atk.sim_threshold),
                         max_length=self._max_text_len,
+                        question_suffix=self._question_suffix,
                     )
                     s.adv_text = new_text
                     s.substitutions.extend(ops)
@@ -432,6 +446,9 @@ def make_vlmo_mixed_second_loss(model):
 
 class BatchedVlmoAttack(BatchedAlbefAttack):
     """Lockstep VLMo buckets: same block loop, VLMo target/aux adapters."""
+
+    _question_suffix = "?"
+    _sentence_suffix = "."
 
     def __init__(self, pipeline, mesh=None):
         # note: VlmoAttackPipeline, not Albef — duck-typed member surface

@@ -185,6 +185,7 @@ def select_substitutions(
     gate_scores_fn: Callable[[str, Sequence[str]], np.ndarray],
     sim_threshold: float = 0.95,
     max_length: int = 25,
+    question_suffix: str = "",
 ) -> Tuple[str, List[Tuple[str, str]]]:
     """Rank + greedily accept substitutions (``update_adv_text``,
     ``adv_attack.py:265-324``).
@@ -193,10 +194,21 @@ def select_substitutions(
       (from :func:`vqattack_tpu.attacks.pgd.pgd_vl_step`);
     - ``ori_emb [S, D]``: embedding of the *original* question;
     - ``embed_texts_fn(texts) -> [N, S, D]``: batched BERT embedding lookup;
-    - ``gate_scores_fn(ref, texts) -> [N]``: sentence-similarity gate.
+    - ``gate_scores_fn(ref, texts) -> [N]``: sentence-similarity gate;
+    - ``question_suffix``: the VLMo dialect (``vlmo_module.py:1644-1704``)
+      strips the trailing ``?`` off the question before word-splitting and
+      re-appends it to every candidate / gate / returned sentence — VLMo
+      questions arrive raw (``dog?``) where ALBEF's pass ``pre_question``
+      first.  Pass ``"?"`` for the VLMo pipeline, ``""`` (default) for ALBEF.
 
     Returns ``(new_adv_text, [(original_word, new_word), ...])``.
     """
+    if question_suffix:
+        adv_text = adv_text.strip(question_suffix)
+
+    def _finish(words: Sequence[str]) -> str:
+        return " ".join(words) + question_suffix
+
     adv_words = adv_text.replace("\n", "").lower().split(" ")
     adv_words = [w for w in adv_words if w != ""]
     ori_words = list(adv_words)
@@ -208,7 +220,7 @@ def select_substitutions(
     for p, (wi, pos) in enumerate(zip(cands.attack_word_indices, cands.attack_positions)):
         if wi >= len(adv_words):
             # tokenization drift (reference 'onebug' guard, adv_attack.py:280-283)
-            return " ".join(ori_words), []
+            return _finish(ori_words), []
         if pos >= max_pos:
             # word lies past the surrogate's text truncation: its embedding
             # row does not exist (the vl-step gather clamps on device), so
@@ -217,10 +229,10 @@ def select_substitutions(
         for ci, cand in enumerate(cands.candidate_lists[wi]):
             trial = list(adv_words)
             trial[wi] = cand
-            sentences.append(" ".join(trial))
+            sentences.append(_finish(trial))
             entries.append((wi, ci, p, pos))
     if not sentences:
-        return adv_text, []
+        return _finish(adv_words), []
 
     # one batched embedding call scores every candidate (vs the reference's
     # per-candidate forwards)
@@ -243,14 +255,14 @@ def select_substitutions(
             continue
         trial = list(current)
         trial[wi] = cands.candidate_lists[wi][ci]
-        trial_text = " ".join(trial)
+        trial_text = _finish(trial)
         sim = float(gate_scores_fn(ori_text, [trial_text])[0])
         if sim > threshold:
             threshold = sim  # ratchet (adv_attack.py:319-320)
             occupied.add(wi)
             current = trial
             ops.append((ori_words[wi], cands.candidate_lists[wi][ci]))
-    return " ".join(current), ops
+    return _finish(current), ops
 
 
 def apply_substitutions_to_paraphrase(

@@ -145,9 +145,12 @@ class VlmoAttackPipeline:
         adv_text = question
 
         if paraphrase is not None and target_answer is not None:
+            # VLMo dialect: every encoded paraphrase sentence ends with '.'
+            # (vlmo_module.py:1756,1802,1867)
             mar = build_mar_labels(
                 paraphrase, target_answer, all_correct_answers,
                 self.tokenizer, self.max_text_len, atk.max_answers,
+                sentence_suffix=".",
             )
         else:
             mar = MarLabels(1, None, None, None, [], [], [], 0)
@@ -159,8 +162,12 @@ class VlmoAttackPipeline:
         )
         ori_emb = np.asarray(self._embed_text(self.surrogate_params, ori_ids))[0]
 
+        # VLMo dialect: the raw arrow question keeps its trailing '?'; the
+        # reference tokenizes/substitutes on the stripped text
+        # (vlmo_module.py:1539,1644,1923) — without the strip, a '?'-attached
+        # final word spans 2 sub-tokens and silently loses substitutability
         cands = generate_candidates(
-            question, self.tokenizer, self.candidate_mlm_logits,
+            question.strip("?"), self.tokenizer, self.candidate_mlm_logits,
             self.filter_words, total_iters=atk.num_iters,
             top_k=atk.mlm_top_k, score_threshold=atk.mlm_score_threshold,
         )
@@ -197,7 +204,7 @@ class VlmoAttackPipeline:
                 feat_losses.append(np.asarray(losses)[:, 0])
             else:
                 cur_ids, cur_mask = self.tokenizer.encode(
-                    " ".join(mar_words), self.max_text_len
+                    " ".join(mar_words) + ".", self.max_text_len
                 )
                 aligned = int(cur_mask.sum()) == mar.true_len
                 aux["mlm_ids"] = jnp.asarray(cur_ids[None])
@@ -231,6 +238,7 @@ class VlmoAttackPipeline:
                 ori_emb, self.embed_texts, self.gate.scores,
                 sim_threshold=self.gate.operating_point(atk.sim_threshold),
                 max_length=self.max_text_len,
+                question_suffix="?",
             )
             all_ops.extend(ops)
             if old_alg == 0 and ops:
