@@ -550,11 +550,13 @@ def test_filter_words_inventory_matches_reference():
 # ---------------------------------------------------------------------------
 
 
-def _assemble_vlmo(max_text_len=8):
+def _assemble_vlmo(max_text_len=8, vocab_size=64, with_mlm=False):
     """Reference VLMo via ``__new__``: the real ``MultiWayTransformer``
     (``multiway_transformer.py:244``) + the real rel-pos machinery
     (``build_relative_position_embed:818`` / ``get_rel_pos_bias:807``),
-    without the LightningModule ``__init__`` (downloads, sacred config)."""
+    without the LightningModule ``__init__`` (downloads, sacred config).
+    ``with_mlm`` adds the real ``MLMHead`` (``heads.py:40``) for the MAR
+    (``pgd_mlm_attack``) differential."""
     vm = rs.vlmo_module()
     mwt = rs.vlmo_multiway()
     from vlmo.modules import heads as ref_heads
@@ -571,12 +573,14 @@ def _assemble_vlmo(max_text_len=8):
         mlp_ratio=4, qkv_bias=True, vlffn_start_layer_index=3, config=mw_cfg,
     )
     emb_cfg = HFBertConfig(
-        vocab_size=64, hidden_size=32, max_position_embeddings=64,
+        vocab_size=vocab_size, hidden_size=32, max_position_embeddings=64,
         type_vocab_size=2, hidden_dropout_prob=0.0,
     )
     v.text_embeddings = HFBertEmbeddings(emb_cfg)
     v.token_type_embeddings = nn.Embedding(2, 32)
     v.pooler = ref_heads.Pooler(32)
+    if with_mlm:
+        v.mlm_score = ref_heads.MLMHead(emb_cfg)
     v.img_size, v.patch_size, v.num_layers = 32, 16, 4
     v.build_relative_position_embed(
         {"max_text_len_of_initckpt": 196, "max_text_len": max_text_len}
@@ -1109,3 +1113,105 @@ def test_vlmo_substitution_dialect_matches_reference(monkeypatch):
             assert adv_text_ours == adv_text_ref, q
             assert [tuple(o) for o in ops_ref] == list(ops_ours), q
         assert adv_text_ref.endswith("?") and adv_text_ref != q
+
+
+@pytest.mark.parametrize("stacked", [False, True])
+def test_vlmo_pgd_alternating_mar_trajectory_bit_exact(stacked):
+    """Alternating feature+MAR PGD through the *VLMo* cleverhans copy
+    (``projected_gradient_descent.py:153-186``: full ``y`` to both steps,
+    ls==1 cls+token cosine then ls==0 MLM CE over the text half,
+    ``vlmo_module.py:1448-1529`` ``pgd_mlm_attack``): bit-identical images
+    and interleaved loss trajectories, 2-D and stacked 3-D labels.  The
+    reference FGM hardcodes the 30,522 vocab in its reshape (``fgm:118``),
+    so the MLM head runs real-vocab geometry (hidden stays tiny)."""
+    import dataclasses
+
+    from vqattack_tpu.attacks import vlmo as vlmo_losses
+    from vqattack_tpu.checkpoint.convert import convert_vlmo
+    from vqattack_tpu.models.vlmo import VLMo as OurVLMo
+
+    T, V = 8, 30522
+    v = _assemble_vlmo(max_text_len=T, vocab_size=V, with_mlm=True)
+    vch = rs.vlmo_cleverhans()
+    cfg = dataclasses.replace(tiny_test_config().vlmo, vocab_size=V)
+    model = OurVLMo(cfg, with_vqa_head=False)
+    sd = {k: val.detach().numpy() for k, val in v.state_dict().items()}
+    params = {"params": convert_vlmo(sd, depth=4, vlffn_start_layer=3)}
+
+    rng = np.random.default_rng(13)
+    ids = rng.integers(1000, 20000, (1, T)).astype(np.int64)
+    ids[0, 0] = 101
+    mask = np.ones((1, T), np.int64)
+    px = rng.uniform(-1, 1, (1, 3, 32, 32)).astype(np.float32)
+    adv0 = np.clip(px + rng.uniform(-EPS, EPS, px.shape).astype(np.float32), -1, 1)
+    # answer-masked paraphrase (ids differ from the question; '.'-suffixed in
+    # the real pipeline — here arbitrary ids, the kernel doesn't care)
+    mlm_ids = rng.integers(1000, 20000, (1, T)).astype(np.int64)
+    mlm_ids[0, 0] = 101
+    mlm_ids[0, 2] = 103
+    mlm_ids[0, 5] = 103
+    labels = np.full((1, T), -100, np.int64)
+    labels[0, 2], labels[0, 5] = 2222, 9999
+    if stacked:  # two acceptable answers -> [1, 2, T] (vlmo fgm :121-126)
+        labels = np.stack(
+            [labels[0], np.where(labels[0] == -100, -100, labels[0] + 3)]
+        )[None]
+    mlm_mask = np.ones((1, T), np.int64)
+
+    ids_t, mask_t = torch.from_numpy(ids), torch.from_numpy(mask)
+    mlm_ids_t, mlm_mask_t = torch.from_numpy(mlm_ids), torch.from_numpy(mlm_mask)
+    feat_fn = _ref_vlmo_attack_closure(v, ids_t, mask_t, T)
+    with torch.no_grad():
+        out0 = feat_fn(_nchw(px))
+
+    def mlm_fn(x):
+        """``pgd_mlm_attack`` (``vlmo_module.py:1448-1529``) minus the
+        CUDA-only ``.to(device=x.get_device())``; only ``out[0]`` is read by
+        fgm ls==0."""
+        text_embeds = v.text_embeddings(mlm_ids_t) + v.token_type_embeddings(
+            torch.zeros_like(mlm_mask_t)
+        )
+        image_embeds, image_masks = v.transformer.visual_embed(x)
+        image_masks = image_masks.long()
+        image_embeds = image_embeds + v.token_type_embeddings(
+            torch.full_like(image_masks, 1)
+        )
+        h = torch.cat([text_embeds, image_embeds], 1)
+        co_masks = torch.cat([mlm_mask_t, image_masks], 1)
+        rel = v.get_rel_pos_bias(v.text_imag_relative_position_index)
+        for i, blk in enumerate(v.transformer.blocks):
+            h = blk(h, mask=co_masks, modality_type="vl",
+                    relative_position_bias=rel[i])
+        xn = v.transformer.norm(h)
+        return [v.mlm_score(xn[:, :T])]
+
+    adv_t, loss_list = vch.pgd.projected_gradient_descent(
+        [feat_fn, mlm_fn], _nchw(adv0).clone(), EPS, STEP, 5, np.inf,
+        clip_min=-1.0, clip_max=1.0,
+        y=[torch.from_numpy(labels), out0[1].clone(), out0[2].clone()],
+        ori_x=_nchw(px), time=1, ls=0, sanity_checks=False,
+    )
+
+    _, layer_cls, tokens, token_mask = model.apply(
+        params, _nhwc(px), jnp.asarray(ids), jnp.asarray(mask),
+        method=OurVLMo.attack_feats,
+    )
+    rel_biases = model.apply(params, method=OurVLMo.precompute_joint_biases)
+    aux = {
+        "variables": params,
+        "text_ids": jnp.asarray(ids), "text_mask": jnp.asarray(mask),
+        "tgt_layer_cls": layer_cls, "tgt_tokens": tokens,
+        "tgt_token_mask": token_mask.astype(jnp.float32),
+        "mlm_ids": jnp.asarray(mlm_ids), "mlm_mask": jnp.asarray(mlm_mask),
+        "mlm_labels": jnp.asarray(labels),
+        "rel_biases": rel_biases,
+    }
+    adv_j, feat_l, mlm_l = pgd_alternating(
+        vlmo_losses.make_feature_loss(model), vlmo_losses.make_mlm_loss(model),
+        _nhwc(adv0), _nhwc(px), jax.random.key(0), aux,
+        eps=EPS, eps_iter=STEP, nb_iter=5, clip_min=-1.0, clip_max=1.0,
+        rand_init=False, use_pallas=False,
+    )
+    ours = np.stack([np.asarray(feat_l)[:, 0], np.asarray(mlm_l)[:, 0]], 1).reshape(-1)
+    np.testing.assert_allclose(ours, np.asarray(loss_list), rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(adv_j), _torch_nhwc(adv_t))
