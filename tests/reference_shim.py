@@ -300,7 +300,22 @@ def vlmo_cleverhans():
             "cleverhans.torch.attacks.fast_gradient_method": fgm,
         },
     )
-    return types.SimpleNamespace(pgd=pgd, fgm=fgm, utils=utils)
+    fgm_vl = load(
+        "ref_vlmo_ch_fgm_vl",
+        os.path.join("attacks", "fast_gradient_method_vl.py"),
+        {"cleverhans.torch.utils": utils},
+    )
+    pgd_vl = load(
+        "ref_vlmo_ch_pgd_vl",
+        os.path.join("attacks", "projected_gradient_descent_vl.py"),
+        {
+            "cleverhans.torch.utils": utils,
+            "cleverhans.torch.attacks.fast_gradient_method_vl": fgm_vl,
+        },
+    )
+    return types.SimpleNamespace(
+        pgd=pgd, fgm=fgm, pgd_vl=pgd_vl, fgm_vl=fgm_vl, utils=utils
+    )
 
 
 def vlmo_module():

@@ -160,3 +160,21 @@ def test_batched_on_mesh(batched):
         s = by_qid[r.qid]
         assert (np.abs(r.adv_image - s["pixels"]) <= eps + 1e-5).all()
         assert np.isfinite(r.feat_losses).all()
+
+
+def test_pipelined_buckets_match_serial(batched):
+    """``pipeline_depth > 1`` overlaps independent buckets on worker threads
+    (attacks/batched.py::run); results must be bit-identical to the serial
+    order — same qid order, same adversarial images, same substitutions."""
+    samples = _samples(6, with_para=True) + _samples(3)
+    # distinct qids across the two groups
+    for i, s in enumerate(samples):
+        s["qid"] = str(5000 + i)
+    serial = batched.run(samples, batch_size=2, pipeline_depth=1)
+    piped = batched.run(samples, batch_size=2, pipeline_depth=3)
+    assert [r.qid for r in piped] == [r.qid for r in serial]
+    for a, b in zip(serial, piped):
+        np.testing.assert_array_equal(a.adv_image, b.adv_image)
+        assert a.adv_text == b.adv_text
+        assert a.substitutions == b.substitutions
+        np.testing.assert_array_equal(a.feat_losses, b.feat_losses)

@@ -1215,3 +1215,81 @@ def test_vlmo_pgd_alternating_mar_trajectory_bit_exact(stacked):
     ours = np.stack([np.asarray(feat_l)[:, 0], np.asarray(mlm_l)[:, 0]], 1).reshape(-1)
     np.testing.assert_allclose(ours, np.asarray(loss_list), rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(adv_j), _torch_nhwc(adv_t))
+
+
+def test_vlmo_pgd_vl_step_matches_reference(vlmo_pair):
+    """VL joint step through the *VLMo* copies (``fast_gradient_method_vl``
+    reads out[1]/out[2] with the cls+token cosine, ``vlmo_module.py:1328-1385``
+    ``pgd_attack_vl``: raw text embeddings enter pre-token-type-add): image
+    update bit-identical, harvested text-embedding gradient matching."""
+    from vqattack_tpu.attacks import vlmo as vlmo_losses
+    from vqattack_tpu.models.vlmo import VLMo as OurVLMo
+
+    p = vlmo_pair
+    vch = rs.vlmo_cleverhans()
+    ids_t, mask_t = torch.from_numpy(p.ids), torch.from_numpy(p.mask)
+    feat_fn = _ref_vlmo_attack_closure(p.v, ids_t, mask_t, p.T)
+    with torch.no_grad():
+        out0 = feat_fn(_nchw(p.px))
+        emb_t = p.v.text_embeddings(ids_t)
+
+    def vl_fn(x):
+        """``pgd_attack_vl`` minus the CUDA-only ``.to(device=...)``; the
+        reference hardcodes its 40-token text split — T here."""
+        text_embeds = x[1] + p.v.token_type_embeddings(torch.zeros_like(mask_t))
+        image_embeds, image_masks = p.v.transformer.visual_embed(x[0])
+        image_masks = image_masks.long()
+        image_embeds = image_embeds + p.v.token_type_embeddings(
+            torch.full_like(image_masks, 1)
+        )
+        h = torch.cat([text_embeds, image_embeds], 1)
+        co_masks = torch.cat([mask_t, image_masks], 1)
+        rel = p.v.get_rel_pos_bias(p.v.text_imag_relative_position_index)
+        feats = [h]
+        for i, blk in enumerate(p.v.transformer.blocks):
+            h = blk(h, mask=co_masks, modality_type="vl",
+                    relative_position_bias=rel[i])
+            feats.append(h)
+        xn = p.v.transformer.norm(h)
+        cls_feats = p.v.pooler(xn)
+        target = torch.stack(feats, 1)
+        tpos = torch.where(mask_t[0] == 1)
+        feats_list = torch.cat(
+            [target[0, :, tpos[0]], target[0, :, p.T:]], 1
+        )
+        return [cls_feats, target[0, :, 0, :], feats_list]
+
+    attack_mask = [2, 5]
+    adv_t, tg_t = vch.pgd_vl.projected_gradient_descent(
+        vl_fn, [_nchw(p.adv0).clone(), emb_t.clone()], EPS, STEP, 1, np.inf,
+        clip_min=-1.0, clip_max=1.0,
+        y=[torch.zeros(1), out0[1].clone(), out0[2].clone()],
+        ori_x=_nchw(p.px), time=1, ls=1, attack_mask=attack_mask,
+        sanity_checks=False,
+    )
+
+    _, layer_cls, tokens, token_mask = p.model.apply(
+        p.params, _nhwc(p.px), jnp.asarray(p.ids), jnp.asarray(p.mask),
+        method=OurVLMo.attack_feats,
+    )
+    rel_biases = p.model.apply(p.params, method=OurVLMo.precompute_joint_biases)
+    aux = {
+        "variables": p.params,
+        "text_ids": jnp.asarray(p.ids), "text_mask": jnp.asarray(p.mask),
+        "tgt_layer_cls": layer_cls, "tgt_tokens": tokens,
+        "tgt_token_mask": token_mask.astype(jnp.float32),
+        "rel_biases": rel_biases,
+    }
+    emb_j = p.model.apply(
+        p.params, jnp.asarray(p.ids), method=OurVLMo.embed_text
+    )
+    adv_j, tg_j = pgd_vl_step(
+        vlmo_losses.make_vl_loss(p.model), _nhwc(p.adv0), emb_j, _nhwc(p.px),
+        jnp.asarray([attack_mask]), jax.random.key(0), aux,
+        eps=EPS, eps_iter=STEP, clip_min=-1.0, clip_max=1.0, use_pallas=False,
+    )
+    np.testing.assert_allclose(np.asarray(emb_j), emb_t.numpy(), atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(adv_j), _torch_nhwc(adv_t))
+    np.testing.assert_allclose(
+        np.asarray(tg_j), tg_t.detach().numpy(), atol=5e-7
+    )
