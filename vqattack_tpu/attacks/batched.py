@@ -25,8 +25,10 @@ import contextlib
 import dataclasses
 import functools
 import os
+import threading
 import time
-from collections import defaultdict
+from collections import defaultdict, deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -56,10 +58,12 @@ class PhaseTimer:
     def __init__(self, enabled: bool):
         self.enabled = enabled
         self.acc: Dict[str, float] = defaultdict(float)
+        self._lock = threading.Lock()  # pipelined buckets time concurrently
 
     def add(self, name: str, seconds: float) -> None:
         if self.enabled:
-            self.acc[name] += seconds
+            with self._lock:
+                self.acc[name] += seconds
 
     @contextlib.contextmanager
     def phase(self, name: str, sync=None):
@@ -72,7 +76,7 @@ class PhaseTimer:
         finally:
             if sync is not None:
                 jax.block_until_ready(sync() if callable(sync) else sync)
-            self.acc[name] += time.perf_counter() - t0
+            self.add(name, time.perf_counter() - t0)
 
     def report(self, log_fn=print) -> None:
         if not self.enabled or not self.acc:
@@ -381,14 +385,44 @@ class BatchedAlbefAttack:
 
     # ------------------------------------------------------------------ sweep
 
+    def _run_chunk(
+        self,
+        chunk: List[Tuple[_SampleState, dict]],
+        n_real: int,
+        rng: jax.Array,
+    ) -> List[AttackResult]:
+        """Assemble one padded bucket's pixel batch + states and attack it.
+        Pixel batches are built here (inside the worker when pipelined) so
+        only ``pipeline_depth`` buckets of pixels are ever resident."""
+        px = np.concatenate([np.asarray(s["pixels"]) for _, s in chunk])
+        # padding copies get fresh mutable state so their (discarded)
+        # substitutions can't leak into the real sample they mirror
+        states = [
+            dataclasses.replace(st, mar_words=list(st.mar_words), substitutions=[])
+            if idx >= n_real
+            else st
+            for idx, (st, _) in enumerate(chunk)
+        ]
+        return self.attack_bucket(px, states, rng)[:n_real]
+
     def run(
         self,
         samples: Sequence[Dict[str, Any]],
         batch_size: int = 8,
         rng: Optional[jax.Array] = None,
+        pipeline_depth: int = 1,
     ) -> List[AttackResult]:
         """Bucket by (old_alg, k), pad chunks to ``batch_size`` by repeating
-        the last sample, run lockstep, drop padding results."""
+        the last sample, run lockstep, drop padding results.
+
+        ``pipeline_depth > 1`` overlaps independent buckets: while bucket
+        *i*'s host-side text work runs (tokenization, candidate scoring, the
+        similarity-gate ratchet — the largest non-device steady-state term,
+        PERF.md "end-to-end"), bucket *i+1*'s PGD scans are already queued on
+        the chip.  Per-bucket results are bit-identical to the serial order
+        (each bucket's compute depends only on its own state + folded key);
+        only wall-clock interleaving changes.  Depth 2 is the sweet spot —
+        one bucket computing, one in host phases."""
         if rng is None:
             rng = jax.random.key(self.p.cfg.seed)
         with self._timer.phase("prepare"):
@@ -397,7 +431,7 @@ class BatchedAlbefAttack:
         for st, s in prepared:
             buckets.setdefault(self.bucket_key(st), []).append((st, s))
 
-        results: List[AttackResult] = []
+        chunks: List[Tuple[List[Tuple[_SampleState, dict]], int, jax.Array]] = []
         step = 0
         for key in sorted(buckets):
             entries = buckets[key]
@@ -406,20 +440,22 @@ class BatchedAlbefAttack:
                 n_real = len(chunk)
                 while len(chunk) < batch_size:
                     chunk.append(chunk[-1])
-                px = np.concatenate([np.asarray(s["pixels"]) for _, s in chunk])
-                # padding copies get fresh mutable state so their (discarded)
-                # substitutions can't leak into the real sample they mirror
-                states = [
-                    dataclasses.replace(
-                        st, mar_words=list(st.mar_words), substitutions=[]
-                    )
-                    if idx >= n_real
-                    else st
-                    for idx, (st, _) in enumerate(chunk)
-                ]
                 step += 1
-                out = self.attack_bucket(px, states, jax.random.fold_in(rng, step))
-                results.extend(out[:n_real])
+                chunks.append((chunk, n_real, jax.random.fold_in(rng, step)))
+
+        results: List[AttackResult] = []
+        if pipeline_depth <= 1 or len(chunks) <= 1:
+            for chunk, n_real, key in chunks:
+                results.extend(self._run_chunk(chunk, n_real, key))
+        else:
+            with ThreadPoolExecutor(max_workers=pipeline_depth) as ex:
+                pending = deque()
+                for chunk, n_real, key in chunks:
+                    if len(pending) >= pipeline_depth:
+                        results.extend(pending.popleft().result())
+                    pending.append(ex.submit(self._run_chunk, chunk, n_real, key))
+                while pending:
+                    results.extend(pending.popleft().result())
         self._timer.report()
         return results
 

@@ -90,6 +90,13 @@ def build_argparser() -> argparse.ArgumentParser:
              "(0 = no mesh; requires --batch-size divisible by it)",
     )
     p.add_argument(
+        "--pipeline-depth", type=int, default=2,
+        help="overlap this many independent buckets: one bucket's host-side "
+             "text work runs while the next bucket's PGD scans occupy the "
+             "chip (attacks/batched.py::run). Results are order- and "
+             "bit-identical to depth 1; set 1 to serialize",
+    )
+    p.add_argument(
         "--resume", action="store_true",
         help="skip qids whose adversarial artifact already exists in --output "
              "(the qid-keyed layout makes the sweep trivially resumable, "
@@ -285,7 +292,10 @@ def main(argv: Optional[list] = None) -> None:
         from vqattack_tpu.utils.retry import with_retries
 
         out = with_retries(
-            lambda: batched.run(sample_buffer, batch_size=args.batch_size, rng=rng)
+            lambda: batched.run(
+                sample_buffer, batch_size=args.batch_size, rng=rng,
+                pipeline_depth=args.pipeline_depth,
+            )
         )
         dt = (time.time() - t0) / max(1, len(out))
         by_qid = {s["qid"]: s["_info"] for s in sample_buffer}
