@@ -256,10 +256,12 @@ def vlmo_cleverhans():
     ``y`` passed to both alternating steps, cls+token cosine loss) under
     aliased module names so it coexists with the ALBEF copy."""
     install_shims()
-    if "ref_vlmo_ch_pgd" in sys.modules:
+    if "ref_vlmo_ch_pgd_vl" in sys.modules:
         return types.SimpleNamespace(
             pgd=sys.modules["ref_vlmo_ch_pgd"],
             fgm=sys.modules["ref_vlmo_ch_fgm"],
+            pgd_vl=sys.modules["ref_vlmo_ch_pgd_vl"],
+            fgm_vl=sys.modules["ref_vlmo_ch_fgm_vl"],
             utils=sys.modules["ref_vlmo_ch_utils"],
         )
     import importlib.util

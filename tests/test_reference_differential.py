@@ -1293,3 +1293,134 @@ def test_vlmo_pgd_vl_step_matches_reference(vlmo_pair):
     np.testing.assert_allclose(
         np.asarray(tg_j), tg_t.detach().numpy(), atol=5e-7
     )
+
+
+# ---------------------------------------------------------------------------
+# MAR label construction vs the reference's own evaluate() body
+# ---------------------------------------------------------------------------
+
+
+class _CapturedPgd(Exception):
+    def __init__(self, kwargs):
+        self.kwargs = kwargs
+
+
+def _capture_mar_from_reference(aa, w, monkeypatch, qid, question,
+                                paraphrase, surrogate_ans, vilt_ans,
+                                all_correct):
+    """Run the reference's ``Adv_attack.evaluate`` label-construction body
+    (``adv_attack.py:436-558``) on one sample, capturing the ``y`` handed to
+    the first PGD call (the labels are locals — the PGD boundary is the only
+    observable seam)."""
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+
+    atk = aa.Adv_attack.__new__(aa.Adv_attack)
+    atk.device = torch.device("cpu")
+    atk.tokenizer_mlm = w.hf_tok
+    atk.mlm_model = w.mlm
+    atk.white_model = types.SimpleNamespace(eval=lambda: None)
+    atk.black_model = types.SimpleNamespace(eval=lambda: None)
+    atk.correct_list = [int(qid)]
+    atk.tcl_ans_table = {str(qid): surrogate_ans}
+    atk.vilt_ans_table = {str(qid): vilt_ans}
+    atk.all_correct_ans = {str(qid): list(all_correct)}
+    atk.chatgpt = {str(qid): [vilt_ans, paraphrase]}
+    atk.batch = None
+    # evaluate() computes ori_emb = self.text_embeddings(...) before the
+    # first PGD call (adv_attack.py:599); the value is only consumed by the
+    # (stubbed) substitution loop, so a zero embedding table suffices
+    atk.embeddings = lambda **kw: torch.zeros(
+        kw["input_ids"].shape[0], kw["input_ids"].shape[1], 4
+    )
+
+    monkeypatch.setattr(
+        aa.Adv_attack, "Gen_ori_feats",
+        lambda self, b: (torch.zeros(13, 1, 4), torch.zeros(13, 1, 4)),
+    )
+
+    def capture(*args, **kwargs):
+        raise _CapturedPgd(kwargs)
+
+    monkeypatch.setattr(aa, "pgd",
+                        types.SimpleNamespace(projected_gradient_descent=capture))
+    monkeypatch.setattr(aa, "pgd_vl",
+                        types.SimpleNamespace(projected_gradient_descent=capture))
+
+    batch = {
+        "question_id": [qid],
+        "question": [question],
+        "answer": [(surrogate_ans,)],
+        "weight": [(torch.tensor(1.0),)],
+        "image": torch.zeros(1, 3, 32, 32),
+    }
+    loader = [batch]
+    loader_ns = types.SimpleNamespace(dataset=types.SimpleNamespace(
+        answer_list=[surrogate_ans, "blue"]))
+    # list-with-attrs stand-in for the DataLoader
+    class _Loader(list):
+        pass
+    ld = _Loader(loader)
+    ld.dataset = loader_ns.dataset
+
+    with pytest.raises(_CapturedPgd) as exc:
+        atk.evaluate(ld, w.hf_tok)
+    kw = exc.value.kwargs
+    return kw["ls"], kw["y"], atk
+
+
+@pytest.mark.parametrize(
+    "paraphrase,vilt_ans,all_correct",
+    [
+        ("the dog is red.", "red", ["red"]),                       # single
+        ("the dog is red.", "red", ["red", "blue", "green"]),      # stacked
+        ("the man is wearing a red hat.", "red hat",
+         ["red hat", "blue cat"]),                                 # multi-word
+        ("the dog is small.", "red", ["red"]),                     # no match
+        ("the dog is in the red hat.", "in red", ["in red"]),      # filler 'in'
+    ],
+)
+def test_mar_labels_match_reference(monkeypatch, paraphrase, vilt_ans,
+                                    all_correct):
+    """MAR label construction (``adv_attack.py:436-558``: first-occurrence
+    masking, descending multi-word rewrite, multi-answer stacking gated on
+    word-count + per-word sub-token-length equality, filler-word filter)
+    executed from the reference's own ``evaluate`` vs
+    :func:`build_mar_labels` — identical old_alg, masked ids, and label
+    stacks."""
+    aa = rs.adv_attack_module()
+    from vqattack_tpu.attacks.mar_labels import build_mar_labels
+    from vqattack_tpu.text.tokenizer import WordPieceTokenizer
+
+    w = _toy_substitution_world()
+    our_tok = WordPieceTokenizer.from_file(w.vocab_file)
+
+    ls, y, atk = _capture_mar_from_reference(
+        aa, w, monkeypatch, 7001, "what color is the dog",
+        paraphrase, "red", vilt_ans, all_correct,
+    )
+    mar = build_mar_labels(
+        paraphrase, vilt_ans, all_correct, our_tok,
+        max_len=25, max_answers=8,
+    )
+    if mar.old_alg == 1:
+        assert ls == 1  # feature-only fallback (adv_attack.py:467-468)
+        assert y[2] is None  # the ls==1 y = [txt, img, None, None, None]
+        return
+    assert ls == 0
+
+    ref_labels = y[0]          # [1, L] or [1, A, L]
+    ref_mlm_ids = atk.batch["text_ids_mlm"][0].numpy()
+    L = ref_mlm_ids.shape[0]
+    np.testing.assert_array_equal(mar.mlm_ids[:L], ref_mlm_ids)
+    assert (mar.mlm_ids[L:] == our_tok.pad_token_id).all()
+
+    if ref_labels.dim() == 2:   # single variant
+        ref_stack = ref_labels.numpy()          # [1, L]
+    else:                        # [1, A, L]
+        ref_stack = ref_labels[0].numpy()       # [A, L]
+    A = ref_stack.shape[0]
+    for a in range(A):
+        np.testing.assert_array_equal(mar.labels[a][:L], ref_stack[a])
+        assert (mar.labels[a][L:] == -100).all()
+    # every extra padded variant on our side is inert
+    assert (mar.labels[A:] == -100).all()

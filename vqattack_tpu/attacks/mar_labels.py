@@ -133,7 +133,13 @@ def build_mar_labels(
         ):
             continue
         cand_pa = list(pa_words)
-        for pos, w in zip(mask_positions, cand_words):
+        # the reference sorts the position list DESCENDING before zipping it
+        # with the candidate words in original order (adv_attack.py:525-535:
+        # cand_mask_pos_list.sort(reverse=True) precedes the
+        # zip(cand_mask_pos_list, cand_attack_ans_words) rewrite), so a
+        # multi-word candidate answer is spliced in reversed — "blue cat"
+        # lands as "... cat blue".  Reproduced verbatim for label parity.
+        for pos, w in zip(sorted(mask_positions, reverse=True), cand_words):
             cand_pa[pos] = w
         cand_ids, _, _ = _encode_fixed(
             tokenizer, " ".join(cand_pa) + sentence_suffix, max_len
