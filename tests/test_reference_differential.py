@@ -1424,3 +1424,155 @@ def test_mar_labels_match_reference(monkeypatch, paraphrase, vilt_ans,
         assert (mar.labels[a][L:] == -100).all()
     # every extra padded variant on our side is inert
     assert (mar.labels[A:] == -100).all()
+
+
+# ---------------------------------------------------------------------------
+# VLMo MAR label construction vs the reference's own test_step body
+# ---------------------------------------------------------------------------
+
+
+def _toy_vlmo_mar_world():
+    """Like :func:`_toy_substitution_world` but with the specials at the real
+    BERT vocab positions — the VLMo monolith hardcodes ``[SEP] == 102`` in
+    its answer-recovery preview (``vlmo_module.py:1915``)."""
+    from transformers import BertForMaskedLM as HFBertForMaskedLM
+    from transformers import BertTokenizer as HFBertTokenizer
+    from transformers.models.bert.configuration_bert import BertConfig as HFBertConfig
+
+    words = [
+        "what", "color", "is", "the", "dog", "cat", "hat", "red", "blue",
+        "green", "man", "woman", "person", "wearing", "hold", "##ing",
+        "frisbee", "ball", "shirt", "a", "an", "?", ".", "big", "small",
+        "tall", "in",
+    ]
+    vocab = (
+        ["[PAD]"] + [f"[unused{i}]" for i in range(99)]
+        + ["[UNK]", "[CLS]", "[SEP]", "[MASK]"] + words
+    )
+    d = tempfile.mkdtemp()
+    vf = os.path.join(d, "vocab.txt")
+    with open(vf, "w") as f:
+        f.write("\n".join(vocab) + "\n")
+    hf_tok = HFBertTokenizer(vf, do_lower_case=True)
+    cfg = HFBertConfig(
+        vocab_size=len(vocab), hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64, max_position_embeddings=64,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(11)
+    mlm = HFBertForMaskedLM(cfg).eval()
+    return types.SimpleNamespace(vocab=vocab, vocab_file=vf, hf_tok=hf_tok, mlm=mlm)
+
+
+def _capture_vlmo_mar_from_reference(vm, w, monkeypatch, qid, question,
+                                     paraphrase, surrogate_ans, vilt_ans,
+                                     all_correct):
+    """Run the reference's ``VLMo.test_step`` label-construction body
+    (``vlmo_module.py:1748-1889``) on one sample, capturing the ``y`` handed
+    to the first PGD call."""
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self)
+
+    atk = vm.VLMo.__new__(vm.VLMo)
+    nn.Module.__init__(atk)
+    atk.device = torch.device("cpu")
+    atk.tokenizer_mlm = w.hf_tok
+    atk.mlm_model = w.mlm
+    atk.hparams_ = None
+    atk.hparams = types.SimpleNamespace(config={"loss_names": {}})
+    atk.right_list = [int(qid)]
+    atk.vlmo_ans_table = {str(qid): surrogate_ans}
+    atk.vilt_ans_table = {str(qid): vilt_ans}
+    atk.all_correct_ans = {str(qid): list(all_correct)}
+    atk.chatgpt = {str(qid): [vilt_ans, paraphrase]}
+    # answer-recovery preview (vlmo_module.py:1908-1920) + ori_emb
+    # (vlmo_module.py:1941) both run before the first PGD call; their values
+    # feed only the (stubbed) substitution loop
+    atk.pgd_mlm_attack = lambda x: [torch.zeros(1, 40, len(w.vocab))]
+    atk.text_embeddings = lambda ids: torch.zeros(
+        ids.shape[0], ids.shape[1], 4
+    )
+
+    monkeypatch.setattr(
+        vm.VLMo, "Gen_ori_feats",
+        lambda self, b: (
+            torch.zeros(1, 4), torch.zeros(13, 1, 4), torch.zeros(13, 1, 4)
+        ),
+    )
+
+    def capture(*args, **kwargs):
+        raise _CapturedPgd(kwargs)
+
+    monkeypatch.setattr(vm, "pgd",
+                        types.SimpleNamespace(projected_gradient_descent=capture))
+    monkeypatch.setattr(vm, "pgd_vl",
+                        types.SimpleNamespace(projected_gradient_descent=capture))
+
+    batch = {
+        "qid": [int(qid)],
+        "image": [torch.zeros(1, 3, 32, 32)],
+        "text": [question],
+        "vqa_answer": [[surrogate_ans, "blue"]],
+        "vqa_scores": [[1.0, 0.3]],
+        "text_labels": torch.full((1, 40), -100, dtype=torch.long),
+        "text_ids": torch.ones((1, 40), dtype=torch.long),
+    }
+
+    with pytest.raises(_CapturedPgd) as exc:
+        atk.test_step(batch, 0)
+    kw = exc.value.kwargs
+    return kw["ls"], kw["y"], atk
+
+
+@pytest.mark.parametrize(
+    "paraphrase,vilt_ans,all_correct",
+    [
+        ("the dog is red.", "red", ["red"]),                       # single
+        ("the dog is red.", "red", ["red", "blue", "green"]),      # stacked
+        ("the man is wearing a red hat.", "red hat",
+         ["red hat", "blue cat"]),                                 # multi-word
+        ("the dog is small.", "red", ["red"]),                     # no match
+        ("the dog is in the red hat.", "in red", ["in red"]),      # filler 'in'
+    ],
+)
+def test_vlmo_mar_labels_match_reference(monkeypatch, paraphrase, vilt_ans,
+                                         all_correct):
+    """VLMo MAR label construction (``vlmo_module.py:1748-1889``) executed
+    from the reference's own ``test_step`` vs :func:`build_mar_labels` in the
+    VLMo dialect (max_length=40, ``'.'``-suffixed sentences, max_length
+    padding) — identical old_alg, masked ids, and label stacks, including the
+    reversed multi-word candidate splice."""
+    vm = rs.vlmo_module()
+    from vqattack_tpu.attacks.mar_labels import build_mar_labels
+    from vqattack_tpu.text.tokenizer import WordPieceTokenizer
+
+    w = _toy_vlmo_mar_world()
+    our_tok = WordPieceTokenizer.from_file(w.vocab_file)
+
+    ls, y, atk = _capture_vlmo_mar_from_reference(
+        vm, w, monkeypatch, 7001, "what color is the dog?",
+        paraphrase, "red", vilt_ans, all_correct,
+    )
+    mar = build_mar_labels(
+        paraphrase, vilt_ans, all_correct, our_tok,
+        max_len=40, max_answers=8, sentence_suffix=".",
+    )
+    if mar.old_alg == 1:
+        assert ls == 1
+        # the ls==1 VLMo y = [None, tgt_feats, feats_list, None, None]
+        # (vlmo_module.py:1948)
+        assert y[0] is None
+        return
+    assert ls == 0
+
+    ref_labels = y[0]          # [1, 40] or [1, A, 40]
+    ref_mlm_ids = atk.batch["text_ids_mlm"][0].numpy()
+    np.testing.assert_array_equal(mar.mlm_ids, ref_mlm_ids)
+
+    if ref_labels.dim() == 2:
+        ref_stack = ref_labels.numpy()          # [1, 40]
+    else:
+        ref_stack = ref_labels[0].numpy()       # [A, 40]
+    A = ref_stack.shape[0]
+    for a in range(A):
+        np.testing.assert_array_equal(mar.labels[a], ref_stack[a])
+    assert (mar.labels[A:] == -100).all()
