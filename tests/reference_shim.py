@@ -387,3 +387,77 @@ def adv_attack_module():
         return adv_attack
     finally:
         HFBertConfig.from_pretrained = classmethod(orig_from_pretrained)
+
+
+def albef_task_models():
+    """Import the reference's downstream-task model modules
+    (``models/model_ve.py`` / ``model_nlvr.py`` / ``model_retrieval.py``)."""
+    install_shims()
+    _ensure_path(ALBEF_ROOT)
+    import models.model_nlvr as rnlvr
+    import models.model_retrieval as rretr
+    import models.model_ve as rve
+
+    return types.SimpleNamespace(ve=rve, nlvr=rnlvr, retrieval=rretr)
+
+
+def albef_tools():
+    """Import the reference's vendored tool layers: the timm optimizer /
+    scheduler forks (``ALBEF_attack/optim/``, ``scheduler/``), the official
+    VQA evaluation api (``vqaTools/``) and the COCO-caption scorers kept for
+    RefCOCO grounding (``refTools/evaluation/{bleu,rouge}``).
+
+    Note: the vendored ``refTools/evaluation/cider/cider_scorer.py`` is
+    Python-2-only (``xrange`` / ``iteritems`` in every code path) — it cannot
+    execute under this interpreter, so CIDEr has no runnable reference here;
+    see ``test_reference_differential_aux.py`` for how that's handled.
+    """
+    install_shims()
+    _ensure_path(ALBEF_ROOT)
+    import optim.optim_factory as optim_factory
+    import scheduler.scheduler_factory as scheduler_factory
+    from refTools.evaluation.bleu.bleu import Bleu
+    from refTools.evaluation.rouge.rouge import Rouge
+    import vqaTools.vqa as vqa_api
+    import vqaTools.vqaEval as vqa_eval
+
+    return types.SimpleNamespace(
+        optim_factory=optim_factory,
+        scheduler_factory=scheduler_factory,
+        Bleu=Bleu,
+        Rouge=Rouge,
+        vqa_api=vqa_api,
+        vqa_eval=vqa_eval,
+    )
+
+
+def _load_by_path(name: str, path: str):
+    if name in sys.modules:
+        return sys.modules[name]
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def vlmo_heads():
+    """Import the reference's VLMo head modules (``vlmo/modules/heads.py``)
+    by file path (the package ``__init__`` drags in the Lightning stack)."""
+    install_shims()
+    return _load_by_path(
+        "ref_vlmo_heads", os.path.join(VLMO_ROOT, "vlmo", "modules", "heads.py")
+    )
+
+
+def albef_randaugment():
+    """Import the reference's RandAugment op inventory
+    (``ALBEF_attack/dataset/randaugment.py``) by file path — the ``dataset``
+    package ``__init__`` imports the full dataset stack (refTools java
+    tokenizer etc.)."""
+    install_shims()
+    return _load_by_path(
+        "ref_albef_randaugment", os.path.join(ALBEF_ROOT, "dataset", "randaugment.py")
+    )

@@ -1,0 +1,685 @@
+"""Differential tests against the reference's auxiliary surfaces.
+
+Round-2 extension of ``test_reference_differential.py`` to the reference
+modules that round 2's first wave did not yet execute in CI:
+
+- the downstream ALBEF task models (``models/model_ve.py`` /
+  ``model_nlvr.py`` / ``model_retrieval.py``) — forward parity with
+  :mod:`vqattack_tpu.models.albef_tasks` after converting the reference's
+  random state dicts;
+- the VLMo head modules (``vlmo/modules/heads.py`` Pooler / MLMHead);
+- the vendored timm optimizer factory (``optim/optim_factory.py``) — full
+  update-trajectory parity of AdamW / nesterov-SGD incl. the
+  ``add_weight_decay`` no-decay split, against :mod:`vqattack_tpu.train.optim`;
+- the vendored timm cosine scheduler (``scheduler/cosine_lr.py``) — per-epoch
+  lr-sequence parity (``warmup_prefix=False`` semantics);
+- the official VQA evaluation api (``vqaTools/vqa.py`` + ``vqaEval.py``) —
+  identical per-question and overall accuracies on adversarially-normalized
+  synthetic answers;
+- the COCO-caption scorers kept for RefCOCO grounding
+  (``refTools/evaluation/{bleu,rouge}``).  The vendored CIDEr scorer
+  (``cider/cider_scorer.py``) is Python-2-only (``xrange``/``iteritems`` on
+  every code path) and cannot execute under this interpreter — there is no
+  runnable reference for it; :func:`vqattack_tpu.eval.caption_scorers.cider`
+  implements the published CIDEr-D formula instead and is pinned by a
+  hand-computed case in ``test_eval_extras.py``;
+- the RandAugment op inventory (``dataset/randaugment.py``) for the
+  bit-exact pointwise ops (solarize / posterize); the geometric and
+  enhancement ops intentionally differ in backend rounding (cv2 LUT
+  truncation vs PIL integer arithmetic) and are covered by the op-inventory
+  test in ``test_data_eval.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+import os
+import tempfile
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import optax  # noqa: E402
+
+import reference_shim as rs  # noqa: E402
+
+from vqattack_tpu.checkpoint.convert import (  # noqa: E402
+    _linear,
+    convert_fusion_bert,
+    convert_vit,
+)
+from vqattack_tpu.config import tiny_test_config  # noqa: E402
+from vqattack_tpu.models.albef_tasks import (  # noqa: E402
+    AlbefNLVR,
+    AlbefRetrieval,
+    AlbefVE,
+)
+
+ATOL = 2e-5
+
+
+def _hf_bert_config(vocab_size=64, layers=4):
+    from transformers.models.bert.configuration_bert import BertConfig as HFBertConfig
+
+    return HFBertConfig(
+        vocab_size=vocab_size, hidden_size=32, num_hidden_layers=layers,
+        num_attention_heads=2, intermediate_size=64, max_position_embeddings=64,
+        type_vocab_size=2, fusion_layer=2, encoder_width=32,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+
+
+def _ref_vit(ref, depth=2):
+    # The reference's task models (model_ve.py:55, model_nlvr.py, the
+    # Retrieval.py eval loop) are upstream ALBEF code written against a
+    # tensor-returning ViT; the attack-modified vit.py:177 returns
+    # ``(x, feats_list)`` and the task models cannot execute against it in
+    # the reference tree itself (dead upstream code).  Unwrap the taps to
+    # restore the upstream semantics the task models were written for.
+    vit = ref.vit.VisionTransformer(
+        img_size=32, patch_size=16, embed_dim=32, depth=depth,
+        num_heads=2, mlp_ratio=4, qkv_bias=True,
+    )
+    vit.forward = lambda x, _f=vit.forward: _f(x)[0]
+    return vit
+
+
+def _ref_bert(ref):
+    # Same story for the fusion BERT: the attack-modified xbert.py:1088-1095
+    # returns ``(output, txt_feats_list)`` under return_dict — the task
+    # models were written against the upstream single-return BertModel.
+    enc = ref.xbert.BertModel(config=_hf_bert_config(), add_pooling_layer=False)
+    enc.forward = lambda *a, _f=enc.forward, **k: _f(*a, **k)[0]
+    return enc
+
+
+def _cls_head(out_dim):
+    return nn.Sequential(nn.Linear(32, 32), nn.ReLU(), nn.Linear(32, out_dim))
+
+
+def _inputs(batch=2, seq=8, rng_seed=0, n_images=None):
+    rng = np.random.default_rng(rng_seed)
+    ids = rng.integers(4, 60, (batch, seq)).astype(np.int64)
+    ids[:, 0] = 2  # stand-in [CLS] inside the tiny 64-word vocab
+    mask = np.ones((batch, seq), np.int64)
+    px = rng.uniform(-1, 1, (n_images or batch, 3, 32, 32)).astype(np.float32)
+    return ids, mask, px
+
+
+def _text_ns(ids, mask):
+    return types.SimpleNamespace(
+        input_ids=torch.from_numpy(ids), attention_mask=torch.from_numpy(mask)
+    )
+
+
+def _nhwc(px):
+    return jnp.asarray(np.transpose(px, (0, 2, 3, 1)))
+
+
+def _task_params(sd, num_layers=4, cls_out=None):
+    tree = {
+        "visual_encoder": convert_vit(sd, "visual_encoder.", depth=2),
+        "text_encoder": convert_fusion_bert(
+            sd, "text_encoder.", num_layers=num_layers, fusion_layer=2
+        ),
+    }
+    if cls_out is not None:
+        tree["cls_head"] = {
+            "fc1": _linear(sd, "cls_head.0"),
+            "fc2": _linear(sd, "cls_head.2"),
+        }
+    return tree
+
+
+def _our_cfg():
+    base = tiny_test_config().albef
+    return dataclasses.replace(base, embed_dim=16)
+
+
+# ---------------------------------------------------------------------------
+# ALBEF task models
+# ---------------------------------------------------------------------------
+
+
+def test_albef_ve_forward_matches_reference():
+    """``model_ve.py:53-92`` inference branch (train=False) vs AlbefVE."""
+    ref = rs.albef_models()
+    tasks = rs.albef_task_models()
+    torch.manual_seed(0)
+
+    ve = tasks.ve.ALBEF.__new__(tasks.ve.ALBEF)
+    nn.Module.__init__(ve)
+    ve.tokenizer = None
+    ve.distill = False
+    ve.visual_encoder = _ref_vit(ref)
+    ve.text_encoder = _ref_bert(ref)
+    ve.cls_head = _cls_head(3)
+    ve.eval()
+
+    ids, mask, px = _inputs()
+    with torch.no_grad():
+        want = ve(torch.from_numpy(px), _text_ns(ids, mask), targets=None,
+                  train=False).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in ve.state_dict().items()}
+    model = AlbefVE(_our_cfg())
+    got = model.apply(
+        {"params": _task_params(sd, cls_out=3)},
+        _nhwc(px), jnp.asarray(ids), jnp.asarray(mask),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=ATOL, rtol=0)
+
+
+def test_albef_nlvr_forward_matches_reference():
+    """``model_nlvr.py:57-95`` (two image streams alternating per layer via
+    ``xbert.py:484-489``, KV tied across each cross-attention pair per
+    ``share_cross_attention``) vs AlbefNLVR."""
+    ref = rs.albef_models()
+    tasks = rs.albef_task_models()
+    torch.manual_seed(1)
+
+    m = tasks.nlvr.ALBEF.__new__(tasks.nlvr.ALBEF)
+    nn.Module.__init__(m)
+    m.tokenizer = None
+    m.distill = False
+    m.visual_encoder = _ref_vit(ref)
+    m.text_encoder = _ref_bert(ref)
+    m.cls_head = _cls_head(2)
+    # share_cross_attention (model_nlvr.py:114-128) scaled to the tiny
+    # geometry: tie KV of each consecutive cross-attention pair.
+    enc = m.text_encoder.encoder
+    mods0 = enc.layer[2].crossattention.self._modules
+    mods1 = enc.layer[3].crossattention.self._modules
+    for name in mods0:
+        if "key" in name or "value" in name:
+            mods0[name].weight = mods1[name].weight
+            mods0[name].bias = mods1[name].bias
+    m.eval()
+
+    b = 2
+    ids, mask, px = _inputs(batch=b, n_images=2 * b)
+    targets = torch.zeros(b, dtype=torch.long)
+    with torch.no_grad():
+        want = m(torch.from_numpy(px), _text_ns(ids, mask), targets,
+                 train=False).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    model = AlbefNLVR(_our_cfg(), num_layers=4)
+    got = model.apply(
+        {"params": _task_params(sd, cls_out=2)},
+        _nhwc(px), jnp.asarray(ids), jnp.asarray(mask),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=ATOL, rtol=0)
+
+
+def test_albef_retrieval_matches_reference():
+    """``model_retrieval.py`` inference components as composed by
+    ``Retrieval.py:84-136`` evaluation: ITA embeddings (text/vision proj +
+    normalize) and the fusion ITM re-rank logits, vs AlbefRetrieval."""
+    ref = rs.albef_models()
+    tasks = rs.albef_task_models()
+    torch.manual_seed(2)
+
+    m = tasks.retrieval.ALBEF.__new__(tasks.retrieval.ALBEF)
+    nn.Module.__init__(m)
+    m.tokenizer = None
+    m.distill = False
+    m.visual_encoder = _ref_vit(ref)
+    m.text_encoder = _ref_bert(ref)
+    m.vision_proj = nn.Linear(32, 16)
+    m.text_proj = nn.Linear(32, 16)
+    m.itm_head = nn.Linear(32, 2)
+    m.temp = nn.Parameter(torch.ones([]) * 0.07)
+    m.eval()
+
+    ids, mask, px = _inputs(batch=3, rng_seed=3)
+    timg = torch.from_numpy(px)
+    tids, tmask = torch.from_numpy(ids), torch.from_numpy(mask)
+    with torch.no_grad():
+        # Retrieval.py:104-107 image side
+        image_feats = m.visual_encoder(timg)
+        want_img = torch.nn.functional.normalize(
+            m.vision_proj(image_feats[:, 0, :]), dim=-1
+        ).numpy()
+        # Retrieval.py:91-93 text side
+        text_out = m.text_encoder(tids, attention_mask=tmask, mode="text")
+        text_feats = text_out.last_hidden_state
+        want_txt = torch.nn.functional.normalize(
+            m.text_proj(text_feats[:, 0, :]), dim=-1
+        ).numpy()
+        # Retrieval.py:129-136 fusion re-rank
+        img_att = torch.ones(image_feats.size()[:-1], dtype=torch.long)
+        out = m.text_encoder(
+            encoder_embeds=text_feats, attention_mask=tmask,
+            encoder_hidden_states=image_feats, encoder_attention_mask=img_att,
+            return_dict=True, mode="fusion",
+        )
+        want_itm = m.itm_head(out.last_hidden_state[:, 0, :]).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    params = _task_params(sd)
+    params.update(
+        vision_proj=_linear(sd, "vision_proj"),
+        text_proj=_linear(sd, "text_proj"),
+        itm_head=_linear(sd, "itm_head"),
+        temp=np.asarray(sd["temp"], np.float32),
+    )
+    model = AlbefRetrieval(_our_cfg())
+    variables = {"params": params}
+
+    got_img, img_embeds = model.apply(
+        variables, _nhwc(px), method=AlbefRetrieval.image_features
+    )
+    got_txt, txt_embeds = model.apply(
+        variables, jnp.asarray(ids), jnp.asarray(mask),
+        method=AlbefRetrieval.text_features,
+    )
+    got_itm = model.apply(
+        variables, txt_embeds, jnp.asarray(mask), img_embeds,
+        method=AlbefRetrieval.itm_score,
+    )
+    np.testing.assert_allclose(np.asarray(got_img), want_img, atol=ATOL, rtol=0)
+    np.testing.assert_allclose(np.asarray(got_txt), want_txt, atol=ATOL, rtol=0)
+    np.testing.assert_allclose(np.asarray(got_itm), want_itm, atol=ATOL, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# VLMo heads
+# ---------------------------------------------------------------------------
+
+
+def test_vlmo_heads_match_reference():
+    """``vlmo/modules/heads.py`` Pooler + MLMHead (BertPredictionHeadTransform
+    -> bias-free decoder + separate bias) vs the flax Pooler /
+    BertPredictionHead used inside :class:`vqattack_tpu.models.vlmo.VLMo`."""
+    heads = rs.vlmo_heads()
+    from vqattack_tpu.models.bert import BertPredictionHead
+    from vqattack_tpu.models.vlmo import Pooler
+    from vqattack_tpu.config import BertConfig
+
+    torch.manual_seed(3)
+    hf = _hf_bert_config()
+    pooler = heads.Pooler(32).eval()
+    mlm = heads.MLMHead(hf).eval()
+
+    x = torch.randn(2, 8, 32)
+    with torch.no_grad():
+        want_pool = pooler(x).numpy()
+        want_mlm = mlm(x).numpy()
+
+    psd = {k: v.numpy() for k, v in pooler.state_dict().items()}
+    our_pool = Pooler(32)
+    got_pool = our_pool.apply(
+        {"params": {"dense": {"kernel": psd["dense.weight"].T,
+                              "bias": psd["dense.bias"]}}},
+        jnp.asarray(x.numpy()),
+    )
+    np.testing.assert_allclose(np.asarray(got_pool), want_pool, atol=ATOL, rtol=0)
+
+    msd = {k: v.numpy() for k, v in mlm.state_dict().items()}
+    our_mlm = BertPredictionHead(
+        BertConfig(vocab_size=64, hidden_size=32, num_layers=4, num_heads=2,
+                   intermediate_size=64, max_position_embeddings=64)
+    )
+    got_mlm = our_mlm.apply(
+        {"params": {
+            "transform_dense": {"kernel": msd["transform.dense.weight"].T,
+                                "bias": msd["transform.dense.bias"]},
+            "transform_LayerNorm": {"scale": msd["transform.LayerNorm.weight"],
+                                    "bias": msd["transform.LayerNorm.bias"]},
+            "decoder": {"kernel": msd["decoder.weight"].T, "bias": msd["bias"]},
+        }},
+        jnp.asarray(x.numpy()),
+    )
+    np.testing.assert_allclose(np.asarray(got_mlm), want_mlm, atol=ATOL, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# Vendored timm optimizer factory (optim/optim_factory.py)
+# ---------------------------------------------------------------------------
+
+
+def _opt_fixture(seed):
+    """A tiny model whose no-decay split under the reference's shape-1 rule
+    (``optim_factory.py:26-37`` add_weight_decay) coincides with the repo's
+    name-based :func:`vqattack_tpu.train.optim.decay_mask` — Linear kernels
+    decay; biases and the LayerNorm affine do not."""
+    torch.manual_seed(seed)
+    model = nn.Sequential(nn.Linear(8, 8), nn.LayerNorm(8), nn.Linear(8, 4))
+    params = {
+        "dense1": {"kernel": model[0].weight.detach().numpy().T.copy(),
+                   "bias": model[0].bias.detach().numpy().copy()},
+        "LayerNorm": {"scale": model[1].weight.detach().numpy().copy(),
+                      "bias": model[1].bias.detach().numpy().copy()},
+        "dense2": {"kernel": model[2].weight.detach().numpy().T.copy(),
+                   "bias": model[2].bias.detach().numpy().copy()},
+    }
+    name_map = {
+        "0.weight": ("dense1", "kernel", True), "0.bias": ("dense1", "bias", False),
+        "1.weight": ("LayerNorm", "scale", False), "1.bias": ("LayerNorm", "bias", False),
+        "2.weight": ("dense2", "kernel", True), "2.bias": ("dense2", "bias", False),
+    }
+    return model, params, name_map
+
+
+def _run_optimizer_differential(opt_name, make_ours, seed, steps=5, atol=3e-6):
+    tools = rs.albef_tools()
+    model, params, name_map = _opt_fixture(seed)
+    args = types.SimpleNamespace(
+        opt=opt_name, lr=1e-2, weight_decay=0.05, opt_eps=1e-8,
+        # the reference pops eps but not betas on the SGD branch
+        # (optim_factory.py:65-67) — callers must omit betas there
+        opt_betas=(0.9, 0.999) if opt_name not in ("sgd", "momentum") else None,
+        momentum=0.9,
+    )
+    torch_opt = tools.optim_factory.create_optimizer(args, model)
+    # the reference zeroes group decay for the no-decay split
+    assert [g["weight_decay"] for g in torch_opt.param_groups] == [0.0, 0.05]
+
+    params = jax.tree.map(jnp.asarray, params)
+    tx = make_ours(params)
+    state = tx.init(params)
+
+    rng = np.random.default_rng(seed)
+    for _ in range(steps):
+        grads = {}
+        for tname, p in model.named_parameters():
+            g = rng.normal(size=p.shape).astype(np.float32)
+            p.grad = torch.from_numpy(g)
+            mod, leaf, _ = name_map[tname]
+            arr = g.T if leaf == "kernel" else g
+            grads.setdefault(mod, {})[leaf] = jnp.asarray(arr)
+        torch_opt.step()
+        updates, state = tx.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+
+    for tname, p in model.named_parameters():
+        mod, leaf, _ = name_map[tname]
+        got = np.asarray(params[mod][leaf])
+        want = p.detach().numpy()
+        if leaf == "kernel":
+            got = got.T
+        np.testing.assert_allclose(got, want, atol=atol, rtol=0, err_msg=tname)
+
+
+def test_optim_factory_adamw_trajectory_matches_reference():
+    """5-step AdamW update trajectory, decoupled decay on the masked split
+    (``optim_factory.py:73-74`` -> torch.optim.AdamW) vs
+    ``create_optimizer(opt='adamw')``."""
+    from vqattack_tpu.train.optim import create_optimizer, decay_mask
+
+    def make(params):
+        mask = decay_mask(params)
+        assert mask == {
+            "dense1": {"kernel": True, "bias": False},
+            "LayerNorm": {"scale": False, "bias": False},
+            "dense2": {"kernel": True, "bias": False},
+        }
+        return create_optimizer(params, opt="adamw", schedule=1e-2,
+                                weight_decay=0.05, eps=1e-8)
+
+    _run_optimizer_differential("adamw", make, seed=10)
+
+
+def test_optim_factory_nesterov_sgd_trajectory_matches_reference():
+    """``optim_factory.py:66-68`` ('sgd' -> nesterov SGD with *coupled* L2 on
+    the decay group) vs ``create_optimizer(opt='sgd')`` (add_decayed_weights
+    before the momentum trace)."""
+    from vqattack_tpu.train.optim import create_optimizer
+
+    def make(params):
+        return create_optimizer(params, opt="sgd", schedule=1e-2,
+                                weight_decay=0.05, momentum=0.9)
+
+    _run_optimizer_differential("sgd", make, seed=11)
+
+
+# ---------------------------------------------------------------------------
+# Vendored timm cosine scheduler (scheduler/cosine_lr.py)
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_schedule_matches_reference():
+    """Per-epoch lr sequence of ``CosineLRScheduler`` as the factory builds it
+    (``scheduler_factory.py:25-41``: t_initial=epochs, cycle_limit=1, and this
+    vendored copy's ``warmup_prefix=True`` default — cosine over the full
+    t_initial AFTER the warmup ramp) vs ``create_schedule('cosine')`` with
+    total_steps = warmup + epochs."""
+    tools = rs.albef_tools()
+    from vqattack_tpu.train.optim import create_schedule
+
+    base_lr, min_lr, warmup_lr, warmup_t, epochs = 2e-4, 1e-6, 1e-7, 5, 20
+    opt = torch.optim.SGD([nn.Parameter(torch.zeros(1))], lr=base_lr)
+    args = types.SimpleNamespace(
+        sched="cosine", epochs=epochs, min_lr=min_lr, decay_rate=1.0,
+        warmup_lr=warmup_lr, warmup_epochs=warmup_t, cooldown_epochs=0,
+    )
+    sched, _ = tools.scheduler_factory.create_scheduler(args, opt)
+    want = [sched._get_lr(t)[0] for t in range(warmup_t + epochs + 3)]
+
+    ours = create_schedule("cosine", base_lr=base_lr,
+                           total_steps=warmup_t + epochs,
+                           warmup_steps=warmup_t, warmup_lr=warmup_lr,
+                           min_lr=min_lr)
+    got = [float(ours(t)) for t in range(warmup_t + epochs + 3)]
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-12)
+
+
+def test_cosine_schedule_no_warmup_matches_reference():
+    tools = rs.albef_tools()
+    from vqattack_tpu.train.optim import create_schedule
+
+    opt = torch.optim.SGD([nn.Parameter(torch.zeros(1))], lr=1e-3)
+    args = types.SimpleNamespace(
+        sched="cosine", epochs=13, min_lr=1e-5, decay_rate=1.0,
+        warmup_lr=0.0, warmup_epochs=0, cooldown_epochs=0,
+    )
+    sched, _ = tools.scheduler_factory.create_scheduler(args, opt)
+    want = [sched._get_lr(t)[0] for t in range(16)]
+    ours = create_schedule("cosine", base_lr=1e-3, total_steps=13, min_lr=1e-5)
+    got = [float(ours(t)) for t in range(16)]
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Official VQA evaluation api (vqaTools/)
+# ---------------------------------------------------------------------------
+
+
+def _vqa_fixture_files(tmpdir):
+    """Synthetic annotations exercising the normalization quirks: the
+    contraction table (incl. multi-level 'couldnt've'), number words,
+    articles, punctuation adjacency, non-unanimous gt mutation, and the
+    leave-one-out k-of-n soft accuracy."""
+    # real VQA annotations carry unique answer_id per entry — without it the
+    # official scorer's dict-equality leave-one-out (``vqaEval.py:87-89``
+    # ``item != gtAnsDatum``) excludes every duplicate answer, not just itself
+    answers = lambda *a: [
+        {"answer": x, "answer_id": i + 1, "answer_confidence": "yes"}
+        for i, x in enumerate(a)
+    ]
+    anns = [
+        # unanimous: gts NOT punctuation-processed; pred fully normalized
+        dict(question_id=1, image_id=10, question_type="what", answer_type="other",
+             answers=answers(*["couldn't've"] * 10), multiple_choice_answer="couldn't've"),
+        # k=3 of 10 -> official 0.9, not 1.0
+        dict(question_id=2, image_id=10, question_type="how many", answer_type="number",
+             answers=answers("2", "2", "2", "3", "3", "3", "4", "4", "4", "4"),
+             multiple_choice_answer="3"),
+        # article + punctuation; non-unanimous -> gts punctuation-stripped
+        dict(question_id=3, image_id=11, question_type="what", answer_type="other",
+             answers=answers("the red, car", "red car", "red car",
+                             "blue car", "red car", "red car", "red car",
+                             "red car", "red car", "red car"),
+             multiple_choice_answer="red car"),
+        # number-word mapping
+        dict(question_id=4, image_id=11, question_type="how many", answer_type="number",
+             answers=answers(*["two"] * 6, *["2"] * 4), multiple_choice_answer="2"),
+        # total miss
+        dict(question_id=5, image_id=12, question_type="is the", answer_type="yes/no",
+             answers=answers(*["yes"] * 10), multiple_choice_answer="yes"),
+    ]
+    ques = [dict(question_id=a["question_id"], image_id=a["image_id"],
+                 question="q?") for a in anns]
+    results = [
+        dict(question_id=1, answer="couldnt've"),
+        dict(question_id=2, answer="three"),
+        dict(question_id=3, answer="a red car!"),
+        dict(question_id=4, answer="2"),
+        dict(question_id=5, answer="no"),
+    ]
+    annf = os.path.join(tmpdir, "ann.json")
+    quesf = os.path.join(tmpdir, "ques.json")
+    resf = os.path.join(tmpdir, "res.json")
+    with open(annf, "w") as f:
+        json.dump({"annotations": anns, "info": {}, "data_type": "t",
+                   "data_subtype": "t", "license": {}}, f)
+    with open(quesf, "w") as f:
+        json.dump({"questions": ques, "info": {}, "task_type": "Open-Ended",
+                   "data_type": "t", "data_subtype": "t", "license": {}}, f)
+    with open(resf, "w") as f:
+        json.dump(results, f)
+    return annf, quesf, resf, results
+
+
+def test_vqa_eval_matches_reference():
+    """``vqaTools/vqa.py`` + ``vqaEval.py`` end to end: identical overall /
+    per-type / per-question accuracies on the synthetic quirk set."""
+    tools = rs.albef_tools()
+    from vqattack_tpu.eval.vqa_eval import VQA, VQAEval
+
+    with tempfile.TemporaryDirectory() as td:
+        annf, quesf, resf, results = _vqa_fixture_files(td)
+
+        ref_vqa = tools.vqa_api.VQA(annf, quesf)
+        ref_res = ref_vqa.loadRes(resf, quesf)
+        ref_ev = tools.vqa_eval.VQAEval(ref_vqa, ref_res, n=2)
+        ref_ev.evaluate()
+
+        ours_vqa = VQA(annf, quesf)
+        ours_res = ours_vqa.load_res(resf)
+        ours_ev = VQAEval()
+        out = ours_ev.evaluate(ours_vqa, ours_res)
+
+    assert abs(out["overall"] - ref_ev.accuracy["overall"]) < 0.006
+    assert set(out["perQuestionType"]) == set(ref_ev.accuracy["perQuestionType"])
+    for k, v in ref_ev.accuracy["perQuestionType"].items():
+        assert abs(out["perQuestionType"][k] - v) < 0.006, k
+    for k, v in ref_ev.accuracy["perAnswerType"].items():
+        assert abs(out["perAnswerType"][k] - v) < 0.006, k
+    for qid, v in ref_ev.evalQA.items():
+        assert abs(100.0 * ours_ev.per_question[str(qid)] - v) < 0.006, qid
+    # pin the two analytically-known values
+    assert abs(ref_ev.evalQA[2] - 90.0) < 1e-9   # k=3 of 10 -> 0.9
+    assert ref_ev.evalQA[5] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# COCO caption scorers (refTools/evaluation/{bleu,rouge})
+# ---------------------------------------------------------------------------
+
+_CAPS = [
+    ("a brown dog runs across the green field", [
+        "a brown dog runs across the field quickly",
+        "the brown dog is running across a green field",
+    ]),
+    ("two people are riding horses on the beach at sunset", [
+        "two people are riding horses on the beach",
+        "two people ride horses along a sunset beach",
+    ]),
+    ("a man is slicing bread on a wooden cutting board", [
+        "a man is slicing a loaf of bread on a wooden cutting board",
+        "a man slicing bread on a cutting board",
+    ]),
+]
+
+
+def test_bleu_matches_reference():
+    """``refTools/evaluation/bleu`` (BleuScorer, option='closest', tiny/small
+    smoothing) vs :func:`vqattack_tpu.eval.caption_scorers.bleu` for the
+    cumulative BLEU-1..4 corpus scores."""
+    tools = rs.albef_tools()
+    from vqattack_tpu.eval.caption_scorers import bleu
+
+    gts = {i: refs for i, (_, refs) in enumerate(_CAPS)}
+    res = {i: [cand] for i, (cand, _) in enumerate(_CAPS)}
+    want, _ = tools.Bleu(4).compute_score(gts, res)
+
+    cands = [c for c, _ in _CAPS]
+    refs = [r for _, r in _CAPS]
+    got = [bleu(cands, refs, max_n=n) for n in (1, 2, 3, 4)]
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-9)
+
+
+def test_rouge_matches_reference():
+    """``refTools/evaluation/rouge`` (max-precision/max-recall mixed-pair F,
+    beta=1.2) vs :func:`vqattack_tpu.eval.caption_scorers.rouge_l`."""
+    tools = rs.albef_tools()
+    from vqattack_tpu.eval.caption_scorers import rouge_l
+
+    gts = {i: refs for i, (_, refs) in enumerate(_CAPS)}
+    res = {i: [cand] for i, (cand, _) in enumerate(_CAPS)}
+    want_mean, want_each = tools.Rouge().compute_score(gts, res)
+
+    cands = [c for c, _ in _CAPS]
+    refs = [r for _, r in _CAPS]
+    got_mean = rouge_l(cands, refs)
+    np.testing.assert_allclose(got_mean, want_mean, rtol=1e-9)
+    for i, (c, r) in enumerate(_CAPS):
+        np.testing.assert_allclose(rouge_l([c], [r]), want_each[i], rtol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# RandAugment pointwise ops (dataset/randaugment.py)
+# ---------------------------------------------------------------------------
+
+
+def test_randaugment_pointwise_ops_match_reference():
+    """``randaugment.py:77-84`` solarize / ``:179-184`` posterize are
+    documented as PIL-exact ('same output as PIL.ImageOps.*'); our PIL-backed
+    ops (``data/transforms.py:78-83``) must agree bit-for-bit at matched
+    thresh/bits.  (The cv2-backed geometric/enhance ops intentionally differ
+    in backend rounding — covered by the inventory test in
+    test_data_eval.py.)"""
+    ra = rs.albef_randaugment()
+    from PIL import Image
+
+    from vqattack_tpu.data.transforms import _posterize, _solarize
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    pil = Image.fromarray(img)
+
+    # v=0.5 -> thresh = 256 - 128 = 128
+    want = ra.solarize_func(img, 128)
+    got = np.asarray(_solarize(pil, 0.5))
+    np.testing.assert_array_equal(got, want)
+
+    # v=0.75 -> bits = 8 - 3 = 5.  The reference's mask expression
+    # ``np.uint8(255 << (8 - bits))`` (randaugment.py:182) relies on legacy
+    # numpy modular overflow (2040 -> 248); numpy>=2 raises OverflowError.
+    # Execute the reference code under a shim restoring the legacy wrap.
+    class _LegacyNp:
+        def __getattr__(self, name):
+            return getattr(np, name)
+
+        @staticmethod
+        def uint8(v):
+            return np.uint8(int(v) & 0xFF)
+
+    orig_np = ra.np
+    ra.np = _LegacyNp()
+    try:
+        want = ra.posterize_func(img, 5)
+    finally:
+        ra.np = orig_np
+    got = np.asarray(_posterize(pil, 0.75))
+    np.testing.assert_array_equal(got, want)

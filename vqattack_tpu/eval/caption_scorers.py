@@ -67,21 +67,29 @@ def _lcs(a: List[str], b: List[str]) -> int:
 def rouge_l(
     candidates: Sequence[str], references: Sequence[Sequence[str]], beta: float = 1.2
 ) -> float:
-    """Mean ROUGE-L F-measure (official scorer's beta)."""
+    """Mean ROUGE-L F-measure (official scorer's beta=1.2).
+
+    Matches the official COCO scorer exactly
+    (``refTools/evaluation/rouge/rouge.py:46-75``): the maximum LCS
+    *precision* and maximum LCS *recall* are taken separately across the
+    references, and the F-measure is formed from that (possibly mixed) pair
+    — NOT the best per-reference F.
+    """
     scores = []
     for cand, refs in zip(candidates, references):
         c = cand.split()
-        best = 0.0
+        prec_max = 0.0
+        rec_max = 0.0
         for ref in refs:
             r = ref.split()
             l = _lcs(c, r)
-            if l == 0:
-                continue
-            prec = l / len(c)
-            rec = l / len(r)
-            f = (1 + beta ** 2) * prec * rec / (rec + beta ** 2 * prec)
-            best = max(best, f)
-        scores.append(best)
+            prec_max = max(prec_max, l / max(1, len(c)))
+            rec_max = max(rec_max, l / max(1, len(r)))
+        if prec_max > 0 and rec_max > 0:
+            f = (1 + beta ** 2) * prec_max * rec_max / (rec_max + beta ** 2 * prec_max)
+        else:
+            f = 0.0
+        scores.append(f)
     return float(sum(scores) / max(1, len(scores)))
 
 
