@@ -34,7 +34,8 @@ BENCH_DTYPE (float32|bfloat16, default bfloat16), BENCH_ATTN (xla|flash),
 BENCH_PRECISION (default|high|highest), BENCH_REMAT (default 0;
 1 = full block remat, "scores" = attention-scores-only),
 BENCH_FUSED_LOSS (1 = per-layer cosine without materializing the image
-feature stack), BENCH_MODEL (albef|vlmo), BENCH_MATRIX (1 = run the
+feature stack), BENCH_UNROLL (scan unroll width, default 4 = measured
+production sweet spot), BENCH_MODEL (albef|vlmo), BENCH_MATRIX (1 = run the
 batch x dtype matrix, write BENCH_MATRIX.json, print per-config lines to
 stderr; the stdout JSON line is then the b=1 f32 headline for driver
 comparability).
@@ -113,6 +114,12 @@ def _flops_of(fn, *args) -> float:
         return 0.0
 
 
+def _unroll() -> int:
+    # production default 4: measured +3.8% on-chip at b=16 bf16
+    # (114.6 -> 118.9 sample-iters/s; flat beyond 4 — PERF.md)
+    return int(os.environ.get("BENCH_UNROLL", "4"))
+
+
 def _make_albef(batch, iters, dtype, fused, remat):
     import dataclasses
 
@@ -173,6 +180,7 @@ def _make_albef(batch, iters, dtype, fused, remat):
             eps=atk.eps, eps_iter=atk.step_size, nb_iter=iters,
             clip_min=atk.clip_min, clip_max=atk.clip_max,
             rand_init=True, use_pallas=jax.default_backend() not in ("cpu",),
+            unroll=_unroll(),
         )
 
     def flops():
@@ -241,6 +249,7 @@ def _make_vlmo(batch, iters, dtype, fused, remat):
             eps=atk.eps, eps_iter=atk.step_size, nb_iter=iters,
             clip_min=atk.clip_min, clip_max=atk.clip_max,
             rand_init=True, use_pallas=jax.default_backend() not in ("cpu",),
+            unroll=_unroll(),
         )
 
     def flops():

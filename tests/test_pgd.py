@@ -293,3 +293,30 @@ def test_get_or_guess_labels():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         get_or_guess_labels(model_fn, x, targeted=True)
+
+
+def test_scan_unroll_is_numerically_equivalent():
+    """unroll widens the scan body only — same math, so trajectories agree
+    to float reassociation tolerance (XLA fuses the wider body differently,
+    which reorders reductions; observed rel diff ~1e-7).  It is the
+    production default via AttackConfig.scan_unroll=4."""
+    x = jnp.zeros((2, 4, 4, 3))
+    aux = {"target": x + 3.0, "w": jnp.ones_like(x)}
+    base = pgd_feature(quad_loss, x, x, jax.random.key(3), aux,
+                       eps=EPS, eps_iter=STEP, nb_iter=7, rand_init=True)
+    for u in (2, 4):
+        got = pgd_feature(quad_loss, x, x, jax.random.key(3), aux,
+                          eps=EPS, eps_iter=STEP, nb_iter=7, rand_init=True,
+                          unroll=u)
+        np.testing.assert_allclose(np.asarray(base[0]), np.asarray(got[0]),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(base[1]), np.asarray(got[1]),
+                                   rtol=1e-5)
+    alt = pgd_alternating(quad_loss, linear_loss, x, x, jax.random.key(3), aux,
+                          eps=EPS, eps_iter=STEP, nb_iter=6, rand_init=True)
+    alt4 = pgd_alternating(quad_loss, linear_loss, x, x, jax.random.key(3), aux,
+                           eps=EPS, eps_iter=STEP, nb_iter=6, rand_init=True,
+                           unroll=4)
+    for a, b in zip(alt, alt4):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)

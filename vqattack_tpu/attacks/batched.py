@@ -312,6 +312,7 @@ class BatchedAlbefAttack:
                         eps=atk.eps, eps_iter=atk.step_size, nb_iter=block_iters,
                         clip_min=atk.clip_min, clip_max=atk.clip_max,
                         rand_init=rand_init, use_pallas=p.use_pallas,
+                        unroll=atk.scan_unroll,
                     )
                     ln = np.asarray(losses)
                     for j in range(b):
@@ -322,6 +323,7 @@ class BatchedAlbefAttack:
                         eps=atk.eps, eps_iter=atk.step_size, nb_iter=block_iters // 2,
                         clip_min=atk.clip_min, clip_max=atk.clip_max,
                         rand_init=rand_init, use_pallas=p.use_pallas,
+                        unroll=atk.scan_unroll,
                     )
                     fln, mln = np.asarray(fl), np.asarray(ml)
                     for j in range(b):

@@ -72,7 +72,7 @@ def _update(adv, grad, ori, eps, eps_iter, norm, clip_min, clip_max, use_pallas)
 @partial(
     jax.jit,
     static_argnames=("loss_fn", "nb_iter", "norm", "rand_init", "use_pallas",
-                     "eps", "eps_iter", "clip_min", "clip_max"),
+                     "eps", "eps_iter", "clip_min", "clip_max", "unroll"),
 )
 def pgd_feature(
     loss_fn: LossFn,
@@ -88,8 +88,16 @@ def pgd_feature(
     norm: str = LINF,
     rand_init: bool = False,
     use_pallas: bool = False,
+    unroll: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Feature-loss-only PGD (``ls==1``).  Returns ``(adv_x, losses[T, B])``."""
+    """Feature-loss-only PGD (``ls==1``).  Returns ``(adv_x, losses[T, B])``.
+
+    ``unroll`` widens the scan body to that many iterations per while-loop
+    trip — same math (trajectories agree to float-reassociation tolerance);
+    lets XLA schedule across the iteration boundary at the cost of a
+    proportionally larger program.  Measured +3.8% on-chip at the
+    production config; plateau at 4 (PERF.md lever table).
+    """
     init_key, scan_key = jax.random.split(rng)
     if rand_init:
         adv = jnp.clip(
@@ -107,7 +115,7 @@ def pgd_feature(
         return adv, per_sample
 
     keys = jax.random.split(scan_key, nb_iter)
-    adv, losses = jax.lax.scan(step, adv, keys)
+    adv, losses = jax.lax.scan(step, adv, keys, unroll=unroll)
     return adv, losses
 
 
@@ -115,7 +123,7 @@ def pgd_feature(
     jax.jit,
     static_argnames=(
         "feature_loss_fn", "mlm_loss_fn", "nb_iter", "norm", "rand_init", "use_pallas",
-        "eps", "eps_iter", "clip_min", "clip_max",
+        "eps", "eps_iter", "clip_min", "clip_max", "unroll",
     ),
 )
 def pgd_alternating(
@@ -133,6 +141,7 @@ def pgd_alternating(
     norm: str = LINF,
     rand_init: bool = False,
     use_pallas: bool = False,
+    unroll: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Alternating feature+MAR PGD (``ls==0``, ``pgd:153-189``).
 
@@ -162,7 +171,7 @@ def pgd_alternating(
         return adv, (feat_ps, mlm_ps)
 
     keys = jax.random.split(scan_key, nb_iter)
-    adv, (feat_losses, mlm_losses) = jax.lax.scan(step, adv, keys)
+    adv, (feat_losses, mlm_losses) = jax.lax.scan(step, adv, keys, unroll=unroll)
     return adv, feat_losses, mlm_losses
 
 

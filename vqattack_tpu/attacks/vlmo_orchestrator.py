@@ -200,6 +200,7 @@ class VlmoAttackPipeline:
                     eps=atk.eps, eps_iter=atk.step_size, nb_iter=block_iters,
                     clip_min=atk.clip_min, clip_max=atk.clip_max,
                     rand_init=rand_init, use_pallas=self.use_pallas,
+                    unroll=atk.scan_unroll,
                 )
                 feat_losses.append(np.asarray(losses)[:, 0])
             else:
@@ -216,6 +217,7 @@ class VlmoAttackPipeline:
                     eps=atk.eps, eps_iter=atk.step_size, nb_iter=block_iters // 2,
                     clip_min=atk.clip_min, clip_max=atk.clip_max,
                     rand_init=rand_init, use_pallas=self.use_pallas,
+                    unroll=atk.scan_unroll,
                 )
                 feat_losses.append(np.asarray(fl)[:, 0])
                 mlm_losses.append(np.asarray(ml)[:, 0])

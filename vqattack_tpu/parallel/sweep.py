@@ -42,6 +42,7 @@ def batched_attack_step(
     clip_max: float = 1.0,
     rand_init: bool = False,
     use_pallas: bool = False,
+    unroll: int = 1,
 ):
     """One mesh-sharded PGD program over a batch of samples.
 
@@ -70,7 +71,7 @@ def batched_attack_step(
         loss_fn, pixels, ori_pixels, rng, sharded_aux,
         eps=eps, eps_iter=eps_iter, nb_iter=nb_iter,
         clip_min=clip_min, clip_max=clip_max,
-        rand_init=rand_init, use_pallas=use_pallas,
+        rand_init=rand_init, use_pallas=use_pallas, unroll=unroll,
     )
 
 
