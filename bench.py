@@ -291,6 +291,7 @@ def measure(model_kind, batch, iters, dtype, *, fused=False, remat=True,
         "nb_iter": iters,
         "dtype": jnp.dtype(dtype).name,
         "fused_loss": bool(fused),
+        "unroll": _unroll(),
         "remat": remat if isinstance(remat, str) else bool(remat),
         "wall_s_per_scan": round(dt, 4),
         "scan_steps_per_s": round(iters / dt, 2),
@@ -357,8 +358,10 @@ def main() -> None:
                 merged = json.load(f)
 
         def _key(r):
+            # rows written before the unroll lever existed were unroll=1
             return (r.get("model"), r.get("batch"), r.get("dtype"),
-                    str(r.get("remat")), r.get("fused_loss", False))
+                    str(r.get("remat")), r.get("fused_loss", False),
+                    r.get("unroll", 1))
 
         fresh = {_key(r) for r in rows}
         merged["rows"] = [r for r in merged["rows"] if _key(r) not in fresh]
