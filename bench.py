@@ -25,9 +25,12 @@ A100-class GPU) — a measured-vs-assumed ratio, labeled as such everywhere.
 
 The default (no env knobs) measures the PRODUCTION configuration — the
 best point of the measured batch x dtype x remat matrix (PERF.md):
-bfloat16 trunk (f32 softmax/losses/update), no remat, batch 16.  Set the
-env knobs to reproduce any other matrix point (the round-1 headline was
-the reference's own config: BENCH_BATCH=1 BENCH_DTYPE=float32).
+bfloat16 trunk (f32 softmax/losses/update), no remat, batch 16, scan
+unroll 4.  Set the env knobs to reproduce any other matrix point (the
+round-1 headline was the reference's own config: BENCH_BATCH=1
+BENCH_DTYPE=float32).  Longitudinal note: headlines recorded before the
+unroll lever landed were unroll=1 (BENCH_UNROLL=1 reproduces them);
+matrix rows carry an explicit "unroll" field, with absent = 1.
 
 Env knobs: BENCH_BATCH (default 16), BENCH_ITERS (default 40),
 BENCH_DTYPE (float32|bfloat16, default bfloat16), BENCH_ATTN (xla|flash),
@@ -120,7 +123,7 @@ def _unroll() -> int:
     return int(os.environ.get("BENCH_UNROLL", "4"))
 
 
-def _make_albef(batch, iters, dtype, fused, remat):
+def _make_albef(batch, iters, dtype, fused, remat, unroll):
     import dataclasses
 
     from vqattack_tpu.attacks import albef as albef_losses
@@ -180,7 +183,7 @@ def _make_albef(batch, iters, dtype, fused, remat):
             eps=atk.eps, eps_iter=atk.step_size, nb_iter=iters,
             clip_min=atk.clip_min, clip_max=atk.clip_max,
             rand_init=True, use_pallas=jax.default_backend() not in ("cpu",),
-            unroll=_unroll(),
+            unroll=unroll,
         )
 
     def flops():
@@ -197,7 +200,7 @@ def _make_albef(batch, iters, dtype, fused, remat):
     return run, flops
 
 
-def _make_vlmo(batch, iters, dtype, fused, remat):
+def _make_vlmo(batch, iters, dtype, fused, remat, unroll):
     import dataclasses
 
     from vqattack_tpu.attacks import vlmo as vlmo_losses
@@ -249,7 +252,7 @@ def _make_vlmo(batch, iters, dtype, fused, remat):
             eps=atk.eps, eps_iter=atk.step_size, nb_iter=iters,
             clip_min=atk.clip_min, clip_max=atk.clip_max,
             rand_init=True, use_pallas=jax.default_backend() not in ("cpu",),
-            unroll=_unroll(),
+            unroll=unroll,
         )
 
     def flops():
@@ -267,14 +270,16 @@ def _make_vlmo(batch, iters, dtype, fused, remat):
 
 
 def measure(model_kind, batch, iters, dtype, *, fused=False, remat=True,
-            attn="xla", reps=3):
+            attn="xla", reps=3, unroll=None):
     """Run one configuration; return the measurement dict."""
     from vqattack_tpu.ops.attention import attention_impl
     from vqattack_tpu.utils.retry import with_retries
 
+    if unroll is None:
+        unroll = _unroll()
     maker = _make_vlmo if model_kind == "vlmo" else _make_albef
     with attention_impl(attn):
-        run, flops_fn = maker(batch, iters, dtype, fused, remat)
+        run, flops_fn = maker(batch, iters, dtype, fused, remat, unroll)
         adv, _ = with_retries(lambda: run(jax.random.key(1)))  # compile+warm
         _hard_sync(adv)
         t0 = time.perf_counter()
@@ -291,7 +296,7 @@ def measure(model_kind, batch, iters, dtype, *, fused=False, remat=True,
         "nb_iter": iters,
         "dtype": jnp.dtype(dtype).name,
         "fused_loss": bool(fused),
-        "unroll": _unroll(),
+        "unroll": unroll,
         "remat": remat if isinstance(remat, str) else bool(remat),
         "wall_s_per_scan": round(dt, 4),
         "scan_steps_per_s": round(iters / dt, 2),

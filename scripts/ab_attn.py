@@ -80,7 +80,7 @@ def main() -> None:
                 loss, px, px, jax.random.key(7), aux,
                 eps=atk.eps, eps_iter=atk.step_size, nb_iter=nb_iter,
                 clip_min=atk.clip_min, clip_max=atk.clip_max,
-                rand_init=True, use_pallas=True,
+                rand_init=True, use_pallas=True, unroll=atk.scan_unroll,
             )
             traj[impl] = (np.asarray(adv), np.asarray(losses))
     pix_dev = np.max(np.abs(traj["xla"][0] - traj["flash"][0]))

@@ -146,7 +146,8 @@ def warm_albef(batch_sizes, max_k, total_iters, image_size, use_pallas,
             t0 = time.perf_counter()
             pgd_feature.lower(
                 feat, px, px, key, aux, nb_iter=n,
-                rand_init=first and atk.rand_init, **common,
+                rand_init=first and atk.rand_init, unroll=atk.scan_unroll,
+                **common,
             ).compile()
             count += 1
             print(f"albef feature b={b} nb={n} first={first}: "
@@ -162,7 +163,8 @@ def warm_albef(batch_sizes, max_k, total_iters, image_size, use_pallas,
                     t0 = time.perf_counter()
                     pgd_alternating.lower(
                         feat, second, px, px, key, second_aux, nb_iter=n // 2,
-                        rand_init=first and atk.rand_init, **common,
+                        rand_init=first and atk.rand_init,
+                        unroll=atk.scan_unroll, **common,
                     ).compile()
                     count += 1
                     print(f"albef alternating{tag} b={b} nb={n // 2} "
@@ -246,7 +248,8 @@ def warm_vlmo(batch_sizes, max_k, total_iters, image_size, use_pallas,
             t0 = time.perf_counter()
             pgd_feature.lower(
                 feat, px, px, key, aux, nb_iter=n,
-                rand_init=first and atk.rand_init, **common,
+                rand_init=first and atk.rand_init, unroll=atk.scan_unroll,
+                **common,
             ).compile()
             count += 1
             print(f"vlmo feature b={b} nb={n} first={first}: "
@@ -259,7 +262,8 @@ def warm_vlmo(batch_sizes, max_k, total_iters, image_size, use_pallas,
                     t0 = time.perf_counter()
                     pgd_alternating.lower(
                         feat, second, px, px, key, second_aux, nb_iter=n // 2,
-                        rand_init=first and atk.rand_init, **common,
+                        rand_init=first and atk.rand_init,
+                        unroll=atk.scan_unroll, **common,
                     ).compile()
                     count += 1
                     print(f"vlmo alternating{tag} b={b} nb={n // 2} "

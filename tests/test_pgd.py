@@ -299,7 +299,15 @@ def test_scan_unroll_is_numerically_equivalent():
     """unroll widens the scan body only — same math, so trajectories agree
     to float reassociation tolerance (XLA fuses the wider body differently,
     which reorders reductions; observed rel diff ~1e-7).  It is the
-    production default via AttackConfig.scan_unroll=4."""
+    production default via AttackConfig.scan_unroll=4.
+
+    The tight pixel tolerance is safe against sign(grad) discontinuity by
+    construction: quad_loss's gradient 2*(adv - target) has magnitude >= ~5
+    everywhere on the trajectory (target = +3, |adv| <= eps), so float
+    reassociation noise (~1e-7 relative) can never flip a sign.  The
+    real-model drift budget at unroll=4 — where near-zero gradient
+    components CAN flip — is pinned separately in
+    test_reference_differential.py::test_pgd_feature_trajectory_production_unroll."""
     x = jnp.zeros((2, 4, 4, 3))
     aux = {"target": x + 3.0, "w": jnp.ones_like(x)}
     base = pgd_feature(quad_loss, x, x, jax.random.key(3), aux,

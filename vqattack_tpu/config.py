@@ -181,6 +181,10 @@ class AttackConfig:
     # to float-reassociation tolerance); 4 lets XLA schedule across
     # iteration boundaries and is the measured TPU sweet spot (+3.8%
     # throughput at the production b=16 bf16 config; flat beyond 4 — PERF.md).
+    # Bit-exact reproduction of the reference's trajectories holds at
+    # scan_unroll=1 (tests/test_reference_differential.py bit_exact tests);
+    # the unroll=4 drift budget over a full 40-iteration attack is pinned by
+    # test_pgd_feature_trajectory_production_unroll.
     scan_unroll: int = 4
 
 
