@@ -679,7 +679,7 @@ def vlmo_pair():
     cfg = tiny_test_config().vlmo
     model = OurVLMo(cfg, with_vqa_head=False)
     sd = {k: val.detach().numpy() for k, val in v.state_dict().items()}
-    params = {"params": convert_vlmo(sd, depth=4, vlffn_start_layer=3)}
+    params = {"params": convert_vlmo(sd, depth=4)}
 
     rng = np.random.default_rng(5)
     ids = rng.integers(4, 60, (1, T)).astype(np.int64)
@@ -1179,7 +1179,7 @@ def test_vlmo_pgd_alternating_mar_trajectory_bit_exact(stacked):
     cfg = dataclasses.replace(tiny_test_config().vlmo, vocab_size=V)
     model = OurVLMo(cfg, with_vqa_head=False)
     sd = {k: val.detach().numpy() for k, val in v.state_dict().items()}
-    params = {"params": convert_vlmo(sd, depth=4, vlffn_start_layer=3)}
+    params = {"params": convert_vlmo(sd, depth=4)}
 
     rng = np.random.default_rng(13)
     ids = rng.integers(1000, 20000, (1, T)).astype(np.int64)

@@ -192,7 +192,7 @@ def _fake_vlmo_sd(cfg):
 
 def test_convert_vlmo_tree_loads():
     sd = _fake_vlmo_sd(CFG)
-    tree = convert_vlmo(sd, depth=CFG.depth, vlffn_start_layer=CFG.vlffn_start_layer)
+    tree = convert_vlmo(sd, depth=CFG.depth)
     model = VLMo(CFG)
     px = jnp.zeros((1, 32, 32, 3))
     ids = jnp.ones((1, CFG.max_text_len), jnp.int32)
@@ -254,3 +254,85 @@ def test_rel_pos_bias_resize_cubic_exactness():
     for h, p in enumerate(polys):
         want = np.asarray([[p(u, v) for v in dx] for u in dx]).reshape(-1)
         np.testing.assert_allclose(out[:, h], want, rtol=1e-7, atol=1e-7)
+
+
+def test_convert_vlmo_resizes_abs_pos_embed():
+    """Abs-pos VLMo/ViLT-family checkpoints carry transformer.pos_embed;
+    conversion with a window change must bicubic-resize its grid part like
+    the reference's load (vlmo_module.py:615-619), not pass it through."""
+    sd = _fake_vlmo_sd(CFG)
+    d = CFG.hidden_size
+    src_w = CFG.window_size[0]
+    dst_w = src_w + 3
+    rng = np.random.default_rng(7)
+    sd["transformer.pos_embed"] = rng.normal(
+        size=(1, src_w ** 2 + 1, d)
+    ).astype(np.float32)
+    tree = convert_vlmo(sd, depth=CFG.depth, new_window=dst_w, src_window=src_w)
+    assert tree["pos_embed"].shape == (1, dst_w ** 2 + 1, d)
+    # cls row untouched by the grid resize
+    np.testing.assert_allclose(
+        tree["pos_embed"][0, 0], sd["transformer.pos_embed"][0, 0], atol=1e-6
+    )
+    # no-resize conversion passes through unchanged
+    same = convert_vlmo(sd, depth=CFG.depth)
+    np.testing.assert_array_equal(same["pos_embed"], sd["transformer.pos_embed"])
+
+
+def test_convert_vlmo_maps_nlvr2_head():
+    """NLVR2-finetuned checkpoints carry nlvr2_classifier.{0,1,3}; the
+    converted tree must feed VLMo(with_nlvr2_head=True).nlvr2_logits."""
+    sd = _fake_vlmo_sd(CFG)
+    d = CFG.hidden_size
+    rng = np.random.default_rng(8)
+    # Sequential(Linear(2d, 2d), LN(2d), GELU, Linear(2d, 2)) — the pooled
+    # features of both image streams are concatenated (vlmo_module.py:283-296)
+    sd["nlvr2_classifier.0.weight"] = rng.normal(size=(2 * d, 2 * d)).astype(np.float32)
+    sd["nlvr2_classifier.0.bias"] = np.zeros(2 * d, np.float32)
+    sd["nlvr2_classifier.1.weight"] = np.ones(2 * d, np.float32)
+    sd["nlvr2_classifier.1.bias"] = np.zeros(2 * d, np.float32)
+    sd["nlvr2_classifier.3.weight"] = rng.normal(size=(2, 2 * d)).astype(np.float32)
+    sd["nlvr2_classifier.3.bias"] = np.zeros(2, np.float32)
+    sd["token_type_embeddings.weight"] = np.zeros((3, d), np.float32)
+    tree = convert_vlmo(sd, depth=CFG.depth)
+    assert "nlvr2_classifier" in tree
+    # with_nlvr2_head widens the MODALITY type table to 3 rows internally;
+    # the text-side token_type table stays at the checkpoint's 2 rows
+    model = VLMo(CFG, with_nlvr2_head=True)
+    px = jnp.zeros((1, 32, 32, 3))
+    ids = jnp.ones((1, CFG.max_text_len), jnp.int32)
+    mask = jnp.ones_like(ids)
+    logits = model.apply(
+        {"params": tree}, px, px, ids, mask, method=VLMo.nlvr2_logits
+    )
+    assert logits.shape == (1, 2)
+
+
+def test_checkpoint_cache_invalidates_on_overwrite(tmp_path):
+    """_maybe_cached must not serve a stale tree after the checkpoint file
+    at the same path is overwritten with different weights."""
+    from vqattack_tpu.checkpoint.io import _maybe_cached
+
+    f = tmp_path / "ckpt.pth"
+    f.write_bytes(b"v1")
+    calls = []
+
+    def build1():
+        calls.append(1)
+        return {"w": np.ones(3, np.float32)}
+
+    def build2():
+        calls.append(2)
+        return {"w": np.full(3, 2.0, np.float32)}
+
+    cache = str(tmp_path / "cache")
+    t1 = _maybe_cached(str(f), cache, build1, "tag")
+    t1b = _maybe_cached(str(f), cache, build1, "tag")  # cache hit
+    assert calls == [1]
+    np.testing.assert_array_equal(np.asarray(t1b["w"]), np.ones(3))
+    import os as _os
+    f.write_bytes(b"v2-longer")  # different size (and mtime)
+    _os.utime(f, ns=(1, 1))  # force distinct mtime even on coarse clocks
+    t2 = _maybe_cached(str(f), cache, build2, "tag")
+    assert calls == [1, 2]
+    np.testing.assert_array_equal(np.asarray(t2["w"]), np.full(3, 2.0))

@@ -244,7 +244,6 @@ def convert_albef_pretrain(
 def convert_vlmo(
     sd: Dict[str, np.ndarray],
     depth: int = 12,
-    vlffn_start_layer: int = 10,
     new_window: Optional[int] = None,
     src_window: Optional[int] = None,
 ) -> Dict[str, Any]:
@@ -274,7 +273,15 @@ def convert_vlmo(
         "pooler": {"dense": _linear(sd, "pooler.dense")},
     }
     if f"{p}pos_embed" in sd:
-        tree["pos_embed"] = sd[f"{p}pos_embed"]
+        pos = sd[f"{p}pos_embed"]
+        if new_window is not None and src_window is not None and new_window != src_window:
+            # abs-pos models (use_abs_pos_emb=True family) bicubic-resize the
+            # grid part at load, like the reference (vlmo_module.py:615-619,
+            # 735-739); rel-pos models have no pos_embed key and skip this
+            from vqattack_tpu.checkpoint.interpolate import interpolate_pos_embed
+
+            pos = interpolate_pos_embed(pos, new_window ** 2)
+        tree["pos_embed"] = pos
     if "relative_position_bias_table" in sd:
         tbl = sd["relative_position_bias_table"]
         if new_window is not None and src_window is not None and new_window != src_window:
@@ -334,6 +341,14 @@ def convert_vlmo(
             "fc1": _linear(sd, "vqa_classifier.0"),
             "norm": _layernorm(sd, "vqa_classifier.1"),
             "fc2": _linear(sd, "vqa_classifier.3"),
+        }
+    if "nlvr2_classifier.0.weight" in sd:
+        # NLVR2-finetuned head, same Sequential(0: dense, 1: LN, 3: dense)
+        # layout as the vqa head (vlvr2_classifier at vlmo_module.py:283-296)
+        tree["nlvr2_classifier"] = {
+            "fc1": _linear(sd, "nlvr2_classifier.0"),
+            "norm": _layernorm(sd, "nlvr2_classifier.1"),
+            "fc2": _linear(sd, "nlvr2_classifier.3"),
         }
     return tree
 
@@ -469,6 +484,14 @@ def convert_vilt(
             "fc1": _linear(sd, "vqa_classifier.0"),
             "norm": _layernorm(sd, "vqa_classifier.1"),
             "fc2": _linear(sd, "vqa_classifier.3"),
+        }
+    if "nlvr2_classifier.0.weight" in sd:
+        # NLVR2-finetuned head, same Sequential(0: dense, 1: LN, 3: dense)
+        # layout as the vqa head (vlvr2_classifier at vlmo_module.py:283-296)
+        tree["nlvr2_classifier"] = {
+            "fc1": _linear(sd, "nlvr2_classifier.0"),
+            "norm": _layernorm(sd, "nlvr2_classifier.1"),
+            "fc2": _linear(sd, "nlvr2_classifier.3"),
         }
     return tree
 

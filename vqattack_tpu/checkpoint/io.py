@@ -36,16 +36,20 @@ def _maybe_cached(torch_path: str, cache_dir: Optional[str], build, tag: str):
     """Convert once, then reuse the orbax cache next to the torch file.
 
     The key carries the converter ``tag`` (converter name + geometry) and a
-    hash of the source's absolute path — the basename alone would collide
-    when the SAME file is ingested through different converters (pretrain vs
-    vqa) or geometries (rel-pos resize windows), silently returning the
-    wrong tree."""
+    hash of the source's absolute path + size + mtime — the basename alone
+    would collide when the SAME file is ingested through different
+    converters (pretrain vs vqa) or geometries (rel-pos resize windows),
+    and a path-only hash would silently serve a stale tree after the
+    checkpoint file is overwritten in place."""
     if cache_dir is None:
         return build()
     import hashlib
 
     ap = os.path.abspath(torch_path)
-    h = hashlib.sha1(ap.encode()).hexdigest()[:8]
+    st = os.stat(ap)
+    h = hashlib.sha1(
+        f"{ap}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:8]
     key = f"{os.path.basename(torch_path).replace('.', '_')}-{tag}-{h}"
     cache = os.path.join(cache_dir, key)
     if os.path.isdir(cache):

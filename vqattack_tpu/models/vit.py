@@ -50,7 +50,12 @@ class VisionTransformer(nn.Module):
         )(pixels)
 
         cls_token = self.param(
-            "cls_token", nn.initializers.zeros, (1, 1, cfg.hidden_size), jnp.float32
+            # trunc_normal_(std=.02), reference vit.py:144 (from-scratch
+            # training parity; checkpoint loads overwrite it either way)
+            "cls_token",
+            nn.initializers.truncated_normal(stddev=0.02),
+            (1, 1, cfg.hidden_size),
+            jnp.float32,
         )
         x = jnp.concatenate(
             [jnp.broadcast_to(cls_token, (b, 1, cfg.hidden_size)).astype(self.dtype), x],

@@ -466,8 +466,8 @@ class VLMo(nn.Module):
         )
         cls_feats = self.pooler(xn)
         layer_cls = _layer_cls_of(feats)
-        img_ones = jnp.ones_like(co_masks[:, self.cfg.max_text_len :])
-        token_mask = jnp.concatenate([text_masks, img_ones], axis=1)
+        # co_masks IS [masks, ones-for-image] (built in _joint_trunk)
+        token_mask = co_masks
         return cls_feats, layer_cls, feats, token_mask
 
     def attack_mlm(
@@ -482,8 +482,8 @@ class VLMo(nn.Module):
         text_feats = xn[:, : self.cfg.max_text_len]
         mlm_logits = self.mlm_score(text_feats)
         layer_cls = _layer_cls_of(feats)
-        img_ones = jnp.ones_like(co_masks[:, self.cfg.max_text_len :])
-        token_mask = jnp.concatenate([mlm_masks, img_ones], axis=1)
+        # co_masks IS [masks, ones-for-image] (built in _joint_trunk)
+        token_mask = co_masks
         return mlm_logits, layer_cls, feats, token_mask
 
     def attack_feats_from_embeds(
@@ -497,8 +497,8 @@ class VLMo(nn.Module):
         )
         cls_feats = self.pooler(xn)
         layer_cls = _layer_cls_of(feats)
-        img_ones = jnp.ones_like(co_masks[:, self.cfg.max_text_len :])
-        token_mask = jnp.concatenate([text_masks, img_ones], axis=1)
+        # co_masks IS [masks, ones-for-image] (built in _joint_trunk)
+        token_mask = co_masks
         return cls_feats, layer_cls, feats, token_mask
 
     def embed_text(self, text_ids: jnp.ndarray) -> jnp.ndarray:
