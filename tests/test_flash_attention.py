@@ -100,3 +100,19 @@ def test_prepare_bias_path_keeps_key_padding_mask():
     np.testing.assert_allclose(
         np.asarray(ab[..., :sq, :sq] * scale), np.asarray(bias), atol=1e-4
     )
+
+
+def test_block_size_divides_padded_length():
+    """Block sizes must divide the padded sequence length for ANY geometry,
+    not just S_p <= 1024 (e.g. image_size 576 -> joint seq 1337 -> padded
+    1408, where min()-clamping alone would violate the kernel's
+    divisibility requirement)."""
+    from vqattack_tpu.ops.attention import _block_size
+
+    for padded in (128, 256, 896, 1024, 1152, 1408, 2048, 3200):
+        b = _block_size(1024, padded)
+        assert padded % b == 0, (padded, b)
+        assert 128 <= b <= 1024
+    assert _block_size(1024, 1024) == 1024
+    assert _block_size(1024, 1408) == 128  # 11 * 128, no larger divisor
+    assert _block_size(1024, 2048) == 1024

@@ -198,3 +198,36 @@ def test_train_state_checkpointing(tmp_path):
     from vqattack_tpu.checkpoint.io import find_train_steps
 
     assert sorted(find_train_steps(str(tmp_path))) == [13, 15]
+
+
+def test_feature_queue_rejects_non_divisible_batch():
+    """dynamic_update_slice clamps instead of wrapping; the enqueue must
+    refuse geometries where the ring pointer would desync (the reference
+    asserts queue_size % batch_size == 0, model_pretrain.py:295)."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from vqattack_tpu.train.objectives import update_feature_queue
+
+    q = jnp.zeros((4, 10))
+    with _pytest.raises(ValueError, match="multiple"):
+        update_feature_queue(q, jnp.asarray(8), jnp.ones((4, 4)))
+    # divisible geometry wraps correctly
+    q2, ptr = update_feature_queue(jnp.zeros((4, 8)), jnp.asarray(4),
+                                   jnp.ones((4, 4)))
+    assert int(ptr) == 0
+    assert float(q2[:, 4:].sum()) == 16.0 and float(q2[:, :4].sum()) == 0.0
+
+
+def test_irtr_loss_rejects_batch_of_one():
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from vqattack_tpu.train.objectives import vlmo_irtr_train_loss
+
+    batch = {"pixels": jnp.zeros((1, 8, 8, 3)),
+             "text_ids": jnp.ones((1, 4), jnp.int32),
+             "text_mask": jnp.ones((1, 4), jnp.int32)}
+    with _pytest.raises(ValueError, match="batch >= 2"):
+        vlmo_irtr_train_loss(None, None, batch, jax.random.key(0))

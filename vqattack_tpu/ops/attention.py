@@ -118,6 +118,19 @@ def _prepare(q, k, v, bias, scale):
     return qt, kt, vt, ab, segment_ids, sq
 
 
+def _block_size(req: int, padded: int) -> int:
+    """Largest block <= ``req`` that divides ``padded``.
+
+    The pallas kernel requires block | padded length; ``padded`` is a
+    multiple of 128 (see :func:`_prepare`), so stepping down in 128s always
+    terminates at a valid divisor (worst case 128 itself — e.g.
+    S_p=1408=128*11, where neither 1024 nor any larger multiple of 128
+    divides)."""
+    blk = min(req, padded)
+    while padded % blk:
+        blk -= 128
+    return blk
+
 def flash_attention(
     q: jnp.ndarray,  # [B, S, H, Dh]
     k: jnp.ndarray,
@@ -138,11 +151,12 @@ def flash_attention(
     # tiny programs whose launch/pipeline overhead dominated the round-1/2
     # A/Bs; the on-chip retune (scripts/flash_blocks.py, PERF.md) found
     # whole-sequence 1024 blocks fastest at S~1k — big enough to beat XLA's
-    # fused attention at b>=8.  Env-tunable for new geometries; must divide
-    # the padded sequence lengths (min() clamps to them).
+    # fused attention at b>=8.  Env-tunable for new geometries; _block_size
+    # reduces to the largest request that divides the padded lengths.
     import os as _os
-    bq = min(int(_os.environ.get("VQATTACK_FLASH_BLOCK_Q", "1024")), sq_p)
-    bk = min(int(_os.environ.get("VQATTACK_FLASH_BLOCK_K", "1024")), sk_p)
+
+    bq = _block_size(int(_os.environ.get("VQATTACK_FLASH_BLOCK_Q", "1024")), sq_p)
+    bk = _block_size(int(_os.environ.get("VQATTACK_FLASH_BLOCK_K", "1024")), sk_p)
     sizes = BlockSizes(
         block_q=bq, block_k_major=bk, block_k=bk,
         block_b=1,

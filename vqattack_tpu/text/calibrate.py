@@ -109,6 +109,12 @@ def suggest_threshold(
     """The midpoint between the substitution class's median and the scrambled
     class's upper tail — accepts typical substitutions, rejects reorderings.
     Clamped below the identity floor so *something* can always pass."""
+    if profile.scores["substitution"].size == 0:
+        raise ValueError(
+            "not enough calibration data: every probe question was skipped "
+            "(needs questions with >= 3 words and at least two distinct "
+            "questions)"
+        )
     accept = float(np.quantile(profile.scores["substitution"], accept_quantile))
     reject = float(np.quantile(profile.scores["scrambled"], reject_quantile))
     ident = float(np.min(profile.scores["identity"]))

@@ -366,11 +366,13 @@ def main(argv=None) -> None:
                             warmup_steps=args.warmup_steps)
     tx = create_optimizer(params, args.opt, sched, weight_decay=args.weight_decay)
     state = create_train_state(params, tx)
+    resumed_at = None
     if args.ckpt_dir:
         restored = restore_latest_train_state(args.ckpt_dir, state)
         if restored is not None:
             state = restored
-            print(f"resumed at step {int(state.step)}")
+            resumed_at = int(state.step)
+            print(f"resumed at step {resumed_at}")
     step_fn = make_train_step(loss_fn, tx, donate=False,
                               needs_hessian=(args.opt == "adahessian"))
 
@@ -378,18 +380,34 @@ def main(argv=None) -> None:
     key = jax.random.key(args.seed + 1)
     data = _batches(dataset, args.batch_size, args.seed)
     start = int(state.step)
+    pending = []  # (step, metrics) awaiting host transfer
+    last_saved = None
+
+    def drain():
+        # pull metric scalars one step late so the float() device sync never
+        # blocks the next batch's host-side collate from overlapping compute
+        for s_, m_ in pending:
+            logger.update(loss=float(m_["loss"]),
+                          grad_norm=float(m_["grad_norm"]),
+                          lr=float(sched(s_)))
+        pending.clear()
+
     for step in range(start, args.steps):
         batch = collate(next(data))
         key, k = jax.random.split(key)
         state, metrics = step_fn(state, batch, k)
-        logger.update(loss=float(metrics["loss"]),
-                      grad_norm=float(metrics["grad_norm"]),
-                      lr=float(sched(step)))
+        pending.append((step, metrics))
         if step % args.log_every == 0:
+            drain()
             print(f"step {step}: {logger}")
         if args.ckpt_dir and (step + 1) % args.ckpt_every == 0:
             save_train_state(state, args.ckpt_dir, step + 1)
-    if args.ckpt_dir:
+            last_saved = step + 1
+    drain()
+    # final save — skip when this step is already on disk (the last periodic
+    # save, or a resume of an already-finished run: orbax refuses to
+    # overwrite an existing step directory)
+    if args.ckpt_dir and int(state.step) not in (last_saved, resumed_at):
         save_train_state(state, args.ckpt_dir, int(state.step))
     print(f"done at step {int(state.step)}; final {logger}")
 

@@ -107,15 +107,11 @@ def vqa_bce_loss(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     """BCE-with-logits x label_size, scaled by label count — the reference's
     ``compute_vqa`` (``objectives.py:375-414``: ``binary_cross_entropy_with_
     logits * label_size``)."""
+    import optax
+
     logits = logits.astype(jnp.float32)
-    per = optax_sigmoid_bce(logits, targets)
+    per = optax.sigmoid_binary_cross_entropy(logits, targets)
     return jnp.mean(per) * logits.shape[-1]
-
-
-def optax_sigmoid_bce(logits, targets):
-    log_p = jax.nn.log_sigmoid(logits)
-    log_not_p = jax.nn.log_sigmoid(-logits)
-    return -(targets * log_p + (1.0 - targets) * log_not_p)
 
 
 def nlvr2_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
@@ -131,6 +127,14 @@ def update_feature_queue(
     all-gathered by the caller when distributed)."""
     b = feats.shape[0]
     q = queue.shape[1]
+    if q % b != 0:
+        # dynamic_update_slice CLAMPS out-of-range starts instead of
+        # wrapping, which would silently double-write the tail slots while
+        # the pointer wraps — the reference guards the same invariant with
+        # ``assert queue_size % batch_size == 0`` (model_pretrain.py:295)
+        raise ValueError(
+            f"queue size {q} must be a multiple of batch size {b}"
+        )
     queue = jax.lax.dynamic_update_slice(queue, feats.T, (0, ptr))
     return queue, (ptr + b) % q
 
@@ -149,25 +153,31 @@ def momentum_update(params: Any, momentum_params: Any, m: float = 0.995) -> Any:
 
 def soft_contrastive_loss(
     image_feat, text_feat, temp, t_image_feat, t_text_feat, alpha,
-    queue_image=None, queue_text=None,
+    queue_image=None, queue_text=None, axis_name=None,
 ) -> jnp.ndarray:
     """ITA with momentum distillation (``model_pretrain.py:158-184``):
     targets blend the one-hot diagonal with the EMA teacher's softmax
-    similarities at weight ``alpha``."""
+    similarities at weight ``alpha``.  ``axis_name`` extends the teacher
+    negative pool across the data axis like :func:`contrastive_loss` does
+    for the hard path, so distillation on/off does not silently change the
+    negative count in distributed runs."""
     def norm(x):
         return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
 
     img, txt = norm(image_feat), norm(text_feat)
     t_img, t_txt = norm(t_image_feat), norm(t_text_feat)
-    txt_all = jnp.concatenate([t_txt, queue_text.T], 0) if queue_text is not None else t_txt
-    img_all = jnp.concatenate([t_img, queue_image.T], 0) if queue_image is not None else t_img
+    t_img_all = _maybe_gather(t_img, axis_name)
+    t_txt_all = _maybe_gather(t_txt, axis_name)
+    txt_all = jnp.concatenate([t_txt_all, queue_text.T], 0) if queue_text is not None else t_txt_all
+    img_all = jnp.concatenate([t_img_all, queue_image.T], 0) if queue_image is not None else t_img_all
 
     sim_i2t = img @ txt_all.T / temp
     sim_t2i = txt @ img_all.T / temp
     t_i2t = jax.lax.stop_gradient(jax.nn.softmax(t_img @ txt_all.T / temp, -1))
     t_t2i = jax.lax.stop_gradient(jax.nn.softmax(t_txt @ img_all.T / temp, -1))
     n = img.shape[0]
-    onehot = jax.nn.one_hot(jnp.arange(n), sim_i2t.shape[1])
+    offset = 0 if axis_name is None else jax.lax.axis_index(axis_name) * n
+    onehot = jax.nn.one_hot(jnp.arange(n) + offset, sim_i2t.shape[1])
     tgt_i2t = alpha * t_i2t + (1 - alpha) * onehot
     tgt_t2i = alpha * t_t2i + (1 - alpha) * onehot
     loss_i2t = -jnp.mean(jnp.sum(jax.nn.log_softmax(sim_i2t, -1) * tgt_i2t, -1))
@@ -235,7 +245,8 @@ def albef_pretrain_loss(
         )
         t_text_feat = tm.text_proj(t_text_last[:, 0])
         loss_ita = soft_contrastive_loss(
-            image_feat, text_feat, temp, t_image_feat, t_text_feat, alpha, qi, qt
+            image_feat, text_feat, temp, t_image_feat, t_text_feat, alpha,
+            qi, qt, axis_name,
         )
     else:
         loss_ita = contrastive_loss(image_feat, text_feat, temp, qi, qt, axis_name)
@@ -400,6 +411,10 @@ def vlmo_irtr_train_loss(
     from vqattack_tpu.models.vlmo import VLMo
 
     b = batch["pixels"].shape[0]
+    if b < 2:
+        # randint over the empty range [1, 1) returns 1, making every
+        # "negative" the positive caption itself — fail loudly instead
+        raise ValueError("irtr loss needs batch >= 2 to sample negatives")
     # sample negative caption indices != own row
     offs = jax.random.randint(rng, (b, num_negs), 1, b)
     neg_idx = (jnp.arange(b)[:, None] + offs) % b

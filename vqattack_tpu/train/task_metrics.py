@@ -78,6 +78,7 @@ class TaskMetricRegistry:
             m, l = self.metrics[t], self.losses[t]
             if self.reduce_fn is not None:
                 m.total, m.count = self.reduce_fn(m.total, m.count)
+                l.total, l.count = self.reduce_fn(l.total, l.count)
             value = m.compute()
             out[f"{t}/metric"] = value
             out[f"{t}/loss"] = l.compute()
