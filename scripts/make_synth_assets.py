@@ -82,8 +82,12 @@ def main(outdir: str, n_samples: int = 2) -> None:
         samples.append((1003 + i, q, ans, para))
     samples = samples[:max(1, n_samples)]
     ann = [
-        {"image": "img0.jpg", "question": q, "question_id": qid}
-        for qid, q, _, _ in samples
+        # ground-truth answers included: the CLI's alignment guard
+        # (adv_attack.py:416-427) requires the stored surrogate answer to be
+        # a max-weight ground-truth answer before attacking
+        {"image": "img0.jpg", "question": q, "question_id": qid,
+         "answer": [ans] * 10}
+        for qid, q, ans, _ in samples
     ]
     j("ann.json", ann)
     answer_vocab = ["red", "blue", "green", "frisbee", "ball", "dog", "cat",

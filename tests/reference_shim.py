@@ -461,3 +461,23 @@ def albef_randaugment():
     return _load_by_path(
         "ref_albef_randaugment", os.path.join(ALBEF_ROOT, "dataset", "randaugment.py")
     )
+
+
+def albef_dataset_utils():
+    """Import the reference's ``dataset/utils.py`` (pre_question /
+    pre_caption) by file path.  Its module top imports the RefCOCO
+    evaluation stack whose java-bridge tokenizer is absent here — stub just
+    that import; the text-normalization functions under test are pure
+    ``re``."""
+    install_shims()
+    _ensure_path(ALBEF_ROOT)
+    import types as _types
+
+    name = "refTools.evaluation.refEvaluation"
+    if name not in sys.modules:
+        stub = _types.ModuleType(name)
+        stub.RefEvaluation = object
+        sys.modules[name] = stub
+    return _load_by_path(
+        "ref_albef_dataset_utils", os.path.join(ALBEF_ROOT, "dataset", "utils.py")
+    )

@@ -41,8 +41,32 @@ def test_test_transform_range_and_shape():
 
 
 def test_pre_question():
-    assert pre_question("What IS the Dog; doing?!") == "what is the dog doing?"
+    # reference semantics (dataset/utils.py:3-16): strips , . ' ! ? " ( ) *
+    # # : ; ~ and maps -/ to spaces — the side tables are keyed to
+    # predictions on THIS normalization
+    assert pre_question("What IS the Dog; doing?!") == "what is the dog doing"
+    assert pre_question("What's on the red-striped sofa/couch?") == (
+        "whats on the red striped sofa couch"
+    )
     assert pre_question("a b c d", max_words=2) == "a b"
+
+
+def test_pre_question_matches_reference():
+    """Differential: byte-identical to the reference's own pre_question for
+    a punctuation-heavy battery (the stored answer tables assume it)."""
+    import reference_shim as rs
+
+    mod = rs.albef_dataset_utils()
+    cases = [
+        "What IS the Dog; doing?!",
+        "What's on the red-striped sofa/couch?",
+        "Is this a/b or (c)?  ",
+        'He said "hi, there" -- twice!',
+        "a b c d e f",
+        "one, two, three... four?",
+    ]
+    for q in cases:
+        assert pre_question(q, 30) == mod.pre_question(q, 30), q
 
 
 def test_vqa_dataset_json(tmp_path):

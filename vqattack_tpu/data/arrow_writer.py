@@ -28,19 +28,37 @@ def normalize_word(word: str) -> str:
 
 
 def build_answer_vocab(
-    annotations: Sequence[dict], vocab_size: int = 3129
+    annotations: Sequence[dict], min_count: int = 9
 ) -> List[str]:
-    """Most frequent normalized answers (the reference's 3,129-label space)."""
-    counts: Counter = Counter()
+    """The reference label space (``write_vqa.py:91-106``): normalized
+    ``multiple_choice_answer`` strings with count >= 9 over train+val, in
+    FIRST-OCCURRENCE order (dict insertion order of the Counter) — NOT
+    frequency order; on real VQAv2 this yields exactly the 3,129 labels
+    reference-trained classifier heads index into.  Annotations lacking
+    ``multiple_choice_answer`` fall back to the per-question majority
+    answer."""
+    majors: List[str] = []
     for ann in annotations:
-        for a in ann.get("answers", []):
-            counts[normalize_word(a.get("answer", a) if isinstance(a, dict) else a)] += 1
-    return [w for w, _ in counts.most_common(vocab_size)]
+        a = ann.get("multiple_choice_answer")
+        if a is None:
+            raw = [x.get("answer", x) if isinstance(x, dict) else x
+                   for x in ann.get("answers", [])]
+            if not raw:
+                continue
+            a = Counter(raw).most_common(1)[0][0]
+        majors.append(normalize_word(a))
+    counts = Counter(majors)
+    return [w for w, c in counts.items() if c >= min_count]
 
 
 def soft_score(count: int) -> float:
-    """Official VQA soft score: min(1, count/3) (``vqaEval.py:100`` family)."""
-    return min(1.0, count / 3.0)
+    """The reference writer's occurrence table (``write_vqa.py::get_score``):
+    1 -> 0.3, 2 -> 0.6, 3 -> 0.9, >=4 -> 1.0.  (NOT min(1, n/3): a count-3
+    answer scores 0.9 here; the official evaluation-side accuracy keeps its
+    own min(1, n/3) in eval/vqa_eval.py.)"""
+    if count <= 0:
+        return 0.0
+    return {1: 0.3, 2: 0.6, 3: 0.9}.get(count, 1.0)
 
 
 def write_vqa_arrow(
@@ -63,6 +81,11 @@ def write_vqa_arrow(
                 anns_by_qid[ann["question_id"]] = ann
     if answer_vocab is None and anns_by_qid:
         answer_vocab = build_answer_vocab(list(anns_by_qid.values()))
+        if not answer_vocab:
+            # tiny corpora (fixtures) never reach the >= 9 threshold
+            answer_vocab = build_answer_vocab(
+                list(anns_by_qid.values()), min_count=1
+            )
     vocab_index = {a: i for i, a in enumerate(answer_vocab or [])}
 
     by_image: Dict[str, dict] = defaultdict(
@@ -76,7 +99,12 @@ def write_vqa_arrow(
         row["question_id"].append(q["question_id"])
         ann = anns_by_qid.get(q["question_id"])
         if ann:
-            counts = Counter(normalize_word(a["answer"]) for a in ann["answers"])
+            # the reference counts RAW annotator strings and looks them up
+            # in the NORMALIZED vocab (write_vqa.py:113-127) — raw forms
+            # that normalize differently (e.g. "two" vs vocab "2") are
+            # dropped from the labels; reproduced verbatim so repo-written
+            # and reference-written tables stay interchangeable
+            counts = Counter(a["answer"] for a in ann["answers"])
             labels, scores, answers = [], [], []
             for a, c in counts.items():
                 if a in vocab_index:

@@ -71,65 +71,87 @@ def _equalize(img, _):
     return ImageOps.equalize(img)
 
 
+# Magnitude semantics are the vendored randaugment.py level_to_args
+# formulas at MAX_LEVEL=10 verbatim: enhance factor (m/10)*1.8+0.1
+# (:208-211, no sign randomization), shear (m/10)*0.3 (:214-220),
+# translate (m/10)*translate_const=10 PIXELS (:223-229, absolute — not a
+# fraction of image size), rotate (m/10)*30 degrees (:258-265),
+# solarize threshold int((m/10)*256) (:240-244), posterize bits
+# int((m/10)*4) (:251-255).  Geometric signs are drawn by the caller.
+
+
 def _rotate(img, v):
     return img.rotate(v * 30)
 
 
 def _solarize(img, v):
-    return ImageOps.solarize(img, 256 - int(v * 256))
+    return ImageOps.solarize(img, int(abs(v) * 256))
 
 
 def _posterize(img, v):
-    return ImageOps.posterize(img, max(1, 8 - int(v * 4)))
+    return ImageOps.posterize(img, max(1, int(abs(v) * 4)))
 
 
 def _contrast(img, v):
-    return ImageEnhance.Contrast(img).enhance(1 + (v - 0.5))
+    return ImageEnhance.Contrast(img).enhance(abs(v) * 1.8 + 0.1)
 
 
 def _color(img, v):
-    return ImageEnhance.Color(img).enhance(1 + (v - 0.5))
+    return ImageEnhance.Color(img).enhance(abs(v) * 1.8 + 0.1)
 
 
 def _brightness(img, v):
-    return ImageEnhance.Brightness(img).enhance(1 + (v - 0.5))
+    return ImageEnhance.Brightness(img).enhance(abs(v) * 1.8 + 0.1)
 
 
 def _sharpness(img, v):
-    return ImageEnhance.Sharpness(img).enhance(1 + (v - 0.5))
+    return ImageEnhance.Sharpness(img).enhance(abs(v) * 1.8 + 0.1)
 
 
 def _shear_x(img, v):
-    return img.transform(img.size, Image.AFFINE, (1, (v - 0.5) * 0.6, 0, 0, 1, 0))
+    return img.transform(img.size, Image.AFFINE, (1, v * 0.3, 0, 0, 1, 0))
 
 
 def _shear_y(img, v):
-    return img.transform(img.size, Image.AFFINE, (1, 0, 0, (v - 0.5) * 0.6, 1, 0))
+    return img.transform(img.size, Image.AFFINE, (1, 0, 0, v * 0.3, 1, 0))
 
 
 def _translate_x(img, v):
-    return img.transform(
-        img.size, Image.AFFINE, (1, 0, (v - 0.5) * 0.3 * img.size[0], 0, 1, 0)
-    )
+    return img.transform(img.size, Image.AFFINE, (1, 0, v * 10.0, 0, 1, 0))
 
 
 def _translate_y(img, v):
-    return img.transform(
-        img.size, Image.AFFINE, (1, 0, 0, 0, 1, (v - 0.5) * 0.3 * img.size[1])
-    )
+    return img.transform(img.size, Image.AFFINE, (1, 0, 0, 0, 1, v * 10.0))
 
 
-_RA_OPS = [
-    _identity, _auto_contrast, _equalize, _rotate, _solarize, _posterize,
-    _contrast, _color, _brightness, _sharpness, _shear_x, _shear_y,
-    _translate_x, _translate_y,
-]
+_RA_OP_TABLE = {
+    "Identity": _identity,
+    "AutoContrast": _auto_contrast,
+    "Equalize": _equalize,
+    "Rotate": _rotate,
+    "Solarize": _solarize,
+    "Posterize": _posterize,
+    "Contrast": _contrast,
+    "Color": _color,
+    "Brightness": _brightness,
+    "Sharpness": _sharpness,
+    "ShearX": _shear_x,
+    "ShearY": _shear_y,
+    "TranslateX": _translate_x,
+    "TranslateY": _translate_y,
+}
 
+# the reference train/pretrain transforms deliberately exclude the
+# color-destroying ops (Solarize/Posterize/Contrast/Color would corrupt
+# color-type VQA answers) — dataset/__init__.py:22,30,78
+_RA_REFERENCE_TRAIN_AUGS = (
+    "Identity", "AutoContrast", "Equalize", "Brightness", "Sharpness",
+    "ShearX", "ShearY", "TranslateX", "TranslateY", "Rotate",
+)
 
-# geometric ops whose magnitude the reference negates half the time
-# (randaugment.py:217,226); _rotate encodes sign directly, shears/translates
-# encode it around v=0.5
-_RA_SIGNED = {_shear_x, _shear_y, _translate_x, _translate_y}
+# geometric ops whose magnitude the vendored level_to_args negates half the
+# time (randaugment.py:217,226,261); enhance/solarize/posterize never flip
+_RA_SIGNED = {"Rotate", "ShearX", "ShearY", "TranslateX", "TranslateY"}
 
 
 class RandomAugment:
@@ -137,23 +159,23 @@ class RandomAugment:
     sampling distribution (``randaugment.py:310-334``): ops drawn WITH
     replacement (np.random.choice semantics — the same op can repeat), each
     applied with probability 0.5, and geometric magnitudes randomly
-    negated."""
+    negated.  ``augs`` defaults to the reference train transforms' 10-op
+    subset; pass ``list(_RA_OP_TABLE)`` for the full 14-op inventory."""
 
-    def __init__(self, n: int = 2, m: int = 7, rng: Optional[random.Random] = None):
+    def __init__(self, n: int = 2, m: int = 7,
+                 rng: Optional[random.Random] = None, augs=None):
         self.n, self.m = n, m
         self.rng = rng or random.Random()
+        self.augs = tuple(augs) if augs else _RA_REFERENCE_TRAIN_AUGS
 
     def __call__(self, img):
-        for op in self.rng.choices(_RA_OPS, k=self.n):
+        for name in self.rng.choices(self.augs, k=self.n):
             if self.rng.random() > 0.5:  # per-op apply gate (ref :330)
                 continue
             v = self.m / 10.0
-            if self.rng.random() > 0.5:
-                if op is _rotate:
-                    v = -v
-                elif op in _RA_SIGNED:
-                    v = 1.0 - v  # mirrors (v - 0.5) -> -(v - 0.5)
-            img = op(img, v)
+            if name in _RA_SIGNED and self.rng.random() > 0.5:
+                v = -v
+            img = _RA_OP_TABLE[name](img, v)
         return img
 
 

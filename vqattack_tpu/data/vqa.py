@@ -1,12 +1,13 @@
 """VQAv2 dataset over JSON annotations + JPEGs (the ALBEF data path).
 
 Reference: ``ALBEF_attack/dataset/vqa_dataset.py`` — per-item dict
-``{image, question, question_id, answer[], weight[]}`` where test items carry
-the question id and train items carry answer-frequency weights (1/3 per
-occurrence, ``vqa_dataset.py:55-66``); question text normalized by
-``pre_question`` (``dataset/utils.py:3-16``); answer list loaded from
-``answer_list.json`` with the ``'[SEP]'`` eos appended at tokenization time
-(``adv_attack.py:396``).
+``{image, question, question_id, answer[], weight[]}``; BOTH splits carry
+answer-frequency weights (1/len(answers) per occurrence,
+``vqa_dataset.py:44-66``) — the attack uses the test split's
+answers/weights for its per-sample alignment guard
+(``adv_attack.py:416-427``); train answers get the ``'[SEP]'`` eos
+appended (``vqa_dataset.py:89``), test answers do not; question text
+normalized by ``pre_question`` (``dataset/utils.py:3-16``).
 
 This loader is framework-free (numpy out) and exposes a simple batched
 iterator with background threads standing in for torch DataLoader workers.
@@ -21,9 +22,12 @@ from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
 
 
 def pre_question(question: str, max_words: int = 50) -> str:
-    """Lowercase, strip punctuation/underscores, collapse whitespace, cap
-    word count (``dataset/utils.py:3-16``)."""
-    q = re.sub(r"([.!\"()*#:;~])", "", question.lower())
+    """Lowercase, strip the reference's exact punctuation set (including
+    comma, apostrophe and question mark), map ``-``/``/`` to spaces, cap
+    word count (``dataset/utils.py:3-16`` verbatim semantics — the side
+    tables are keyed to predictions on THIS normalization)."""
+    q = re.sub(r"([,.'!?\"()*#:;~])", "", question.lower())
+    q = q.replace("-", " ").replace("/", " ")
     q = q.rstrip(" ")
     words = q.split(" ")
     if len(words) > max_words:
@@ -54,6 +58,9 @@ class VQADataset:
             with open(answer_list) as fh:
                 self.answer_list = json.load(fh)
         self._img_ids: Dict[str, int] = {}
+        import threading
+
+        self._img_ids_lock = threading.Lock()
 
     def __len__(self) -> int:
         return len(self.ann)
@@ -110,7 +117,13 @@ class VQADataset:
             # image-identity index: retrieval/grounding training treats
             # same-image samples as positives (grounding_dataset.py:17-24)
             img_id = str(ann["image"]).split("/")[-1]
-            item["img_idx"] = self._img_ids.setdefault(img_id, len(self._img_ids))
+            # iter_batches runs __getitem__ on worker threads; the
+            # read-modify-write on the identity table must be atomic or two
+            # distinct images can share one index (false ITA positives)
+            with self._img_ids_lock:
+                item["img_idx"] = self._img_ids.setdefault(
+                    img_id, len(self._img_ids)
+                )
         # task annotations pass through (VE/NLVR labels, VLMo soft targets)
         for key in ("label", "answer_labels", "answer_scores", "sentence",
                     "ref_id"):
@@ -118,17 +131,25 @@ class VQADataset:
                 item[key] = ann[key]
         if isinstance(item.get("label"), str):
             item["label"] = self._STR_LABELS.get(item["label"], 0)
-        if self.split == "test":
-            return item
-        # train: answer-frequency weights (vqa_dataset.py:55-66)
+        # answer-frequency weights, BOTH splits (vqa_dataset.py:44-66):
+        # each occurrence adds 1/len(answers) so a question's weights sum
+        # to 1 — the attack's alignment guard compares against max(weight)
+        # and the VQA train loss scales by these weights
+        raw = ann.get("answer", [])
         answers: List[str] = []
         weights: List[float] = []
-        for a in ann.get("answer", []):
+        for a in raw:
             if a in answers:
-                weights[answers.index(a)] += 1 / 3
+                weights[answers.index(a)] += 1 / len(raw)
             else:
                 answers.append(a)
-                weights.append(1 / 3)
+                weights.append(1 / len(raw))
+        if self.split == "test":
+            # test answers carry no eos (vqa_dataset.py:64-67)
+            if answers:
+                item["answers"] = answers
+                item["weights"] = weights
+            return item
         item["answers"] = [a + "[SEP]" for a in answers]
         item["weights"] = weights
         return item

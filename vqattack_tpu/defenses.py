@@ -22,12 +22,19 @@ import jax.numpy as jnp
 
 @partial(jax.jit, static_argnames=("min_scale",))
 def random_resize_pad(
-    x: jnp.ndarray, rng: jax.Array, min_scale: float = 0.9
+    x: jnp.ndarray, rng: jax.Array, min_scale: float = None
 ) -> jnp.ndarray:
     """Randomly downscale (bilinear) and pad back to the original size at a
     random offset (``input_diversity``, ``fast_gradient_method.py:9-29``).
-    x: [B, H, W, C]."""
+    x: [B, H, W, C].
+
+    ``min_scale`` defaults to the reference's range: it draws the resized
+    height from ``uniform(H - 32, H)``, i.e. scale in ``[(H-32)/H, 1)`` —
+    0.9333 at 480px, 0.857 at 224px — so the floor tracks the image size
+    instead of a fixed constant."""
     b, h, w, c = x.shape
+    if min_scale is None:
+        min_scale = (h - 32) / h
     k_s, k_t, k_l = jax.random.split(rng, 3)
     # a genuinely random scale with STATIC shapes: scale_and_translate
     # resamples at an arbitrary float scale onto the fixed [h, w] canvas

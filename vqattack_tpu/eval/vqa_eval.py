@@ -77,7 +77,7 @@ _NUMBER_MAP = {
 _ARTICLES = {"a", "an", "the"}
 _PERIOD_STRIP = re.compile(r"(?!<=\d)(\.)(?!\d)")
 _COMMA_STRIP = re.compile(r"(\d)(,)(\d)")
-_PUNCT = "[;/\\[\\]\"{}()=+\\\\_\\-><@`,?!]"
+_PUNCT = ";/[]\"{}()=+\\_-><@`,?!"  # the official evaluator's char set
 
 
 def process_punctuation(text: str) -> str:
@@ -85,7 +85,7 @@ def process_punctuation(text: str) -> str:
     digit,comma,digit pattern present) is deleted; otherwise it becomes a
     space.  Periods not inside numbers are deleted."""
     out = text
-    for p in ";/[]\"{}()=+\\_-><@`,?!":
+    for p in _PUNCT:
         if (p + " " in text or " " + p in text) or re.search(_COMMA_STRIP, text):
             out = out.replace(p, "")
         else:

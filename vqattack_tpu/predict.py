@@ -115,8 +115,13 @@ def main(argv: Optional[list] = None) -> None:
         pixels = test_transform(cfg.data.image_size)(img)[None]
 
     predictor = Predictor(pipeline, answer_list, answer_ids, answer_mask)
-    out = predictor.answer(pixels, args.question, args.topk)
-    print(json.dumps({"question": args.question, "answers": out}))
+    # normalize exactly like the batch-eval dataset path so serving and
+    # sweep answers agree for the same raw question (dataset/utils.py:3-16)
+    from vqattack_tpu.data.vqa import pre_question
+
+    question = pre_question(args.question)
+    out = predictor.answer(pixels, question, args.topk)
+    print(json.dumps({"question": question, "answers": out}))
 
 
 if __name__ == "__main__":
