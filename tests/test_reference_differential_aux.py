@@ -645,8 +645,9 @@ def test_rouge_matches_reference():
 def test_randaugment_pointwise_ops_match_reference():
     """``randaugment.py:77-84`` solarize / ``:179-184`` posterize are
     documented as PIL-exact ('same output as PIL.ImageOps.*'); our PIL-backed
-    ops (``data/transforms.py:78-83``) must agree bit-for-bit at matched
-    thresh/bits.  (The cv2-backed geometric/enhance ops intentionally differ
+    ops (``data/transforms.py``) must agree bit-for-bit at the vendored
+    level_to_args magnitude mappings (``:240-244`` solarize thresh = v*256,
+    ``:251-255`` posterize bits = v*4).  (The cv2-backed geometric/enhance ops intentionally differ
     in backend rounding — covered by the inventory test in
     test_data_eval.py.)"""
     ra = rs.albef_randaugment()
@@ -658,12 +659,16 @@ def test_randaugment_pointwise_ops_match_reference():
     img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
     pil = Image.fromarray(img)
 
-    # v=0.5 -> thresh = 256 - 128 = 128
-    want = ra.solarize_func(img, 128)
-    got = np.asarray(_solarize(pil, 0.5))
-    np.testing.assert_array_equal(got, want)
+    # vendored solarize_level_to_args (:240-244): thresh = int(v * 256)
+    for v in (0.5, 0.75):
+        want = ra.solarize_func(img, int(v * 256))
+        got = np.asarray(_solarize(pil, v))
+        np.testing.assert_array_equal(got, want)
 
-    # v=0.75 -> bits = 8 - 3 = 5.  The reference's mask expression
+    # vendored posterize_level_to_args (:251-255): bits = int(v * 4)
+    # (v=0.75 -> 3; our max(1, .) clamp only diverges at v < 0.25, where
+    # the reference's numpy masking zeroes the image and PIL would raise).
+    # The reference's mask expression
     # ``np.uint8(255 << (8 - bits))`` (randaugment.py:182) relies on legacy
     # numpy modular overflow (2040 -> 248); numpy>=2 raises OverflowError.
     # Execute the reference code under a shim restoring the legacy wrap.
@@ -678,7 +683,7 @@ def test_randaugment_pointwise_ops_match_reference():
     orig_np = ra.np
     ra.np = _LegacyNp()
     try:
-        want = ra.posterize_func(img, 5)
+        want = ra.posterize_func(img, 3)
     finally:
         ra.np = orig_np
     got = np.asarray(_posterize(pil, 0.75))
