@@ -117,6 +117,20 @@ def _flops_of(fn, *args) -> float:
         return 0.0
 
 
+def _pallas_update() -> bool:
+    """Whether the PGD update runs as the Pallas kernel (BENCH_PALLAS_UPDATE).
+
+    Default off: the profiler showed the kernel's (rows, 128) operand
+    layout forces XLA to copy the [B,480,480,3] gradient out of its
+    producing fusion and reshape the result back every iteration (~5% of
+    device time at b=16), while the plain jnp update fuses into neighbors
+    for free (PERF.md profile section)."""
+    v = os.environ.get("BENCH_PALLAS_UPDATE")
+    if v is not None:
+        return v == "1"
+    return False
+
+
 def _unroll() -> int:
     # production default 4: measured +3.8% on-chip at b=16 bf16
     # (114.6 -> 118.9 sample-iters/s; flat beyond 4 — PERF.md)
@@ -182,7 +196,7 @@ def _make_albef(batch, iters, dtype, fused, remat, unroll):
             loss, px, px, key, aux,
             eps=atk.eps, eps_iter=atk.step_size, nb_iter=iters,
             clip_min=atk.clip_min, clip_max=atk.clip_max,
-            rand_init=True, use_pallas=jax.default_backend() not in ("cpu",),
+            rand_init=True, use_pallas=_pallas_update(),
             unroll=unroll,
         )
 
@@ -192,7 +206,7 @@ def _make_albef(batch, iters, dtype, fused, remat, unroll):
                 flops_loss, px, px, k, aux,
                 eps=atk.eps, eps_iter=atk.step_size, nb_iter=iters,
                 clip_min=atk.clip_min, clip_max=atk.clip_max,
-                rand_init=True, use_pallas=jax.default_backend() not in ("cpu",),
+                rand_init=True, use_pallas=_pallas_update(),
             ),
             jax.random.key(9),
         )
@@ -251,7 +265,7 @@ def _make_vlmo(batch, iters, dtype, fused, remat, unroll):
             loss, px, px, key, aux,
             eps=atk.eps, eps_iter=atk.step_size, nb_iter=iters,
             clip_min=atk.clip_min, clip_max=atk.clip_max,
-            rand_init=True, use_pallas=jax.default_backend() not in ("cpu",),
+            rand_init=True, use_pallas=_pallas_update(),
             unroll=unroll,
         )
 
@@ -261,7 +275,7 @@ def _make_vlmo(batch, iters, dtype, fused, remat, unroll):
                 flops_loss, px, px, k, aux,
                 eps=atk.eps, eps_iter=atk.step_size, nb_iter=iters,
                 clip_min=atk.clip_min, clip_max=atk.clip_max,
-                rand_init=True, use_pallas=jax.default_backend() not in ("cpu",),
+                rand_init=True, use_pallas=_pallas_update(),
             ),
             jax.random.key(9),
         )
@@ -297,6 +311,7 @@ def measure(model_kind, batch, iters, dtype, *, fused=False, remat=True,
         "dtype": jnp.dtype(dtype).name,
         "fused_loss": bool(fused),
         "unroll": unroll,
+        "pallas_update": _pallas_update(),
         "remat": remat if isinstance(remat, str) else bool(remat),
         "wall_s_per_scan": round(dt, 4),
         "scan_steps_per_s": round(iters / dt, 2),
@@ -363,10 +378,11 @@ def main() -> None:
                 merged = json.load(f)
 
         def _key(r):
-            # rows written before the unroll lever existed were unroll=1
+            # rows written before the unroll lever existed were unroll=1;
+            # rows written before round 2c had the pallas update kernel ON
             return (r.get("model"), r.get("batch"), r.get("dtype"),
                     str(r.get("remat")), r.get("fused_loss", False),
-                    r.get("unroll", 1))
+                    r.get("unroll", 1), r.get("pallas_update", True))
 
         fresh = {_key(r) for r in rows}
         merged["rows"] = [r for r in merged["rows"] if _key(r) not in fresh]

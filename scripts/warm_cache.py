@@ -292,7 +292,10 @@ def main() -> None:
         "--cache-dir", default=None,
         help="compile-cache dir (default: the platform-appropriate repo "
              "cache — .jax_cache on TPU, the CPU-fingerprinted dir on CPU)")
-    ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="(compatibility no-op: the kernel is off by default)")
+    ap.add_argument("--pallas-update", action="store_true",
+                    help="match the sweep's --pallas-update opt-in")
     ap.add_argument("--dtype", choices=["float32", "bfloat16"], default=None,
                     help="match the sweep's --dtype so the warmed programs "
                          "are the ones the sweep compiles")
@@ -306,7 +309,8 @@ def main() -> None:
 
     cache_dir = args.cache_dir or default_cache_dir()
     enable_compile_cache(cache_dir)
-    use_pallas = (not args.no_pallas) and jax.default_backend() not in ("cpu",)
+    use_pallas = (args.pallas_update and not args.no_pallas
+                  and jax.default_backend() not in ("cpu",))
     batch_sizes = tuple(int(x) for x in args.batch_sizes.split(","))
     fn = warm_vlmo if args.model == "vlmo" else warm_albef
     n = fn(batch_sizes, args.max_k, args.iters, args.image_size, use_pallas,

@@ -67,7 +67,10 @@ class AlbefAttackPipeline:
         mlm_model: Any = None,          # FusionBert(with_mlm_head) for candidates
         mlm_params: Any = None,
         filter_words: Optional[frozenset] = None,
-        use_pallas: bool = True,
+        # Pallas PGD-update kernel: measured slower than XLA's free fusion
+        # at every production config (layout copies around the kernel —
+        # PERF.md profile section); opt-in only.
+        use_pallas: bool = False,
     ):
         self.cfg = cfg
         self.surrogate = surrogate

@@ -29,8 +29,13 @@ static jit argument, compiled once; everything that varies per batch (model
 params, text ids, clean-feature targets, labels) travels in the traced
 ``aux`` pytree, so a new attack batch does NOT retrace.
 
-The perturbation update (sign-step + clip + project + clamp) can run through
-the fused Pallas kernel (``ops/pgd_update.py``) via ``use_pallas=True``.
+The perturbation update (sign-step + clip + project + clamp) runs as plain
+jnp by default — XLA fuses the whole chain into the surrounding gradient
+ops.  ``use_pallas=True`` swaps in the hand-written Pallas kernel
+(``ops/pgd_update.py``), which is measured SLOWER at every production
+config (its flat operand layout forces per-iteration copies of the image
+gradient: b=1 f32 96.4 vs 127.8, b=16 bf16 118.7 vs 129.5 aggregate
+sample-iters/s — PERF.md profile section); it stays as an opt-in A/B lever.
 """
 
 from __future__ import annotations

@@ -52,7 +52,8 @@ class VlmoAttackPipeline:
         mlm_params: Any = None,
         id2answer: Optional[Dict[int, str]] = None,
         filter_words: Optional[frozenset] = None,
-        use_pallas: bool = True,
+        # opt-in: measured slower than XLA's fused update (PERF.md profile)
+        use_pallas: bool = False,
     ):
         self.cfg = cfg
         self.model = model

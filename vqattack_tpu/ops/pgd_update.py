@@ -12,6 +12,17 @@ This is bandwidth-bound (3 reads + 1 write, ~10 flops/elem), so the win is
 doing it in a single pass with no intermediate HBM traffic.  Layout: the
 pixel buffer is flattened and tiled to (rows, 128) lanes; a 480x480x3 image
 is exactly 5400x128.  Off-TPU (tests) the kernel runs in interpreter mode.
+
+Measured verdict (round 2, profile-driven — PERF.md): inside the scan XLA
+fuses the identical jnp chain into the surrounding gradient/carry ops for
+free, whereas this kernel's flat (rows, 128) operand layout forces XLA to
+*copy* the [B,480,480,3] gradient out of its producing convolution fusion
+and reshape the result back every iteration (~5% of device time at b=16;
+the trace shows 4x 84 MiB copies + reshapes at 42 GiB/s per unrolled step).
+End-to-end the kernel is SLOWER at every production config (b=16 bf16:
+118.7 vs 129.5 aggregate sample-iters/s) — it is therefore opt-in
+(``use_pallas=True`` / ``--pallas-update``), kept for A/B and as the
+pattern for chips/geometries where an unfusable update would pay.
 """
 
 from __future__ import annotations

@@ -54,7 +54,20 @@ def build_argparser() -> argparse.ArgumentParser:
                         "reference pads to the longest answer)")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
-    p.add_argument("--no-pallas", action="store_true")
+    p.add_argument(
+        "--no-pallas", action="store_true",
+        help="(kept for compatibility; the Pallas update kernel is now "
+             "off by default — see --pallas-update)",
+    )
+    p.add_argument(
+        "--pallas-update", action="store_true",
+        help="run the PGD update as the fused Pallas kernel instead of "
+             "letting XLA fuse it. Measured SLOWER at every production "
+             "config (the kernel's (rows,128) operand layout forces "
+             "per-iteration copies of the [B,480,480,3] gradient out of "
+             "its producing fusion: -8%% at b=16 bf16 — PERF.md profile "
+             "section); kept for A/B and for chips where the trade flips",
+    )
     p.add_argument(
         "--no-remat", action="store_true",
         help="disable trunk rematerialization: faster at --batch-size >= 8 "
@@ -199,7 +212,11 @@ def main(argv: Optional[list] = None) -> None:
             args.paraphrases, args.all_correct,
         )
 
-    use_pallas = not args.no_pallas and jax.default_backend() != "cpu"
+    use_pallas = (
+        getattr(args, "pallas_update", False)
+        and not args.no_pallas
+        and jax.default_backend() != "cpu"
+    )
     if args.attn != "xla":
         from vqattack_tpu.ops.attention import set_impl
 
