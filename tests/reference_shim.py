@@ -146,6 +146,55 @@ def install_shims() -> None:
         tv_transforms = _fake_module("torchvision.transforms")
         tv.transforms = tv_transforms
 
+        # minimal Compose/Normalize so vlmo/transforms/utils.py (whose
+        # module top builds ``inception_normalize``) imports; Normalize is
+        # never exercised (we test the PIL-level pieces).
+        class _Compose:
+            def __init__(self, transforms):
+                self.transforms = list(transforms)
+
+            def __call__(self, x):
+                for t in self.transforms:
+                    x = t(x)
+                return x
+
+        class _Normalize:
+            def __init__(self, mean, std):
+                self.mean, self.std = mean, std
+
+            def __call__(self, x):
+                return x
+
+        tv_transforms.Compose = _Compose
+        tv_transforms.Normalize = _Normalize
+
+    # -- sacred placeholder (vlmo/config.py builds an Experiment; we only
+    # need the decorators to RECORD the config functions) -------------------
+    if "sacred" not in sys.modules:
+        sacred = _fake_module("sacred")
+
+        class _Experiment:
+            def __init__(self, name, *a, **k):
+                self.name = name
+                self.base_configs = []
+                self.named_configs = {}
+
+            def config(self, fn):
+                self.base_configs.append(fn)
+                return fn
+
+            def named_config(self, fn):
+                self.named_configs[fn.__name__] = fn
+                return fn
+
+            def main(self, fn):
+                return fn
+
+            automain = main
+            capture = staticmethod(lambda fn: fn)
+
+        sacred.Experiment = _Experiment
+
     # -- tensorflow_hub placeholder (adv_attack imports it; USE not used) ---
     if "tensorflow_hub" not in sys.modules:
         hub = _fake_module("tensorflow_hub")
@@ -460,6 +509,60 @@ def albef_randaugment():
     install_shims()
     return _load_by_path(
         "ref_albef_randaugment", os.path.join(ALBEF_ROOT, "dataset", "randaugment.py")
+    )
+
+
+def vlmo_sacred_config():
+    """Import the reference's ``vlmo/config.py`` under the sacred shim; the
+    shim's ``Experiment`` records the base config function and every
+    ``@ex.named_config`` in ``mod.ex.base_configs`` / ``.named_configs``."""
+    install_shims()
+    return _load_by_path(
+        "ref_vlmo_config", os.path.join(VLMO_ROOT, "vlmo", "config.py")
+    )
+
+
+def resolve_sacred_config(fn, helpers=None):
+    """Resolve a sacred config function the way sacred does: execute its
+    body (plain assignments) and capture the resulting locals as the
+    config dict."""
+    import ast
+    import inspect
+    import textwrap
+
+    src = textwrap.dedent(inspect.getsource(fn))
+    fndef = ast.parse(src).body[0]
+    module = ast.Module(body=fndef.body, type_ignores=[])
+    ast.fix_missing_locations(module)
+    ns = dict(helpers or {})
+    exec(compile(module, f"<sacred:{fn.__name__}>", "exec"), ns)  # noqa: S102
+    ns.pop("__builtins__", None)
+    return {
+        k: v
+        for k, v in ns.items()
+        if not k.startswith("_") and not callable(v)
+    }
+
+
+def vlmo_randaug():
+    """Import the reference's pixelbert-family augmenter
+    (``vlmo/transforms/randaug.py``) by file path — the ``transforms``
+    package ``__init__`` imports torchvision-composed pipelines."""
+    install_shims()
+    return _load_by_path(
+        "ref_vlmo_randaug",
+        os.path.join(VLMO_ROOT, "vlmo", "transforms", "randaug.py"),
+    )
+
+
+def vlmo_transform_utils():
+    """Import the reference's ``vlmo/transforms/utils.py`` (MinMaxResize)
+    by file path; the torchvision shim supplies Compose/Normalize for the
+    module-level ``inception_normalize``."""
+    install_shims()
+    return _load_by_path(
+        "ref_vlmo_transform_utils",
+        os.path.join(VLMO_ROOT, "vlmo", "transforms", "utils.py"),
     )
 
 

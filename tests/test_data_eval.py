@@ -330,3 +330,40 @@ def test_all_reduce_mean_single_process():
 
     assert all_reduce_mean([1.0, 2.0, 3.0]) == 2.0
     assert all_reduce_mean([]) == 0.0
+
+
+def test_pixelbert_transform_geometry_and_registry():
+    """pixelbert output dims are //32-snapped MinMax sizes; the registry
+    resolves the reference's four transform keys
+    (``vlmo/transforms/__init__.py:10-19``)."""
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from vqattack_tpu.data.transforms import (
+        keys_to_transforms,
+        pixelbert_transform,
+        pixelbert_transform_randaug,
+    )
+
+    img = Image.fromarray(
+        np.random.default_rng(1).integers(0, 256, (480, 640, 3), dtype=np.uint8)
+    )
+    x = pixelbert_transform(size=384)(img)
+    # shorter 480 -> 384, longer 640 -> 512; both multiples of 32
+    assert x.shape == (384, 512, 3) and x.dtype == np.float32
+    assert x.min() >= -1.0 and x.max() <= 1.0
+
+    y = pixelbert_transform_randaug(size=224)(img)
+    assert y.ndim == 3 and y.shape[0] % 32 == 0 and y.shape[1] % 32 == 0
+
+    import random
+
+    fns = keys_to_transforms(
+        ["pixelbert", "pixelbert_randaug", "square_transform",
+         "square_transform_randaug"], size=224)
+    assert len(fns) == 4
+    sq = fns[2](img)
+    assert sq.shape == (224, 224, 3)
+    random.seed(0)
+    tr = fns[3](img)
+    assert tr.shape == (224, 224, 3)

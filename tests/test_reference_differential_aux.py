@@ -688,3 +688,116 @@ def test_randaugment_pointwise_ops_match_reference():
         ra.np = orig_np
     got = np.asarray(_posterize(pil, 0.75))
     np.testing.assert_array_equal(got, want)
+
+
+# ---------------------------------------------------------------------------
+# VLMo pixelbert transform family (vlmo/transforms/{randaug,utils}.py)
+# ---------------------------------------------------------------------------
+
+
+class _NpIntCompat:
+    """``randaug.py::SolarizeAdd:84`` uses the removed ``np.int`` alias;
+    restore it (platform int64, the torch-era behavior) for the reference
+    module only."""
+
+    def __getattr__(self, name):
+        if name == "int":
+            return np.int64
+        return getattr(np, name)
+
+
+def test_vlmo_uda_randaug_matches_reference():
+    """End-to-end bit-equality of RandAugmentUDA(2,9) with the reference's
+    ``randaug.py::RandAugment`` (``:257-268``): same 14-op pool in the same
+    order (``augment_list:181-200``), same with-replacement sampling, same
+    m/30 magnitude mapping, same p=0.5 geometric sign draws — driven from
+    identically-seeded RNG streams."""
+    ra = rs.vlmo_randaug()
+    from PIL import Image
+
+    from vqattack_tpu.data.transforms import RandAugmentUDA, _UDA_POOL
+
+    want_pool = [(f.__name__, float(lo), float(hi)) for f, lo, hi in ra.augment_list()]
+    got_pool = [(n, float(lo), float(hi)) for n, _, lo, hi in _UDA_POOL]
+    assert got_pool == want_pool
+
+    img = Image.fromarray(
+        np.random.default_rng(3).integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    )
+    import random as pyrandom
+
+    orig_np = ra.np
+    ra.np = _NpIntCompat()
+    try:
+        for seed in range(10):
+            pyrandom.seed(seed)
+            want = ra.RandAugment(2, 9)(img)
+            got = RandAugmentUDA(2, 9, pyrandom.Random(seed))(img)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    finally:
+        ra.np = orig_np
+
+
+def test_pixelbert_minmax_resize_matches_reference():
+    """``vlmo/transforms/utils.py::MinMaxResize:5-26``: shorter-side scale,
+    longer-side cap, +0.5 rounding, //32*32 snap, bicubic — bit-equal."""
+    utils_mod = rs.vlmo_transform_utils()
+    from PIL import Image
+
+    from vqattack_tpu.data.transforms import min_max_resize
+
+    rng = np.random.default_rng(5)
+    for w, h in [(640, 480), (333, 500), (1600, 900), (100, 160), (384, 384)]:
+        img = Image.fromarray(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+        for size in (224, 384, 800):
+            longer = int((1333 / 800) * size)
+            want = utils_mod.MinMaxResize(shorter=size, longer=longer)(img)
+            got = min_max_resize(img, size, longer)
+            assert got.size == want.size
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+# ---------------------------------------------------------------------------
+# Sacred named-config surface (vlmo/config.py)
+# ---------------------------------------------------------------------------
+
+
+def test_vlmo_named_configs_match_reference():
+    """Every ``@ex.named_config`` preset and the base ``@ex.config``
+    (``vlmo/config.py:21-507``) resolve key-for-key equal to our vendored
+    registry, including sacred's left-to-right composition."""
+    from vqattack_tpu import named_configs as nc
+
+    mod = rs.vlmo_sacred_config()
+    helpers = {"_loss_names": mod._loss_names}
+
+    (base_fn,) = mod.ex.base_configs
+    want_base = rs.resolve_sacred_config(base_fn, helpers)
+    assert nc.VLMO_BASE == want_base
+
+    assert set(nc.NAMED) == set(mod.ex.named_configs)
+    for name, fn in mod.ex.named_configs.items():
+        want = rs.resolve_sacred_config(fn, helpers)
+        assert nc.NAMED[name] == want, name
+        # full resolution = sacred base <- named, both sides
+        resolved = dict(want_base)
+        resolved.update(want)
+        assert nc.vlmo_named_config(name) == resolved, name
+
+    # composition order: task preset then a step preset, like
+    # ``run.py with task_mlm_itm_itc_base step200k``
+    both = nc.vlmo_named_config("task_mlm_itm_itc_base", "step200k")
+    assert both["max_steps"] == 200000 and both["max_epoch"] == 200
+    assert both["loss_names"]["vqa"] == 1
+
+    # the bridge reproduces the attack entry preset's geometry
+    named = nc.vlmo_named_config("task_finetune_vqa_base_image480")
+    cfg = nc.vlmo_config_from_named(named)
+    assert (cfg.image_size, cfg.hidden_size, cfg.depth,
+            cfg.vlffn_start_layer) == (480, 768, 12, 10)
+    assert cfg.drop_path_rate == 0.15
+    lg = nc.vlmo_config_from_named(
+        nc.vlmo_named_config("task_finetune_vqa_large_image480"))
+    assert (lg.hidden_size, lg.depth, lg.num_heads) == (1024, 24, 16)
+    settings = nc.train_settings_from_named(named)
+    assert settings["lr_mult"] == 20.0 and settings["batch_size"] == 128

@@ -101,3 +101,42 @@ def test_train_cli_aux_tasks(tmp_path, task):
         "--batch-size", "2",
         "--log-every", "1",
     ])
+
+
+def test_preset_fills_defaults_but_flags_win():
+    """--preset supplies the reference named-config hyperparameters as
+    defaults; explicit flags and the geometry bridge still win."""
+    from vqattack_tpu.named_configs import vlmo_config_from_named
+    from vqattack_tpu.train.cli import apply_preset, build_argparser
+
+    parser = build_argparser()
+    args = parser.parse_args([
+        "--task", "vlmo_vqa", "--vocab", "v.txt",
+        "--preset", "task_finetune_vqa_base_image480",
+    ])
+    preset = apply_preset(parser, args)
+    assert args.lr == 3e-5 and args.weight_decay == 0.01
+    assert args.image_size == 480
+    assert args.mlm_prob == 0.15
+    cfg = vlmo_config_from_named(preset)
+    assert (cfg.image_size, cfg.hidden_size, cfg.depth) == (480, 768, 12)
+
+    # explicit flags beat the preset; step presets compose on the right
+    args2 = parser.parse_args([
+        "--task", "vlmo_vqa", "--vocab", "v.txt",
+        "--preset", "task_finetune_vqa_large_image480", "step3k",
+        "--lr", "1e-6", "--image-size", "224",
+    ])
+    preset2 = apply_preset(parser, args2)
+    assert args2.lr == 1e-6 and args2.image_size == 224
+    assert preset2["max_steps"] == 3000
+    # warmup fraction resolves against the composed max_steps
+    assert args2.warmup_steps == 300
+    assert vlmo_config_from_named(preset2).hidden_size == 1024
+
+    import pytest as _pytest
+
+    args3 = parser.parse_args(
+        ["--task", "vlmo_vqa", "--vocab", "v.txt", "--preset", "nope"])
+    with _pytest.raises(KeyError):
+        apply_preset(parser, args3)

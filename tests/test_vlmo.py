@@ -202,3 +202,23 @@ def test_precomputed_rel_biases_identical(vlmo_setup):
     out2 = model.apply(params, px, ids, masks, biases, method=VLMo.attack_feats)
     for a, b in zip(out1, out2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_vlmo_large_and_base_plus_presets():
+    """Registry presets mirror the reference's model zoo
+    (``multiway_transformer.py:394-412``)."""
+    from vqattack_tpu.config import vlmo_base_plus_config, vlmo_large_config
+
+    lg = vlmo_large_config()
+    assert (lg.hidden_size, lg.depth, lg.num_heads, lg.vlffn_start_layer) == (
+        1024, 24, 16, 21)
+    assert lg.need_relative_position_embed and not lg.use_abs_pos_emb
+    assert lg.layer_scale_init is not None
+
+    bp = vlmo_base_plus_config()
+    assert (bp.hidden_size, bp.depth, bp.num_heads, bp.vlffn_start_layer) == (
+        544, 24, 16, 21)
+    assert bp.use_abs_pos_emb and not bp.need_relative_position_embed
+    assert bp.layer_scale_init is None
+    # head dim 544/16=34 divides evenly; geometry consistent
+    assert bp.hidden_size % bp.num_heads == 0

@@ -300,6 +300,37 @@ def vilt_base_config(image_size: int = 384) -> VLMoConfig:
     )
 
 
+def vlmo_large_config(image_size: int = 480) -> VLMoConfig:
+    """VLMo-large/p16 (reference registry ``multiway_transformer.py:394-401``):
+    24 layers, 1024-d, 16 heads, VL experts from layer 21; rel-pos bias and
+    layer scale as in base."""
+    return VLMoConfig(
+        image_size=image_size,
+        patch_size=16,
+        hidden_size=1024,
+        depth=24,
+        num_heads=16,
+        vlffn_start_layer=21,
+    )
+
+
+def vlmo_base_plus_config(image_size: int = 480) -> VLMoConfig:
+    """VLMo-base+/p16 (reference registry ``multiway_transformer.py:404-412``):
+    24 layers, 544-d, 16 heads, VL experts from layer 21, absolute pos
+    embeds instead of rel-pos bias, no layer scale."""
+    return VLMoConfig(
+        image_size=image_size,
+        patch_size=16,
+        hidden_size=544,
+        depth=24,
+        num_heads=16,
+        vlffn_start_layer=21,
+        use_abs_pos_emb=True,
+        need_relative_position_embed=False,
+        layer_scale_init=None,
+    )
+
+
 def tiny_test_config(image_size: int = 32, vocab_size: int = 64) -> RunConfig:
     """A miniature geometry for unit tests (2 layers, 32px, toy vocab)."""
     vit = ViTConfig(image_size=image_size, patch_size=16, hidden_size=32, depth=2, num_heads=2)

@@ -179,6 +179,146 @@ class RandomAugment:
         return img
 
 
+# ---------------------------------------------------------------------------
+# VLMo pixelbert family (``vlmo/transforms/{pixelbert,randaug,utils}.py``):
+# aspect-preserving MinMax resize + the UDA/efficientnet 14-op RandAugment
+# pool with linear m/30 magnitude mapping.
+# ---------------------------------------------------------------------------
+
+
+def min_max_resize(img, shorter: int = 800, longer: int = 1333):
+    """Aspect-preserving bicubic resize: shorter side -> ``shorter``, capped
+    so the longer side <= ``longer``, both rounded down to multiples of 32
+    (``vlmo/transforms/utils.py::MinMaxResize:5-26`` math, verbatim)."""
+    w, h = img.size
+    scale = shorter / min(w, h)
+    if h < w:
+        newh, neww = shorter, scale * w
+    else:
+        newh, neww = scale * h, shorter
+    if max(newh, neww) > longer:
+        scale = longer / max(newh, neww)
+        newh, neww = newh * scale, neww * scale
+    newh, neww = int(newh + 0.5), int(neww + 0.5)
+    newh, neww = newh // 32 * 32, neww // 32 * 32
+    return img.resize((neww, newh), Image.BICUBIC)
+
+
+def _solarize_add(img, v, threshold: int = 128):
+    """``randaug.py::SolarizeAdd:83-90``: add ``v`` (float, truncated on the
+    uint8 cast like the reference's astype) then solarize at 128."""
+    arr = np.clip(np.asarray(img).astype(np.float64) + v, 0, 255).astype(np.uint8)
+    return ImageOps.solarize(Image.fromarray(arr), threshold)
+
+
+def _signed(rng, v):
+    """Geometric ops negate with p=0.5 (``randaug.py:13,20,35,51,58``)."""
+    return -v if rng.random() > 0.5 else v
+
+
+# (op, minval, maxval) — ``randaug.py::augment_list:181-200`` (the
+# tensorflow/tpu efficientnet pool).  Magnitude v = m/30*(max-min)+min is
+# passed RAW (degrees / pixels / enhance factors / thresholds), unlike the
+# ALBEF table above whose helpers take normalized m/10.
+_UDA_POOL = (
+    ("AutoContrast", lambda img, v, rng: ImageOps.autocontrast(img), 0, 1),
+    ("Equalize", lambda img, v, rng: ImageOps.equalize(img), 0, 1),
+    ("Rotate", lambda img, v, rng: img.rotate(_signed(rng, v)), 0, 30),
+    ("Posterize",
+     lambda img, v, rng: ImageOps.posterize(img, max(1, int(v))), 0, 4),
+    ("Solarize", lambda img, v, rng: ImageOps.solarize(img, v), 0, 256),
+    ("SolarizeAdd", lambda img, v, rng: _solarize_add(img, v), 0, 110),
+    ("Color",
+     lambda img, v, rng: ImageEnhance.Color(img).enhance(v), 0.1, 1.9),
+    ("Contrast",
+     lambda img, v, rng: ImageEnhance.Contrast(img).enhance(v), 0.1, 1.9),
+    ("Brightness",
+     lambda img, v, rng: ImageEnhance.Brightness(img).enhance(v), 0.1, 1.9),
+    ("Sharpness",
+     lambda img, v, rng: ImageEnhance.Sharpness(img).enhance(v), 0.1, 1.9),
+    ("ShearX", lambda img, v, rng: img.transform(
+        img.size, Image.AFFINE, (1, _signed(rng, v), 0, 0, 1, 0)), 0.0, 0.3),
+    ("ShearY", lambda img, v, rng: img.transform(
+        img.size, Image.AFFINE, (1, 0, 0, _signed(rng, v), 1, 0)), 0.0, 0.3),
+    ("TranslateXabs", lambda img, v, rng: img.transform(
+        img.size, Image.AFFINE, (1, 0, _signed(rng, v), 0, 1, 0)), 0.0, 100),
+    ("TranslateYabs", lambda img, v, rng: img.transform(
+        img.size, Image.AFFINE, (1, 0, 0, 0, 1, _signed(rng, v))), 0.0, 100),
+)
+
+
+class RandAugmentUDA:
+    """The pixelbert-family augmenter (``randaug.py::RandAugment:257-268``):
+    ``n`` ops drawn WITH replacement from the 14-op pool, every drawn op
+    applied (no skip gate), magnitude ``v = m/30*(max-min)+min``."""
+
+    def __init__(self, n: int = 2, m: int = 9,
+                 rng: Optional[random.Random] = None):
+        self.n, self.m = n, m
+        self.rng = rng or random.Random()
+
+    def __call__(self, img):
+        for _, op, lo, hi in self.rng.choices(_UDA_POOL, k=self.n):
+            img = op(img, (float(self.m) / 30) * float(hi - lo) + lo, self.rng)
+        return img
+
+
+def pixelbert_transform(size: int = 800) -> Callable:
+    """MinMaxResize(size, 1333/800*size) + normalize
+    (``vlmo/transforms/pixelbert.py:9-17``); output H,W vary per image."""
+    longer = int((1333 / 800) * size)
+
+    def fn(img) -> np.ndarray:
+        img = img.convert("RGB")
+        return inception_normalize(np.asarray(min_max_resize(img, size, longer)))
+
+    return fn
+
+
+def pixelbert_transform_randaug(
+    size: int = 800, rng: Optional[random.Random] = None
+) -> Callable:
+    """RandAugment(2, 9) BEFORE the resize (``pixelbert.py:20-29`` inserts it
+    at index 0)."""
+    longer = int((1333 / 800) * size)
+    ra = RandAugmentUDA(2, 9, rng)
+
+    def fn(img) -> np.ndarray:
+        img = ra(img.convert("RGB"))
+        return inception_normalize(np.asarray(min_max_resize(img, size, longer)))
+
+    return fn
+
+
+def square_transform(size: int = 224) -> Callable:
+    """VLMo registry name for the ALBEF-style test path
+    (``square_transform.py:11-18``)."""
+    return test_transform(size)
+
+
+def square_transform_randaug(
+    size: int = 224, rng: Optional[random.Random] = None
+) -> Callable:
+    """RandomResizedCrop(0.5-1.0) + hflip + ALBEF RandomAugment(2,7)
+    (``square_transform.py:21-31`` — same pipeline as the ALBEF train
+    path)."""
+    return train_transform(size, rng)
+
+
+_TRANSFORMS = {
+    "pixelbert": pixelbert_transform,
+    "pixelbert_randaug": pixelbert_transform_randaug,
+    "square_transform": square_transform,
+    "square_transform_randaug": square_transform_randaug,
+}
+
+
+def keys_to_transforms(keys, size: int = 224):
+    """Registry lookup (``vlmo/transforms/__init__.py:10-19``): the config's
+    ``train/val_transform_keys`` lists resolve through this."""
+    return [_TRANSFORMS[key](size=size) for key in keys]
+
+
 def train_transform(size: int = 480, rng: Optional[random.Random] = None) -> Callable:
     """RandomResizedCrop(0.5-1.0) + hflip + RandAugment + normalize
     (reference train path, ``dataset/__init__.py:18-34``)."""

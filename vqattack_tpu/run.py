@@ -33,6 +33,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="TPU-native VQAttack sweep")
     p.add_argument("--pipeline", choices=["albef", "vlmo"], default="albef")
     p.add_argument("--config", default=None, help="RunConfig json/yaml")
+    p.add_argument("--named-config", nargs="*", default=[],
+                   help="sacred named-config presets composed left-to-right "
+                        "(the reference's `run.py with <names>` line, e.g. "
+                        "task_finetune_vqa_base_image480); sets the VLMo "
+                        "geometry via vqattack_tpu.named_configs")
     p.add_argument("--vocab", required=False, help="WordPiece vocab.txt")
     p.add_argument("--surrogate-ckpt", default=None)
     p.add_argument("--victim-ckpt", default=None)
@@ -152,6 +157,25 @@ def resolve_config(args):
         cfg = cfg_mod.vlmo_attack_config()
     else:
         cfg = cfg_mod.albef_attack_config()
+    if args.named_config:
+        from vqattack_tpu.named_configs import (
+            vlmo_config_from_named,
+            vlmo_named_config,
+        )
+
+        named = vlmo_named_config(*args.named_config)
+        vlmo = dataclasses.replace(
+            vlmo_config_from_named(named),
+            remat=cfg.vlmo.remat,
+            remat_scores=cfg.vlmo.remat_scores,
+        )
+        cfg = dataclasses.replace(
+            cfg,
+            vlmo=vlmo,
+            data=dataclasses.replace(
+                cfg.data, image_size=vlmo.image_size
+            ),
+        )
     cfg = dataclasses.replace(cfg, output_dir=args.output)
     if args.seed is not None:
         cfg = dataclasses.replace(cfg, seed=args.seed)

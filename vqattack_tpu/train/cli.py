@@ -30,6 +30,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    choices=["albef_pretrain", "albef_vqa", "retrieval",
                             "ve", "nlvr2", "vlmo_vqa", "vlmo_irtr",
                             "vlmo_textmlm"])
+    p.add_argument("--preset", nargs="*", default=[],
+                   help="sacred named-config presets composed left-to-right "
+                        "(vqattack_tpu.named_configs, e.g. "
+                        "task_finetune_vqa_base_image480 step200k); supplies "
+                        "VLMo geometry + lr/weight-decay/warmup/mlm-prob/"
+                        "image-size defaults, explicit flags win")
     p.add_argument("--config", default=None)
     p.add_argument("--vocab", required=True)
     p.add_argument("--ann", nargs="+", default=[])
@@ -74,9 +80,42 @@ def _batches(dataset, batch_size: int, seed: int) -> Iterator[list]:
             yield [dataset[int(j)] for j in order[i : i + batch_size]]
 
 
+def apply_preset(parser: argparse.ArgumentParser, args) -> dict | None:
+    """Resolve ``--preset`` named configs and fill in hyperparameter
+    defaults (explicit flags win); returns the resolved named-config dict
+    (None without --preset)."""
+    if not args.preset:
+        return None
+    from vqattack_tpu.named_configs import (
+        train_settings_from_named,
+        vlmo_named_config,
+    )
+
+    preset = vlmo_named_config(*args.preset)
+    s = train_settings_from_named(preset)
+
+    def _default(name, val):
+        if getattr(args, name) == parser.get_default(name):
+            setattr(args, name, val)
+
+    _default("lr", s["learning_rate"])
+    _default("weight_decay", s["weight_decay"])
+    _default("mlm_prob", s["mlm_prob"])
+    _default("image_size", int(preset["image_size"]))
+    warm = s["warmup_steps"]
+    if isinstance(warm, float) and warm < 1:  # sacred fraction-of-steps
+        warm = int(warm * (s["max_steps"] or args.steps))
+    _default("warmup_steps", int(warm))
+    if args.arrow_root:
+        _default("arrow_datasets", list(s["datasets"]))
+    return preset
+
+
 def main(argv=None) -> None:
-    args = build_argparser().parse_args(argv)
+    parser = build_argparser()
+    args = parser.parse_args(argv)
     os.environ.setdefault("HF_HUB_OFFLINE", "1")
+    preset = apply_preset(parser, args)
 
     import dataclasses
 
@@ -104,6 +143,10 @@ def main(argv=None) -> None:
     from vqattack_tpu.utils.meters import MetricLogger
 
     cfg = cfg_mod.load_config(args.config) if args.config else cfg_mod.albef_attack_config()
+    if preset is not None:
+        from vqattack_tpu.named_configs import vlmo_config_from_named
+
+        cfg = dataclasses.replace(cfg, vlmo=vlmo_config_from_named(preset))
     if args.image_size:
         albef = cfg.albef
         albef = dataclasses.replace(
