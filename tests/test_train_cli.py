@@ -86,7 +86,8 @@ def test_train_cli_tasks(tmp_path, task):
     assert max(find_train_steps(str(ckpt_dir))) >= 4
 
 
-@pytest.mark.parametrize("task", ["retrieval", "ve", "nlvr2", "vlmo_irtr", "vlmo_textmlm"])
+@pytest.mark.parametrize("task", ["retrieval", "ve", "nlvr2", "vlmo_irtr",
+                                  "vlmo_textmlm", "vlmo_pretrain"])
 def test_train_cli_aux_tasks(tmp_path, task):
     from vqattack_tpu.train.cli import main
 

@@ -222,3 +222,68 @@ def test_vlmo_large_and_base_plus_presets():
     assert bp.layer_scale_init is None
     # head dim 544/16=34 divides evenly; geometry consistent
     assert bp.hidden_size % bp.num_heads == 0
+
+
+def test_vlffn_itc_branch_and_pretrain_loss():
+    """infer_text/infer_image vlffn=True reproduce the reference's
+    cls_vlffn_feats structure (``vlmo_module.py:973-992``) and
+    vlmo_pretrain_loss combines mlm+itc+itm finitely with flowing grads."""
+    import jax
+    import jax.numpy as jnp
+
+    from vqattack_tpu.config import tiny_test_config
+    from vqattack_tpu.models.vlmo import VLMo
+    from vqattack_tpu.train.objectives import vlmo_pretrain_loss
+
+    cfg = tiny_test_config().vlmo
+    model = VLMo(cfg)
+    b, t = 3, cfg.max_text_len
+    px = jax.random.uniform(jax.random.key(0), (b, 32, 32, 3), minval=-1)
+    ids = jnp.ones((b, t), jnp.int32)
+    mask = jnp.ones((b, t), jnp.int32)
+    params = jax.jit(
+        lambda k: model.init(k, ids, mask, px, method=VLMo.init_all)
+    )(jax.random.key(1))
+
+    # init_all materialized the new heads
+    p = params["params"]
+    assert "itc_vl_text_proj" in p and "itc_vl_image_proj" in p
+    assert p["logit_scale"]["scale"].shape == ()
+    import numpy as np
+    np.testing.assert_allclose(p["logit_scale"]["scale"], np.log(1 / 0.07),
+                               rtol=1e-6)
+
+    ti = model.apply(params, ids, mask, vlffn=True, method=VLMo.infer_text)
+    ii = model.apply(params, px, vlffn=True, method=VLMo.infer_image)
+    assert ti["cls_vlffn_feats"].shape == (b, cfg.hidden_size)
+    assert ii["cls_vlffn_feats"].shape == (b, cfg.hidden_size)
+    # the vl-expert branch is a different computation than the base cls path
+    assert not np.allclose(ti["cls_vlffn_feats"], ti["cls_feats"])
+    # vlffn=False keeps the original output surface
+    assert "cls_vlffn_feats" not in model.apply(
+        params, ids, mask, method=VLMo.infer_text)
+
+    batch = {
+        "pixels": px, "text_ids": ids, "text_mask": mask,
+        "mlm_ids": ids.at[:, 2].set(4),
+        "mlm_labels": jnp.full((b, t), -100, jnp.int32).at[:, 2].set(5),
+    }
+
+    def loss(p_):
+        return vlmo_pretrain_loss(model, p_, batch, jax.random.key(2))[0]
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    g = jax.tree_util.tree_map(lambda x: float(jnp.abs(x).sum()), grads)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert sum(leaves) > 0
+    # the vl ITC heads and both logit scales receive gradient
+    assert sum(jax.tree_util.tree_leaves(
+        g["params"]["itc_vl_text_proj"])) > 0
+    assert sum(jax.tree_util.tree_leaves(g["params"]["logit_scale"])) > 0
+    assert sum(jax.tree_util.tree_leaves(g["params"]["logit_vl_scale"])) > 0
+
+    # weight gating skips terms entirely
+    l_mlm, m_mlm = vlmo_pretrain_loss(
+        model, params, batch, jax.random.key(2), weights={"mlm": 1, "itc": 0, "itm": 0})
+    assert "itm_loss" not in m_mlm and np.isfinite(float(l_mlm))

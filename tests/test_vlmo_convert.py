@@ -336,3 +336,31 @@ def test_checkpoint_cache_invalidates_on_overwrite(tmp_path):
     t2 = _maybe_cached(str(f), cache, build2, "tag")
     assert calls == [1, 2]
     np.testing.assert_array_equal(np.asarray(t2["w"]), np.full(3, 2.0))
+
+
+def test_convert_vlmo_maps_itc_vl_heads_and_logit_scales():
+    """The vlffn-branch ITC heads + contrastive temperatures
+    (``vlmo_module.py:247-253``) convert and drive infer_text(vlffn=True)."""
+    sd = _fake_vlmo_sd(CFG)
+    rng = np.random.default_rng(3)
+    d = CFG.hidden_size
+    sd["itc_vl_text_proj.fc.weight"] = rng.normal(size=(d, d)).astype(np.float32) * 0.02
+    sd["itc_vl_image_proj.fc.weight"] = rng.normal(size=(d, d)).astype(np.float32) * 0.02
+    sd["logit_scale"] = np.asarray(np.log(1 / 0.07), np.float32)
+    sd["logit_vl_scale"] = np.asarray(np.log(1 / 0.05), np.float32)
+
+    tree = convert_vlmo(sd, depth=CFG.depth)
+    assert tree["logit_scale"]["scale"].shape == ()
+    np.testing.assert_allclose(tree["logit_vl_scale"]["scale"], np.log(1 / 0.05),
+                               rtol=1e-6)
+
+    model = VLMo(CFG)
+    ids = jnp.ones((2, CFG.max_text_len), jnp.int32)
+    mask = jnp.ones_like(ids)
+    out = model.apply({"params": tree}, ids, mask, vlffn=True,
+                      method=VLMo.infer_text)
+    assert out["cls_vlffn_feats"].shape == (2, d)
+    want = model.apply(
+        {"params": tree}, px := jnp.zeros((2, 32, 32, 3)), vlffn=True,
+        method=VLMo.infer_image)
+    assert want["cls_vlffn_feats"].shape == (2, d)

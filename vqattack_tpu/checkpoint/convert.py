@@ -336,6 +336,16 @@ def convert_vlmo(
     if "itc_text_proj.fc.weight" in sd:
         tree["itc_text_proj"] = _linear_nobias(sd, "itc_text_proj.fc")
         tree["itc_image_proj"] = _linear_nobias(sd, "itc_image_proj.fc")
+    if "itc_vl_text_proj.fc.weight" in sd:
+        # vlffn-branch ITC heads + contrastive temperatures
+        # (vlmo_module.py:247-253)
+        tree["itc_vl_text_proj"] = _linear_nobias(sd, "itc_vl_text_proj.fc")
+        tree["itc_vl_image_proj"] = _linear_nobias(sd, "itc_vl_image_proj.fc")
+    if "logit_scale" in sd:
+        tree["logit_scale"] = {"scale": np.asarray(sd["logit_scale"]).reshape(())}
+    if "logit_vl_scale" in sd:
+        tree["logit_vl_scale"] = {
+            "scale": np.asarray(sd["logit_vl_scale"]).reshape(())}
     if "vqa_classifier.0.weight" in sd:
         tree["vqa_classifier"] = {
             "fc1": _linear(sd, "vqa_classifier.0"),

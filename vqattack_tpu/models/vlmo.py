@@ -226,6 +226,20 @@ class VQAClassifier(nn.Module):
 # ---------------------------------------------------------------------------
 
 
+class LogitScale(nn.Module):
+    """Learnable contrastive temperature, open_clip-style
+    (``vlmo_module.py:252-253``: ``ones([]) * log(1/0.07)``); used as
+    ``exp(scale)`` multiplying the similarity logits."""
+
+    init_value: float = float(np.log(1 / 0.07))
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param(
+            "scale", lambda key: jnp.full((), self.init_value, jnp.float32)
+        )
+
+
 class VLMo(nn.Module):
     cfg: VLMoConfig
     with_vqa_head: bool = True
@@ -298,6 +312,14 @@ class VLMo(nn.Module):
         self.itm_score = nn.Dense(2, dtype=self.dtype)
         self.itc_text_proj = nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype)
         self.itc_image_proj = nn.Dense(cfg.hidden_size, use_bias=False, dtype=self.dtype)
+        # vlffn-branch ITC heads + logit scales (``vlmo_module.py:242-253``);
+        # lazy submodules — params materialize only on ITC-pretraining paths
+        self.itc_vl_text_proj = nn.Dense(
+            cfg.hidden_size, use_bias=False, dtype=self.dtype)
+        self.itc_vl_image_proj = nn.Dense(
+            cfg.hidden_size, use_bias=False, dtype=self.dtype)
+        self.logit_scale = LogitScale(name="logit_scale")
+        self.logit_vl_scale = LogitScale(name="logit_vl_scale")
         if self.with_vqa_head:
             self.vqa_classifier = VQAClassifier(
                 cfg.hidden_size, cfg.vqa_label_size, dtype=self.dtype
@@ -415,8 +437,16 @@ class VLMo(nn.Module):
             "feats": feats,
         }
 
-    def infer_text(self, text_ids, text_masks) -> Dict[str, jnp.ndarray]:
-        """Text-only tower (``vlmo_module.py:950-1006``)."""
+    @property
+    def _has_vlffn(self) -> bool:
+        return bool(self.cfg.moe) and self.cfg.vlffn_start_layer < self.cfg.depth
+
+    def infer_text(self, text_ids, text_masks, vlffn: bool = False) -> Dict[str, jnp.ndarray]:
+        """Text-only tower (``vlmo_module.py:950-1006``).  With
+        ``vlffn=True`` (pretraining ITC) the hidden state entering layer
+        ``vlffn_start_layer`` is additionally run through the remaining
+        blocks in the 'vl' expert mode and projected by ``itc_vl_text_proj``
+        (``:973-977,990-992``) as ``cls_vlffn_feats``."""
         x = self.text_embeddings(text_ids) + self.token_type_embeddings(
             jnp.zeros_like(text_masks)
         )
@@ -428,15 +458,25 @@ class VLMo(nn.Module):
             x = blk(x, "text", bias)
             feats.append(x)
         xn = self.norm(x)
-        return {
+        out = {
             "text_feats": xn,
             "cls_feats": self.itc_text_proj(xn[:, 0]),
             "mlm_logits": self.mlm_score(xn),
             "feats": jnp.stack(feats, axis=1),
         }
+        if vlffn and self._has_vlffn:
+            start = self.cfg.vlffn_start_layer
+            vl = feats[start]  # output of block start-1 (ref :973)
+            for i in range(start, self.cfg.depth):
+                bias = self._rel_bias(i, "text")
+                bias = mask_bias if bias is None else bias + mask_bias
+                vl = self.blocks[i](vl, "vl", bias)
+            out["cls_vlffn_feats"] = self.itc_vl_text_proj(self.norm(vl)[:, 0])
+        return out
 
-    def infer_image(self, pixels) -> Dict[str, jnp.ndarray]:
-        """Image-only tower (``vlmo_module.py:1101-1166``)."""
+    def infer_image(self, pixels, vlffn: bool = False) -> Dict[str, jnp.ndarray]:
+        """Image-only tower (``vlmo_module.py:1101-1166``); ``vlffn=True``
+        adds the 'vl'-expert branch feats as in :meth:`infer_text`."""
         x = self.visual_embed(pixels)
         masks = jnp.ones(x.shape[:2], dtype=jnp.int32)
         x = x + self.token_type_embeddings(jnp.ones_like(masks))
@@ -445,11 +485,18 @@ class VLMo(nn.Module):
             x = blk(x, "image", self._rel_bias(i, "image"))
             feats.append(x)
         xn = self.norm(x)
-        return {
+        out = {
             "image_feats": xn,
             "cls_feats": self.itc_image_proj(xn[:, 0]),
             "feats": jnp.stack(feats, axis=1),
         }
+        if vlffn and self._has_vlffn:
+            start = self.cfg.vlffn_start_layer
+            vl = feats[start]
+            for i in range(start, self.cfg.depth):
+                vl = self.blocks[i](vl, "vl", self._rel_bias(i, "image"))
+            out["cls_vlffn_feats"] = self.itc_vl_image_proj(self.norm(vl)[:, 0])
+        return out
 
     # ------------------------------------------------------- attack closures
 
@@ -526,9 +573,13 @@ class VLMo(nn.Module):
         method=VLMo.init_all)``."""
         out = self.infer(text_ids, text_masks, pixels)
         # the single-modality towers materialize the text/image experts of the
-        # vlffn layers (joint mode routes those layers through mlp_vl only)
-        _ = self.infer_text(text_ids, text_masks)
-        _ = self.infer_image(pixels)
+        # vlffn layers (joint mode routes those layers through mlp_vl only);
+        # vlffn=True additionally materializes the ITC vl-branch projections
+        _ = self.infer_text(text_ids, text_masks, vlffn=self._has_vlffn)
+        _ = self.infer_image(pixels, vlffn=self._has_vlffn)
+        _ = self.logit_scale()
+        if self._has_vlffn:
+            _ = self.logit_vl_scale()
         xn_text = out["text_feats"]
         _ = self.mlm_score(xn_text)
         _ = self.itm_score(out["cls_feats"])

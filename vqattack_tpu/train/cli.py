@@ -29,7 +29,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--task", required=True,
                    choices=["albef_pretrain", "albef_vqa", "retrieval",
                             "ve", "nlvr2", "vlmo_vqa", "vlmo_irtr",
-                            "vlmo_textmlm"])
+                            "vlmo_textmlm", "vlmo_pretrain"])
     p.add_argument("--preset", nargs="*", default=[],
                    help="sacred named-config presets composed left-to-right "
                         "(vqattack_tpu.named_configs, e.g. "
@@ -335,6 +335,42 @@ def main(argv=None) -> None:
             c = mlm_collate(texts, tok, cfg.vlmo.max_text_len, args.mlm_prob,
                             whole_word=True, rng=rng_np)
             return {
+                "text_mask": jnp.asarray(c["text_masks"]),
+                "mlm_ids": jnp.asarray(c["text_ids_mlm"]),
+                "mlm_labels": jnp.asarray(c["text_labels_mlm"]),
+            }
+
+    elif args.task == "vlmo_pretrain":
+        # multi-loss VL pretraining stage (the reference's mlm_itm_itc
+        # presets: objectives compute_mlm + compute_itc incl. the vlffn
+        # branch + compute_itm_hardneg)
+        model = VLMo(cfg.vlmo)
+        ids0v = jnp.ones((args.batch_size, cfg.vlmo.max_text_len), jnp.int32)
+        params = jax.jit(
+            lambda k: model.init(k, ids0v, jnp.ones_like(ids0v), px0, method=VLMo.init_all)
+        )(jax.random.key(args.seed))
+
+        loss_weights = None
+        whole_word = False
+        if preset is not None:
+            loss_weights = {
+                k: v for k, v in preset["loss_names"].items()
+                if k in ("mlm", "itc", "itm") and v
+            } or None
+            whole_word = bool(preset["whole_word_masking"])
+
+        def loss_fn(p, batch, key):
+            return obj.vlmo_pretrain_loss(model, p, batch, key,
+                                          weights=loss_weights)
+
+        def collate(items):
+            texts = [i.get("question", "") for i in items]
+            c = mlm_collate(texts, tok, cfg.vlmo.max_text_len, args.mlm_prob,
+                            whole_word=whole_word, rng=rng_np)
+            return {
+                "pixels": jnp.asarray(
+                    np.concatenate([i["pixels"] for i in items])),
+                "text_ids": jnp.asarray(c["text_ids"]),
                 "text_mask": jnp.asarray(c["text_masks"]),
                 "mlm_ids": jnp.asarray(c["text_ids_mlm"]),
                 "mlm_labels": jnp.asarray(c["text_labels_mlm"]),

@@ -433,3 +433,108 @@ def vlmo_irtr_train_loss(
     loss = -jnp.mean(logp[:, 0])
     acc = jnp.mean((jnp.argmax(logits, -1) == 0).astype(jnp.float32))
     return loss, {"loss": loss, "irtr_acc": acc}
+
+
+def vlmo_pretrain_loss(
+    model,
+    params: Any,
+    batch: Dict[str, jnp.ndarray],
+    rng: jax.Array,
+    weights: Optional[Dict[str, float]] = None,
+    axis_name: Optional[str] = None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """VLMo pretraining multi-task loss: MLM over the joint trunk
+    (``objectives.py::compute_mlm:18-45``), dual-branch contrastive ITC with
+    learnable logit scales incl. the vlffn branch (``compute_itc:180-299``),
+    and hard-negative ITM mined from the ITC similarities
+    (``compute_itm_hardneg:76-178``).
+
+    ``batch``: pixels [B,H,W,3], text_ids/text_mask [B,T], mlm_ids [B,T],
+    mlm_labels [B,T] (-100 ignore).  ``weights`` is a named-config
+    ``loss_names`` subset over {mlm, itc, itm}; zero-weight terms are
+    skipped.  With ``axis_name`` the ITC negatives and ITM hard-negative
+    candidates extend across the mesh axis (the reference's all_gather).
+    """
+    w = {"mlm": 1.0, "itc": 1.0, "itm": 1.0}
+    if weights:
+        w.update({k: float(v) for k, v in weights.items() if k in w})
+    m = model.bind(params)
+    metrics: Dict[str, jnp.ndarray] = {}
+    total = jnp.zeros((), jnp.float32)
+
+    def norm(x):
+        x = x.astype(jnp.float32)
+        return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+
+    n = batch["pixels"].shape[0]
+    off = jax.lax.axis_index(axis_name) * n if axis_name else 0
+    labels = jnp.arange(n) + off
+
+    def ce(logits):
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], 1))
+
+    sim_i2t = sim_t2i = None
+    if w["itc"] > 0 or w["itm"] > 0:
+        ti = m.infer_text(batch["text_ids"], batch["text_mask"], vlffn=True)
+        ii = m.infer_image(batch["pixels"], vlffn=True)
+        img, txt = norm(ii["cls_feats"]), norm(ti["cls_feats"])
+        scale = jnp.exp(m.logit_scale())
+        sim_i2t = scale * (img @ _maybe_gather(txt, axis_name).T)
+        sim_t2i = scale * (txt @ _maybe_gather(img, axis_name).T)
+        itc = (ce(sim_i2t) + ce(sim_t2i)) / 2
+        if "cls_vlffn_feats" in ti:
+            vimg = norm(ii["cls_vlffn_feats"])
+            vtxt = norm(ti["cls_vlffn_feats"])
+            vscale = jnp.exp(m.logit_vl_scale())
+            vl_i2t = vscale * (vimg @ _maybe_gather(vtxt, axis_name).T)
+            vl_t2i = vscale * (vtxt @ _maybe_gather(vimg, axis_name).T)
+            itc_vl = (ce(vl_i2t) + ce(vl_t2i)) / 2
+            itc = (itc + itc_vl) * 0.5  # ref objectives.py:263
+            metrics["itc_vl_loss"] = itc_vl
+        metrics["itc_loss"] = itc
+        if w["itc"] > 0:
+            total = total + w["itc"] * itc
+
+    if w["itm"] > 0:
+        if n < 2 and axis_name is None:
+            raise ValueError("itm hard negatives need batch >= 2")
+        # similarity-weighted hard negatives; the own pair (the diagonal of
+        # the reference's fill_diagonal_) is masked out (ref :126-142)
+        cols = sim_i2t.shape[1]
+        own = jax.nn.one_hot(labels, cols, dtype=bool)
+        r1, r2 = jax.random.split(rng)
+        neg_txt_idx = jax.random.categorical(
+            r1, jnp.where(own, -jnp.inf, sim_i2t), axis=-1)
+        neg_img_idx = jax.random.categorical(
+            r2, jnp.where(own, -jnp.inf, sim_t2i), axis=-1)
+        all_px = _maybe_gather(batch["pixels"], axis_name)
+        all_ids = _maybe_gather(batch["text_ids"], axis_name)
+        all_mask = _maybe_gather(batch["text_mask"], axis_name)
+        # [pos, neg-image+own-text, own-image+neg-text] in one joint forward
+        px3 = jnp.concatenate(
+            [batch["pixels"], all_px[neg_img_idx], batch["pixels"]])
+        ids3 = jnp.concatenate(
+            [batch["text_ids"], batch["text_ids"], all_ids[neg_txt_idx]])
+        mask3 = jnp.concatenate(
+            [batch["text_mask"], batch["text_mask"], all_mask[neg_txt_idx]])
+        xn, _, _ = m._joint_trunk(ids3, mask3, px3)
+        itm_logits = m.itm_score(m.pooler(xn))
+        itm_labels = jnp.concatenate(
+            [jnp.ones(n, jnp.int32), jnp.zeros(2 * n, jnp.int32)])
+        logp = jax.nn.log_softmax(itm_logits.astype(jnp.float32), -1)
+        itm = -jnp.mean(jnp.take_along_axis(logp, itm_labels[:, None], 1))
+        metrics["itm_loss"] = itm
+        metrics["itm_acc"] = jnp.mean(
+            (jnp.argmax(itm_logits, -1) == itm_labels).astype(jnp.float32))
+        total = total + w["itm"] * itm
+
+    if w["mlm"] > 0:
+        out = m.infer(batch["mlm_ids"], batch["text_mask"], batch["pixels"])
+        mlm_logits = m.mlm_score(out["text_feats"])
+        mlm = masked_lm_loss(mlm_logits, batch["mlm_labels"])
+        metrics["mlm_loss"] = mlm
+        total = total + w["mlm"] * mlm
+
+    metrics["loss"] = total
+    return total, metrics
