@@ -1619,3 +1619,90 @@ def test_vlmo_mar_labels_match_reference(monkeypatch, paraphrase, vilt_ans,
     for a in range(A):
         np.testing.assert_array_equal(mar.labels[a], ref_stack[a])
     assert (mar.labels[A:] == -100).all()
+
+
+def test_vlmo_single_tower_itc_vlffn_matches_reference(vlmo_pair):
+    """The pretraining ITC feature surface: the reference's own
+    ``infer_text`` (``vlmo_module.py:950-1006``, executed verbatim) and its
+    ``infer_image`` (``:1101-1166``, the CUDA-only ``.to(device=
+    img.get_device())`` elided as in ``_ref_vlmo_attack_closure``) against
+    our ``infer_text/infer_image(vlffn=True)`` — base AND vlffn-branch cls
+    projections."""
+    from vlmo.modules import heads as ref_heads
+
+    from vqattack_tpu.checkpoint.convert import convert_vlmo
+    from vqattack_tpu.models.vlmo import VLMo as OurVLMo
+
+    p = vlmo_pair
+    # our infer_text also materializes the MLM head, so assemble with it
+    v = _assemble_vlmo(max_text_len=p.T, with_mlm=True)
+    torch.manual_seed(7)
+    v.itc_text_proj = ref_heads.ITCHead(32)
+    v.itc_image_proj = ref_heads.ITCHead(32)
+    v.itc_vl_text_proj = ref_heads.ITCHead(32)
+    v.itc_vl_image_proj = ref_heads.ITCHead(32)
+    with torch.no_grad():
+        for h in (v.itc_text_proj, v.itc_image_proj,
+                  v.itc_vl_text_proj, v.itc_vl_image_proj):
+            h.fc.weight.normal_(std=0.05)
+    v.vlffn_start_layer_index = 3
+    v = v.eval()
+
+    cfg = tiny_test_config().vlmo
+    model = OurVLMo(cfg, with_vqa_head=False)
+    sd = {k: val.detach().numpy() for k, val in v.state_dict().items()}
+    params = {"params": convert_vlmo(sd, depth=4)}
+
+    ids_t = torch.from_numpy(p.ids)
+    mask_t = torch.from_numpy(p.mask)
+    img_t = torch.from_numpy(p.px)
+
+    with torch.no_grad():
+        ref_t = v.infer_text({
+            "text_ids": ids_t,
+            "text_labels": torch.full_like(ids_t, -100),
+            "text_masks": mask_t,
+        })
+
+        # infer_image body (:1101-1166) with the device cast elided
+        image_embeds, image_masks = v.transformer.visual_embed(img_t)
+        image_masks = image_masks.long()
+        x = image_embeds + v.token_type_embeddings(
+            torch.full_like(image_masks, 1))
+        rel_list = v.get_rel_pos_bias(v.relative_position_index)
+        hiddens = []
+        for i, blk in enumerate(v.transformer.blocks):
+            x = blk(x, mask=image_masks, modality_type="image",
+                    relative_position_bias=rel_list[i])
+            hiddens.append(x)
+        vl = hiddens[v.vlffn_start_layer_index - 1]
+        for i in range(v.vlffn_start_layer_index, v.num_layers):
+            vl = v.transformer.blocks[i](
+                vl, mask=image_masks, modality_type="vl",
+                relative_position_bias=rel_list[i])
+        base = v.transformer.norm(hiddens[-1])
+        ref_img_cls = v.itc_image_proj(base[:, 0])
+        ref_img_cls = ref_img_cls / ref_img_cls.norm(dim=-1, keepdim=True)
+        vln = v.transformer.norm(vl)
+        ref_img_vl = v.itc_vl_image_proj(vln[:, 0])
+        ref_img_vl = ref_img_vl / ref_img_vl.norm(dim=-1, keepdim=True)
+
+    def norm(a):
+        a = np.asarray(a, np.float64)
+        return a / np.linalg.norm(a, axis=-1, keepdims=True)
+
+    ours_t = model.apply(params, jnp.asarray(p.ids), jnp.asarray(p.mask),
+                         vlffn=True, method=OurVLMo.infer_text)
+    np.testing.assert_allclose(
+        norm(ours_t["cls_feats"]), ref_t["cls_feats"].numpy(), atol=2e-5)
+    np.testing.assert_allclose(
+        norm(ours_t["cls_vlffn_feats"]), ref_t["cls_vlffn_feats"].numpy(),
+        atol=2e-5)
+
+    px_nhwc = jnp.asarray(np.transpose(p.px, (0, 2, 3, 1)))
+    ours_i = model.apply(params, px_nhwc, vlffn=True,
+                         method=OurVLMo.infer_image)
+    np.testing.assert_allclose(
+        norm(ours_i["cls_feats"]), ref_img_cls.numpy(), atol=2e-5)
+    np.testing.assert_allclose(
+        norm(ours_i["cls_vlffn_feats"]), ref_img_vl.numpy(), atol=2e-5)
