@@ -209,12 +209,27 @@ def test_cli_vlmo_arrow_path(tmp_path):
     cfg_path = tmp_path / "cfg.json"
     cfg_mod.save_config(cfg, str(cfg_path))
 
+    # full side-table surface: the alignment guard must read the arrow
+    # items' answer_scores (the reference's vqa_scores check,
+    # vlmo_module.py:1735-1741), not the ALBEF json path's weights key
+    (tmp_path / "right.txt").write_text("500\n")
+    (tmp_path / "sur.json").write_text(json.dumps({"500": "red"}))
+    (tmp_path / "tgt.json").write_text(json.dumps({"500": "red"}))
+    (tmp_path / "para.json").write_text(
+        json.dumps({"500": ["red", "the dog is red"]}))
+    (tmp_path / "allc.json").write_text(json.dumps({"500": ["red"]}))
+
     out_dir = tmp_path / "out"
     main([
         "--pipeline", "vlmo",
         "--config", str(cfg_path),
         "--vocab", str(vocab_file),
         "--arrow", str(arrow_path),
+        "--right-part", str(tmp_path / "right.txt"),
+        "--surrogate-ans", str(tmp_path / "sur.json"),
+        "--target-ans", str(tmp_path / "tgt.json"),
+        "--paraphrases", str(tmp_path / "para.json"),
+        "--all-correct", str(tmp_path / "allc.json"),
         "--output", str(out_dir),
         "--limit", "1",
         "--no-pallas",

@@ -362,11 +362,13 @@ def main(argv: Optional[list] = None) -> None:
         }
         if info is None:
             continue  # not in the attack subset
-        # reference alignment guard (adv_attack.py:416-427): the stored
-        # surrogate answer must be a max-weight ground-truth answer for
-        # this question, else the sample is skipped, not attacked
+        # reference alignment guard (adv_attack.py:416-427; the VLMo
+        # test_step's identical vqa_scores check, vlmo_module.py:1735-1741):
+        # the stored surrogate answer must be a max-weight ground-truth
+        # answer for this question, else the sample is skipped, not attacked
         if side and item.get("answers"):
-            if not side.alignment_ok(qid, item["answers"], item["weights"]):
+            w = item.get("weights") or item.get("answer_scores")
+            if w and not side.alignment_ok(qid, item["answers"], w):
                 logger.update(not_aligned=1)
                 continue
         if args.resume and os.path.exists(os.path.join(args.output, f"{qid}.npy")):
