@@ -87,7 +87,8 @@ def test_train_cli_tasks(tmp_path, task):
 
 
 @pytest.mark.parametrize("task", ["retrieval", "ve", "nlvr2", "vlmo_irtr",
-                                  "vlmo_textmlm", "vlmo_pretrain"])
+                                  "vlmo_textmlm", "vlmo_pretrain",
+                                  "vlmo_nlvr2"])
 def test_train_cli_aux_tasks(tmp_path, task):
     from vqattack_tpu.train.cli import main
 

@@ -29,7 +29,7 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--task", required=True,
                    choices=["albef_pretrain", "albef_vqa", "retrieval",
                             "ve", "nlvr2", "vlmo_vqa", "vlmo_irtr",
-                            "vlmo_textmlm", "vlmo_pretrain"])
+                            "vlmo_textmlm", "vlmo_pretrain", "vlmo_nlvr2"])
     p.add_argument("--preset", nargs="*", default=[],
                    help="sacred named-config presets composed left-to-right "
                         "(vqattack_tpu.named_configs, e.g. "
@@ -172,6 +172,7 @@ def main(argv=None) -> None:
         default_corpora = {
             "vlmo_textmlm": ["wikibk"],
             "nlvr2": ["nlvr2"],
+            "vlmo_nlvr2": ["nlvr2"],
         }.get(args.task, ["coco", "f30k", "gcc", "sbu", "vg"])
         names = args.arrow_datasets or default_corpora
         parts = []
@@ -309,6 +310,47 @@ def main(argv=None) -> None:
             labels = np.asarray([int(i.get("label", 0)) % n_cls for i in items])
             return {
                 "pixels": jnp.asarray(px),
+                "text_ids": jnp.asarray(ids), "text_mask": jnp.asarray(mask),
+                "labels": jnp.asarray(labels),
+            }
+
+    elif args.task == "vlmo_nlvr2":
+        # VLMo NLVR2 fine-tuning (the reference's task_finetune_nlvr2_*
+        # presets: objectives.compute_nlvr2:416-475 — the statement encoded
+        # with each image at token types 1/2, pooled pair concatenated into
+        # the 2-way head)
+        vcfg = dataclasses.replace(
+            cfg.vlmo, type_vocab_size=max(3, cfg.vlmo.type_vocab_size))
+        model = VLMo(vcfg, with_nlvr2_head=True)
+        ids0v = jnp.ones((args.batch_size, vcfg.max_text_len), jnp.int32)
+        params = jax.jit(
+            lambda k: model.init(k, ids0v, jnp.ones_like(ids0v), px0, method=VLMo.init_all)
+        )(jax.random.key(args.seed))
+
+        def loss_fn(p, batch, key):
+            del key
+            logits = model.apply(
+                p, batch["pixels1"], batch["pixels2"],
+                batch["text_ids"], batch["text_mask"],
+                method=VLMo.nlvr2_logits,
+            )
+            loss = obj.nlvr2_loss(logits, batch["labels"])
+            acc = jnp.mean(
+                (jnp.argmax(logits, -1) == batch["labels"]).astype(jnp.float32))
+            return loss, {"loss": loss, "nlvr2_acc": acc}
+
+        def collate(items):
+            texts = [i.get("question", "") for i in items]
+            ids, mask = tok.encode_batch(texts, vcfg.max_text_len)
+            if "pixels0" in items[0]:
+                # real paired streams (NLVR2Dataset over nlvr2_*.arrow)
+                p1 = np.concatenate([i["pixels0"] for i in items])
+                p2 = np.concatenate([i["pixels1"] for i in items])
+            else:
+                p1 = p2 = np.concatenate([i["pixels"] for i in items])
+            labels = np.asarray([int(i.get("label", 0)) % 2 for i in items])
+            return {
+                "pixels1": jnp.asarray(p1), "pixels2": jnp.asarray(p2),
                 "text_ids": jnp.asarray(ids), "text_mask": jnp.asarray(mask),
                 "labels": jnp.asarray(labels),
             }
