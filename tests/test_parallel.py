@@ -176,3 +176,76 @@ def test_vlmo_alternating_attack_sharded_equals_single():
     np.testing.assert_allclose(adv1, adv2, atol=2e-6)
     np.testing.assert_allclose(fl1, fl2, rtol=2e-4, atol=1e-5)
     np.testing.assert_allclose(ml1, ml2, rtol=2e-4, atol=1e-5)
+
+
+def test_vlmo_pretrain_loss_sharded_equals_single():
+    """The pretraining loss's mesh-gather path: mlm+itc computed under
+    shard_map over the data axis (ITC negatives gathered via lax.all_gather)
+    must equal the full-batch single-device value; the hard-negative ITM
+    path must run sharded with gathered candidates and stay finite."""
+    from jax.sharding import PartitionSpec as P
+
+    from vqattack_tpu.config import tiny_test_config
+    from vqattack_tpu.models.vlmo import VLMo
+    from vqattack_tpu.train.objectives import vlmo_pretrain_loss
+
+    cfg = tiny_test_config().vlmo
+    model = VLMo(cfg, with_vqa_head=False)
+    b, t = 8, cfg.max_text_len
+    rng = np.random.default_rng(0)
+    px = jnp.asarray(rng.uniform(-1, 1, (b, 32, 32, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(4, 60, (b, t)), jnp.int32).at[:, 0].set(2)
+    mask = jnp.ones_like(ids)
+    params = jax.jit(
+        lambda k: model.init(k, ids, mask, px, method=VLMo.init_all)
+    )(jax.random.key(0))
+    # exactly one masked position per row -> per-shard MLM means average to
+    # the global mean regardless of the shard split
+    batch = {
+        "pixels": px, "text_ids": ids, "text_mask": mask,
+        "mlm_ids": ids.at[:, 3].set(4),
+        "mlm_labels": jnp.full((b, t), -100, jnp.int32).at[:, 3].set(5),
+    }
+    key = jax.random.key(7)
+    w = {"mlm": 1, "itc": 1, "itm": 0}
+
+    want, _ = jax.jit(
+        lambda p, bt: vlmo_pretrain_loss(model, p, bt, key, weights=w)
+    )(params, batch)
+
+    mesh = make_mesh(8)
+
+    @jax.jit
+    def sharded(p, bt):
+        def fn(bt_shard):
+            loss, _ = vlmo_pretrain_loss(
+                model, p, bt_shard, key, weights=w, axis_name=DATA_AXIS)
+            return jax.lax.pmean(loss, DATA_AXIS)
+
+        return jax.shard_map(
+            fn, mesh=mesh, in_specs=({k: P(DATA_AXIS) for k in bt},),
+            out_specs=P(), check_vma=False,
+        )(bt)
+
+    got = sharded(params, batch)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=1e-6)
+
+    # the ITM hard-negative path sharded: candidates gathered across the
+    # axis, runs and is finite (RNG structure differs from unsharded by
+    # construction, so value equality is not asserted)
+    @jax.jit
+    def sharded_itm(p, bt):
+        def fn(bt_shard):
+            loss, _ = vlmo_pretrain_loss(
+                model, p, bt_shard, key, weights={"itm": 1, "itc": 0, "mlm": 0},
+                axis_name=DATA_AXIS)
+            return jax.lax.pmean(loss, DATA_AXIS)
+
+        return jax.shard_map(
+            fn, mesh=mesh, in_specs=({k: P(DATA_AXIS) for k in bt},),
+            out_specs=P(), check_vma=False,
+        )(bt)
+
+    itm = sharded_itm(params, batch)
+    assert np.isfinite(np.asarray(itm))
