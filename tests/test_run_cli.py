@@ -457,3 +457,32 @@ def test_cli_bfloat16_trunk(tmp_path):
     adv = np.load(out_dir / "600.npy")
     assert adv.dtype == np.float32  # the perturbed image stays f32
     assert np.isfinite(adv).all()
+
+
+def test_named_config_resolves_vlmo_geometry():
+    """--named-config maps the sacred preset into the VLMo geometry and is
+    rejected on the ALBEF pipeline."""
+    import dataclasses
+
+    from vqattack_tpu.run import build_argparser
+
+    ap = build_argparser()
+    args = ap.parse_args([
+        "--pipeline", "vlmo",
+        "--named-config", "task_finetune_vqa_base_image480",
+    ])
+    assert args.named_config == ["task_finetune_vqa_base_image480"]
+
+    from vqattack_tpu.named_configs import (
+        vlmo_config_from_named,
+        vlmo_named_config,
+    )
+
+    cfg = vlmo_config_from_named(vlmo_named_config(*args.named_config))
+    assert (cfg.image_size, cfg.hidden_size, cfg.depth) == (480, 768, 12)
+
+    from vqattack_tpu.run import main
+
+    with pytest.raises(SystemExit):
+        main(["--pipeline", "albef",
+              "--named-config", "task_finetune_vqa_base_image480"])

@@ -158,6 +158,10 @@ def resolve_config(args):
     else:
         cfg = cfg_mod.albef_attack_config()
     if args.named_config:
+        if args.pipeline != "vlmo":
+            raise SystemExit(
+                "--named-config presets are the VLMo pipeline's sacred "
+                "surface; use --config for the ALBEF pipeline")
         from vqattack_tpu.named_configs import (
             vlmo_config_from_named,
             vlmo_named_config,
