@@ -142,3 +142,21 @@ def test_preset_fills_defaults_but_flags_win():
         ["--task", "vlmo_vqa", "--vocab", "v.txt", "--preset", "nope"])
     with _pytest.raises(KeyError):
         apply_preset(parser, args3)
+
+
+def test_vlmo_pretrain_rejects_presets_without_pretrain_losses(tmp_path):
+    """A preset enabling none of mlm/itc/itm must fail fast, not silently
+    re-enable all three at weight 1."""
+    from vqattack_tpu.train.cli import main
+
+    vocab, img_dir, cfg_path = _setup(tmp_path)
+    with pytest.raises(SystemExit):
+        main([
+            "--task", "vlmo_pretrain",
+            "--config", str(cfg_path),
+            "--vocab", str(vocab),
+            "--ann", str(tmp_path / "ann.json"),
+            "--image-root", str(img_dir),
+            "--preset", "task_finetune_nlvr2_base",
+            "--steps", "1", "--batch-size", "2",
+        ])

@@ -371,8 +371,13 @@ def main(argv: Optional[list] = None) -> None:
         # the stored surrogate answer must be a max-weight ground-truth
         # answer for this question, else the sample is skipped, not attacked
         if side and item.get("answers"):
-            w = item.get("weights") or item.get("answer_scores")
-            if w and not side.alignment_ok(qid, item["answers"], w):
+            answers = item["answers"]
+            # ALBEF json items carry weights, VLMo arrow items carry
+            # answer_scores; without either, uniform weights degrade the
+            # guard to the membership check (never silently skipped)
+            w = (item.get("weights") or item.get("answer_scores")
+                 or [1.0] * len(answers))
+            if not side.alignment_ok(qid, answers, w):
                 logger.update(not_aligned=1)
                 continue
         if args.resume and os.path.exists(os.path.join(args.output, f"{qid}.npy")):

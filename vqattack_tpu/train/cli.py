@@ -386,20 +386,25 @@ def main(argv=None) -> None:
         # multi-loss VL pretraining stage (the reference's mlm_itm_itc
         # presets: objectives compute_mlm + compute_itc incl. the vlffn
         # branch + compute_itm_hardneg)
-        model = VLMo(cfg.vlmo)
-        ids0v = jnp.ones((args.batch_size, cfg.vlmo.max_text_len), jnp.int32)
-        params = jax.jit(
-            lambda k: model.init(k, ids0v, jnp.ones_like(ids0v), px0, method=VLMo.init_all)
-        )(jax.random.key(args.seed))
-
         loss_weights = None
         whole_word = False
         if preset is not None:
             loss_weights = {
                 k: v for k, v in preset["loss_names"].items()
                 if k in ("mlm", "itc", "itm") and v
-            } or None
+            }
+            if not loss_weights:
+                raise SystemExit(
+                    "preset enables none of mlm/itc/itm "
+                    f"(loss_names={preset['loss_names']}); pick one of the "
+                    "mlm_itm_itc presets for --task vlmo_pretrain")
             whole_word = bool(preset["whole_word_masking"])
+
+        model = VLMo(cfg.vlmo)
+        ids0v = jnp.ones((args.batch_size, cfg.vlmo.max_text_len), jnp.int32)
+        params = jax.jit(
+            lambda k: model.init(k, ids0v, jnp.ones_like(ids0v), px0, method=VLMo.init_all)
+        )(jax.random.key(args.seed))
 
         def loss_fn(p, batch, key):
             return obj.vlmo_pretrain_loss(model, p, batch, key,
