@@ -11,6 +11,11 @@ Subpackages
 - ``parallel``  : device-mesh sharding and the data-parallel attack sweep
 - ``checkpoint``: PyTorch-checkpoint conversion (key surgery, pos-embed resize)
 - ``eval``      : official VQA soft accuracy + attack-success-rate metrics
+
+Top-level modules: ``named_configs`` (the reference's sacred named-config
+surface as data), ``config`` (typed config tree), ``run`` (attack CLI),
+``predict`` / ``transfer_eval`` (serving + offline transfer eval),
+``defenses`` (input-resampling defenses).
 """
 
 from vqattack_tpu.version import __version__  # noqa: F401
