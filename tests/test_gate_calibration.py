@@ -134,3 +134,19 @@ def test_threshold_gates_substitution_acceptance():
         sim_threshold=0.9999, max_length=16,
     )
     assert ops2 == [] and new_text2 == q
+
+
+def test_bert_gate_scores_pairs_matches_scores():
+    """The batched pairs entry point must agree with per-reference scores,
+    including when the batch is padded to a power-of-two bucket."""
+    gate, _ = make_gate()
+    refs = ["what color is the dog", "is the cat red",
+            "what color is the dog"]
+    texts = ["what color is the cat", "is the hat red",
+             "what color is a dog"]
+    got = gate.scores_pairs(refs, texts)
+    want = np.array(
+        [float(gate.scores(r, [t])[0]) for r, t in zip(refs, texts)],
+        np.float32,
+    )
+    assert np.allclose(got, want, atol=1e-6)

@@ -1,6 +1,8 @@
 """Text layer: WordPiece tokenizer, schedule math, candidate generation,
 substitution selection."""
 
+import zlib
+
 import numpy as np
 
 from vqattack_tpu.attacks.text_attack import (
@@ -188,3 +190,196 @@ def test_generate_candidates_no_substitutable():
     cands = generate_candidates("what is the", tok, fake_mlm, default_filter_words())
     assert cands.iter_list == []
     assert cands.attack_word_indices == []
+
+
+def test_select_substitutions_batched_gate_matches_sequential():
+    """The speculative batched gate (1 + #acceptances calls) must make the
+    exact decisions of the reference's per-trial sequential loop
+    (``adv_attack.py:300-324``), including the threshold ratchet and the
+    occupied-word skip."""
+    rng = np.random.default_rng(3)
+    d, s = 8, 25
+    words = ["what", "color", "is", "the", "dog"]
+    cands = WordCandidates(
+        words=words,
+        spans=[(i, i + 1) for i in range(len(words))],
+        candidate_lists=[["hat", "cat"], None, None, ["a", "red"], ["blue", "frisbee"]],
+        iter_list=[10, 10, 10, 10],
+    )
+    ori_emb = rng.normal(size=(s, d)).astype(np.float32)
+    grad = rng.normal(size=(len(cands.attack_positions), d)).astype(np.float32)
+
+    def embed_texts(texts):
+        # deterministic pseudo-embedding per sentence content
+        out = []
+        for t in texts:
+            r = np.random.default_rng(zlib.crc32(t.encode()))
+            out.append(r.normal(size=(s, d)).astype(np.float32))
+        return np.stack(out)
+
+    def gate_value(text):
+        # deterministic in [0.9, 1.0): some accept, some reject at 0.95
+        return 0.9 + (zlib.crc32(("g" + text).encode()) % 1000) / 10000.0
+
+    calls = {"n": 0}
+
+    def batched_gate(ref, texts):
+        calls["n"] += 1
+        return np.array([gate_value(t) for t in texts], np.float32)
+
+    question = "what color is the dog"
+    got_text, got_ops = select_substitutions(
+        question, question, grad, cands, ori_emb, embed_texts, batched_gate,
+        sim_threshold=0.95,
+    )
+
+    # sequential reference: the pre-batching greedy loop, verbatim semantics
+    adv_words = question.split(" ")
+    entries, sentences = [], []
+    max_pos = min(25, ori_emb.shape[0]) - 1
+    for p, (wi, pos) in enumerate(
+        zip(cands.attack_word_indices, cands.attack_positions)
+    ):
+        if pos >= max_pos:
+            continue
+        for ci, cand in enumerate(cands.candidate_lists[wi]):
+            trial = list(adv_words)
+            trial[wi] = cand
+            sentences.append(" ".join(trial))
+            entries.append((wi, ci, p, pos))
+    embs = embed_texts(sentences)
+    dir_sims = np.empty(len(entries), np.float32)
+    for n, (wi, ci, p, pos) in enumerate(entries):
+        dvec = embs[n, pos] - ori_emb[pos]
+        g = grad[p]
+        denom = max(np.linalg.norm(dvec) * np.linalg.norm(g), 1e-6)
+        dir_sims[n] = float(np.dot(dvec, g) / denom)
+    order = np.argsort(-dir_sims)
+    occupied, ops, threshold, current = set(), [], 0.95, list(adv_words)
+    for n in order:
+        wi, ci, _, _ = entries[n]
+        if wi in occupied:
+            continue
+        trial = list(current)
+        trial[wi] = cands.candidate_lists[wi][ci]
+        sim = gate_value(" ".join(trial))
+        if sim > threshold:
+            threshold = sim
+            occupied.add(wi)
+            current = trial
+            ops.append((adv_words[wi], cands.candidate_lists[wi][ci]))
+    assert got_text == " ".join(current)
+    assert got_ops == ops
+    assert len(ops) >= 1  # scenario must exercise acceptance + re-scoring
+    assert calls["n"] == 1 + len(ops)  # one batched call per generation
+
+
+def test_pad_to_bucket_and_empty_text_rows():
+    from vqattack_tpu.text.similarity import pad_to_bucket
+
+    padded, n = pad_to_bucket(["a", "b", "c"])
+    assert n == 3 and len(padded) == 4 and padded[3] == ""
+    padded, n = pad_to_bucket([])
+    assert n == 0 and len(padded) == 1
+    padded, n = pad_to_bucket(["x"] * 8)
+    assert n == 8 and len(padded) == 8
+
+    # the tokenizer must encode the "" padding rows without error
+    tok = make_tok()
+    ids, mask = tok.encode_batch(["what color", ""], 10)
+    assert ids.shape == (2, 10)
+    assert mask[1].sum() == 2  # [CLS] [SEP]
+
+
+def test_select_substitutions_multi_matches_per_sample():
+    """Bucket-level selection must reproduce each sample's per-sample result
+    with gate rounds batched across samples (1 + max acceptances calls)."""
+    from vqattack_tpu.attacks.text_attack import (
+        SubstitutionRequest,
+        select_substitutions_multi,
+    )
+
+    rng = np.random.default_rng(7)
+    d, s = 8, 25
+
+    def embed_texts(texts):
+        out = []
+        for t in texts:
+            r = np.random.default_rng(zlib.crc32(t.encode()))
+            out.append(r.normal(size=(s, d)).astype(np.float32))
+        return np.stack(out)
+
+    def gate_value(ref, text):
+        return 0.9 + (zlib.crc32((ref + "|" + text).encode()) % 1000) / 10000.0
+
+    def gate_scores(ref, texts):
+        return np.array([gate_value(ref, t) for t in texts], np.float32)
+
+    pair_calls = {"n": 0}
+
+    def gate_pairs(refs, texts):
+        pair_calls["n"] += 1
+        return np.array(
+            [gate_value(r, t) for r, t in zip(refs, texts)], np.float32
+        )
+
+    questions = [
+        "what color is the dog",
+        "is the cat red",
+        "what is playing",   # will have no candidates -> early-out
+    ]
+    cand_lists = [
+        [["hat", "cat"], None, None, ["a", "red"], ["blue", "frisbee"]],
+        [None, None, ["dog", "hat"], ["blue"]],
+        [None, None, None],
+    ]
+    reqs = []
+    for q, cl in zip(questions, cand_lists):
+        words = q.split(" ")
+        cands = WordCandidates(
+            words=words,
+            spans=[(i, i + 1) for i in range(len(words))],
+            candidate_lists=cl,
+            iter_list=[10, 10],
+        )
+        n_attack = len(cands.attack_word_indices)
+        grad = rng.normal(size=(max(n_attack, 1), d)).astype(np.float32)
+        ori_emb = rng.normal(size=(s, d)).astype(np.float32)
+        reqs.append(SubstitutionRequest(q, q, grad, cands, ori_emb, 0.95))
+
+    got = select_substitutions_multi(reqs, embed_texts, gate_pairs)
+
+    want, max_acc = [], 0
+    for r in reqs:
+        want.append(
+            select_substitutions(
+                r.adv_text, r.ori_text, r.text_grad, r.cands, r.ori_emb,
+                embed_texts, lambda ref, ts: gate_scores(ref, ts),
+                sim_threshold=r.sim_threshold,
+            )
+        )
+        max_acc = max(max_acc, len(want[-1][1]))
+    assert got == want
+    assert max_acc >= 1  # scenario must exercise an acceptance round
+    assert pair_calls["n"] == 1 + max_acc
+    assert got[2] == (questions[2], [])  # no-candidate early-out preserved
+
+
+def test_scores_pairs_default_matches_scores():
+    from vqattack_tpu.text.similarity import NullGate, SimilarityGate
+
+    class FakeGate(SimilarityGate):
+        def scores(self, reference, candidates):
+            return np.array(
+                [0.9 + (abs(hash((reference, c))) % 100) / 1000.0
+                 for c in candidates],
+                np.float32,
+            )
+
+    g = FakeGate()
+    refs = ["q one", "q two", "q one", "q two"]
+    texts = ["a", "b", "c", "d"]
+    got = g.scores_pairs(refs, texts)
+    want = [float(g.scores(r, [t])[0]) for r, t in zip(refs, texts)]
+    assert np.allclose(got, want)
+    assert np.all(NullGate().scores_pairs(refs, texts) == 1.0)

@@ -40,10 +40,11 @@ from vqattack_tpu.attacks.mar_labels import MarLabels, build_mar_labels
 from vqattack_tpu.attacks.orchestrator import AlbefAttackPipeline, AttackResult
 from vqattack_tpu.attacks.pgd import pgd_alternating, pgd_feature, pgd_vl_step
 from vqattack_tpu.attacks.text_attack import (
+    SubstitutionRequest,
     WordCandidates,
     apply_substitutions_to_paraphrase,
     generate_candidates,
-    select_substitutions,
+    select_substitutions_multi,
 )
 from vqattack_tpu.models.albef import AlbefPretrain
 
@@ -350,19 +351,28 @@ class BatchedAlbefAttack:
                 )
                 tg = np.asarray(text_grad)
 
-            # --- substitution selection (host; embeddings batched inside) --
+            # --- substitution selection (host; the whole bucket's candidate
+            # embeddings AND gate rounds batch into single device calls —
+            # see select_substitutions_multi) ----------------------------
             with self._timer.phase("substitution"):
+                thr = p.gate.operating_point(atk.sim_threshold)
+                reqs, req_j = [], []
                 for j, s in enumerate(states):
                     if not s.cands.attack_word_indices:
                         continue
-                    np_grad = tg[j, : len(s.cands.attack_positions)]
-                    new_text, ops = select_substitutions(
-                        s.adv_text, s.question, np_grad, s.cands, s.ori_emb,
-                        p.embed_texts, p.gate.scores,
-                        sim_threshold=p.gate.operating_point(atk.sim_threshold),
-                        max_length=self._max_text_len,
-                        question_suffix=self._question_suffix,
-                    )
+                    reqs.append(SubstitutionRequest(
+                        s.adv_text, s.question,
+                        tg[j, : len(s.cands.attack_positions)],
+                        s.cands, s.ori_emb, thr,
+                    ))
+                    req_j.append(j)
+                outs = select_substitutions_multi(
+                    reqs, p.embed_texts, p.gate.scores_pairs,
+                    max_length=self._max_text_len,
+                    question_suffix=self._question_suffix,
+                ) if reqs else []
+                for j, (new_text, ops) in zip(req_j, outs):
+                    s = states[j]
                     s.adv_text = new_text
                     s.substitutions.extend(ops)
                     if old_alg == 0 and ops:

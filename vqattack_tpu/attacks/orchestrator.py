@@ -33,7 +33,7 @@ from vqattack_tpu.attacks.text_attack import (
 )
 from vqattack_tpu.config import RunConfig
 from vqattack_tpu.models.albef import AlbefPretrain, AlbefVQA, mlm_random_mask
-from vqattack_tpu.text.similarity import SimilarityGate
+from vqattack_tpu.text.similarity import SimilarityGate, pad_to_bucket
 from vqattack_tpu.text.tokenizer import WordPieceTokenizer
 
 
@@ -147,9 +147,12 @@ class AlbefAttackPipeline:
         )
 
     def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
-        ids, _ = self.tokenizer.encode_batch(texts, self.cfg.attack.max_text_len)
+        # power-of-two batch bucketing: candidate counts vary per sample, and
+        # every distinct batch size is a fresh compile (text/similarity.py)
+        padded, n = pad_to_bucket(texts)
+        ids, _ = self.tokenizer.encode_batch(padded, self.cfg.attack.max_text_len)
         return np.asarray(self._embed_text(self.surrogate_params, jnp.asarray(ids)))[
-            :, : self.cfg.attack.max_text_len
+            :n, : self.cfg.attack.max_text_len
         ]
 
     # ---------------------------------------------------------------- attack

@@ -26,7 +26,7 @@ dir-sim ranking is a single einsum (:func:`select_substitutions`).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -175,6 +175,19 @@ def generate_candidates(
     return WordCandidates(words, spans, candidate_lists, iter_list)
 
 
+@dataclasses.dataclass
+class SubstitutionRequest:
+    """One sample's inputs to substitution selection (see
+    :func:`select_substitutions_multi`)."""
+
+    adv_text: str
+    ori_text: str
+    text_grad: np.ndarray          # [P, D] gradient rows at attack positions
+    cands: WordCandidates
+    ori_emb: np.ndarray            # [S, D] original-question embedding
+    sim_threshold: float = 0.95
+
+
 def select_substitutions(
     adv_text: str,
     ori_text: str,
@@ -188,7 +201,7 @@ def select_substitutions(
     question_suffix: str = "",
 ) -> Tuple[str, List[Tuple[str, str]]]:
     """Rank + greedily accept substitutions (``update_adv_text``,
-    ``adv_attack.py:265-324``).
+    ``adv_attack.py:265-324``) for ONE sample.
 
     - ``text_grad [P, D]``: embedding gradient at the attack positions
       (from :func:`vqattack_tpu.attacks.pgd.pgd_vl_step`);
@@ -202,67 +215,176 @@ def select_substitutions(
       first.  Pass ``"?"`` for the VLMo pipeline, ``""`` (default) for ALBEF.
 
     Returns ``(new_adv_text, [(original_word, new_word), ...])``.
+
+    Thin wrapper over :func:`select_substitutions_multi` with a single
+    request (total gate calls = 1 + #acceptances).
     """
-    if question_suffix:
-        adv_text = adv_text.strip(question_suffix)
+    req = SubstitutionRequest(
+        adv_text, ori_text, text_grad, cands, ori_emb, sim_threshold
+    )
+    return select_substitutions_multi(
+        [req],
+        embed_texts_fn,
+        lambda refs, texts: gate_scores_fn(refs[0], texts),
+        max_length=max_length,
+        question_suffix=question_suffix,
+    )[0]
+
+
+def select_substitutions_multi(
+    requests: Sequence[SubstitutionRequest],
+    embed_texts_fn: Callable[[Sequence[str]], np.ndarray],
+    gate_pairs_fn: Callable[[Sequence[str], Sequence[str]], np.ndarray],
+    max_length: int = 25,
+    question_suffix: str = "",
+) -> List[Tuple[str, List[Tuple[str, str]]]]:
+    """Substitution selection for a whole lockstep bucket at once.
+
+    Per-sample semantics are exactly :func:`select_substitutions` (each
+    sample's greedy walk sees only its own trials, threshold ratchet and
+    occupied-word set), but the device round-trips batch across samples:
+
+    - ONE ``embed_texts_fn`` call embeds every sample's candidate sentences
+      (the reference runs one tiny forward per candidate,
+      ``adv_attack.py:278-298``);
+    - the similarity gate runs in *rounds*: between acceptances a sample's
+      pending trials all score against its fixed current sentence, so round
+      ``g`` scores every sample's generation-``g`` trials in ONE
+      ``gate_pairs_fn(refs, texts)`` call (the reference pays one gate
+      round-trip per candidate, ``adv_attack.py:315-318`` — at ~61 ms fixed
+      dispatch per device call that was the largest steady-state host cost,
+      PERF.md "end-to-end").  Total gate calls per bucket =
+      ``1 + max_over_samples(#acceptances)`` instead of
+      ``sum(#candidates)``.
+
+    Returns one ``(new_adv_text, ops)`` per request, in order.
+    """
 
     def _finish(words: Sequence[str]) -> str:
         return " ".join(words) + question_suffix
 
-    adv_words = adv_text.replace("\n", "").lower().split(" ")
-    adv_words = [w for w in adv_words if w != ""]
-    ori_words = list(adv_words)
+    results: List[Optional[Tuple[str, List[Tuple[str, str]]]]] = [None] * len(requests)
+    walks: List[dict] = []
+    all_sentences: List[str] = []
 
-    # build every candidate sentence (word wi replaced by candidate c)
-    entries = []  # (word_idx, cand_idx, grad_row, sub_tok_pos)
-    sentences = []
-    max_pos = min(max_length, ori_emb.shape[0]) - 1  # last real (pre-[SEP]) slot
-    for p, (wi, pos) in enumerate(zip(cands.attack_word_indices, cands.attack_positions)):
-        if wi >= len(adv_words):
-            # tokenization drift (reference 'onebug' guard, adv_attack.py:280-283)
-            return _finish(ori_words), []
-        if pos >= max_pos:
-            # word lies past the surrogate's text truncation: its embedding
-            # row does not exist (the vl-step gather clamps on device), so
-            # it can't be scored — skip it, keeping grad-row alignment via p
+    for ri, req in enumerate(requests):
+        adv_text = req.adv_text
+        if question_suffix:
+            adv_text = adv_text.strip(question_suffix)
+        adv_words = [w for w in adv_text.replace("\n", "").lower().split(" ") if w]
+        ori_words = list(adv_words)
+
+        # build every candidate sentence (word wi replaced by candidate c)
+        entries: List[Tuple[int, int, int, int]] = []  # (wi, ci, grad_row, pos)
+        sentences: List[str] = []
+        max_pos = min(max_length, req.ori_emb.shape[0]) - 1  # pre-[SEP] slot
+        drift = False
+        for p, (wi, pos) in enumerate(
+            zip(req.cands.attack_word_indices, req.cands.attack_positions)
+        ):
+            if wi >= len(adv_words):
+                # tokenization drift (reference 'onebug' guard,
+                # adv_attack.py:280-283)
+                drift = True
+                break
+            if pos >= max_pos:
+                # word lies past the surrogate's text truncation: its
+                # embedding row does not exist (the vl-step gather clamps on
+                # device), so it can't be scored — skip it, keeping grad-row
+                # alignment via p
+                continue
+            for ci, cand in enumerate(req.cands.candidate_lists[wi]):
+                trial = list(adv_words)
+                trial[wi] = cand
+                sentences.append(_finish(trial))
+                entries.append((wi, ci, p, pos))
+        if drift:
+            results[ri] = (_finish(ori_words), [])
             continue
-        for ci, cand in enumerate(cands.candidate_lists[wi]):
-            trial = list(adv_words)
-            trial[wi] = cand
-            sentences.append(_finish(trial))
-            entries.append((wi, ci, p, pos))
-    if not sentences:
-        return _finish(adv_words), []
-
-    # one batched embedding call scores every candidate (vs the reference's
-    # per-candidate forwards)
-    embs = np.asarray(embed_texts_fn(sentences))  # [N, S, D]
-    dir_sims = np.empty(len(entries), np.float32)
-    for n, (wi, ci, p, pos) in enumerate(entries):
-        d = embs[n, pos] - ori_emb[pos]
-        g = text_grad[p]
-        denom = max(np.linalg.norm(d) * np.linalg.norm(g), 1e-6)
-        dir_sims[n] = float(np.dot(d, g) / denom)
-
-    order = np.argsort(-dir_sims)
-    occupied = set()
-    ops: List[Tuple[str, str]] = []
-    threshold = sim_threshold
-    current = list(adv_words)
-    for n in order:
-        wi, ci, _, _ = entries[n]
-        if wi in occupied:
+        if not sentences:
+            results[ri] = (_finish(adv_words), [])
             continue
-        trial = list(current)
-        trial[wi] = cands.candidate_lists[wi][ci]
-        trial_text = _finish(trial)
-        sim = float(gate_scores_fn(ori_text, [trial_text])[0])
-        if sim > threshold:
-            threshold = sim  # ratchet (adv_attack.py:319-320)
-            occupied.add(wi)
-            current = trial
-            ops.append((ori_words[wi], cands.candidate_lists[wi][ci]))
-    return _finish(current), ops
+        walks.append(
+            {
+                "ri": ri,
+                "req": req,
+                "ori_words": ori_words,
+                "entries": entries,
+                "slice": (len(all_sentences), len(sentences)),
+                "current": list(adv_words),
+                "occupied": set(),
+                "ops": [],
+                "threshold": req.sim_threshold,
+                "k": 0,
+                "scores": {},
+            }
+        )
+        all_sentences.extend(sentences)
+
+    if walks:
+        # one batched embedding call scores every sample's candidates
+        embs_all = np.asarray(embed_texts_fn(all_sentences))  # [N, S, D]
+    for w in walks:
+        start, count = w["slice"]
+        embs = embs_all[start : start + count]
+        req, entries = w["req"], w["entries"]
+        dir_sims = np.empty(len(entries), np.float32)
+        for n, (wi, ci, p, pos) in enumerate(entries):
+            d = embs[n, pos] - req.ori_emb[pos]
+            g = req.text_grad[p]
+            denom = max(np.linalg.norm(d) * np.linalg.norm(g), 1e-6)
+            dir_sims[n] = float(np.dot(d, g) / denom)
+        w["order"] = [int(n) for n in np.argsort(-dir_sims)]
+
+    # greedy rounds: round g gates every walk's generation-g trials at once
+    pending = walks
+    while pending:
+        refs: List[str] = []
+        texts: List[str] = []
+        owners: List[Tuple[dict, int]] = []
+        for w in pending:
+            w["scores"] = {}
+            for n in w["order"][w["k"] :]:
+                wi, ci, _, _ = w["entries"][n]
+                if wi in w["occupied"]:
+                    continue
+                trial = list(w["current"])
+                trial[wi] = w["req"].cands.candidate_lists[wi][ci]
+                refs.append(w["req"].ori_text)
+                texts.append(_finish(trial))
+                owners.append((w, n))
+        if not texts:
+            break
+        sims = np.asarray(gate_pairs_fn(refs, texts), np.float32)
+        for (w, n), s in zip(owners, sims):
+            w["scores"][n] = float(s)
+
+        nxt = []
+        for w in pending:
+            accepted = False
+            while w["k"] < len(w["order"]):
+                n = w["order"][w["k"]]
+                wi, ci, _, _ = w["entries"][n]
+                if wi in w["occupied"]:
+                    w["k"] += 1
+                    continue
+                if w["scores"][n] > w["threshold"]:
+                    w["threshold"] = w["scores"][n]  # ratchet (adv_attack.py:319-320)
+                    w["occupied"].add(wi)
+                    cand = w["req"].cands.candidate_lists[wi][ci]
+                    w["current"][wi] = cand
+                    w["ops"].append((w["ori_words"][wi], cand))
+                    w["k"] += 1
+                    accepted = True
+                    break  # current changed: remaining trials need re-scoring
+                w["k"] += 1
+            if accepted:
+                nxt.append(w)
+        pending = nxt
+
+    for w in walks:
+        results[w["ri"]] = (_finish(w["current"]), w["ops"])
+    return results  # type: ignore[return-value]
 
 
 def apply_substitutions_to_paraphrase(

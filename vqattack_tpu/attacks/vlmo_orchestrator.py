@@ -35,7 +35,7 @@ from vqattack_tpu.attacks.text_attack import (
 )
 from vqattack_tpu.config import RunConfig
 from vqattack_tpu.models.vlmo import VLMo
-from vqattack_tpu.text.similarity import SimilarityGate
+from vqattack_tpu.text.similarity import SimilarityGate, pad_to_bucket
 from vqattack_tpu.text.tokenizer import WordPieceTokenizer
 
 
@@ -112,8 +112,11 @@ class VlmoAttackPipeline:
         )
 
     def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
-        ids, _ = self.tokenizer.encode_batch(texts, self.max_text_len)
-        return np.asarray(self._embed_text(self.surrogate_params, jnp.asarray(ids)))
+        # power-of-two batch bucketing: candidate counts vary per sample, and
+        # every distinct batch size is a fresh compile (text/similarity.py)
+        padded, n = pad_to_bucket(texts)
+        ids, _ = self.tokenizer.encode_batch(padded, self.max_text_len)
+        return np.asarray(self._embed_text(self.surrogate_params, jnp.asarray(ids)))[:n]
 
     def clean_targets(self, pixels, text_ids, text_mask):
         """(tgt_layer_cls, tgt_tokens, tgt_token_mask) from the clean pair

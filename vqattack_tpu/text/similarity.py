@@ -31,9 +31,24 @@ threshold table and the known blind spots of each space.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
+
+
+def pad_to_bucket(texts: Sequence[str]) -> Tuple[List[str], int]:
+    """Pad a text batch to the next power-of-two size with empty strings.
+
+    Batched text entry points (candidate embedding, this module's gates) see
+    a different batch size on nearly every call; each distinct size would
+    compile a fresh XLA program.  Rows are independent, so padding to
+    power-of-two buckets bounds the compiled-program count at
+    ``log2(max batch)`` — callers slice the first ``n`` result rows."""
+    n = len(texts)
+    size = 1
+    while size < n:
+        size *= 2
+    return list(texts) + [""] * (size - n), n
 
 # the reference's USE-space gate constant (adv_attack.py:303)
 USE_SPACE_DEFAULT = 0.95
@@ -44,6 +59,23 @@ BERT_SPACE_DEFAULT = 0.985
 class SimilarityGate:
     def scores(self, reference: str, candidates: Sequence[str]) -> np.ndarray:
         raise NotImplementedError
+
+    def scores_pairs(
+        self, references: Sequence[str], candidates: Sequence[str]
+    ) -> np.ndarray:
+        """``[sim(references[i], candidates[i])]`` — the cross-sample batched
+        entry point (one call scores a whole bucket's trials against each
+        trial's own original question).  Default: group by reference and
+        delegate to :meth:`scores`; gates with batched encoders override."""
+        out = np.empty(len(candidates), np.float32)
+        groups: dict = {}
+        for i, r in enumerate(references):
+            groups.setdefault(r, []).append(i)
+        for r, idxs in groups.items():
+            s = np.asarray(self.scores(r, [candidates[i] for i in idxs]))
+            for j, i in enumerate(idxs):
+                out[i] = s[j]
+        return out
 
     def operating_point(self, use_space_threshold: float) -> float:
         """Map the configured USE-space threshold into this gate's score
@@ -74,6 +106,16 @@ class USEGate(SimilarityGate):
         embs = np.asarray(self._model([reference, *candidates]))
         embs = embs / np.linalg.norm(embs, axis=1, keepdims=True)
         return embs[1:] @ embs[0]
+
+    def scores_pairs(self, references, candidates):
+        uniq = list(dict.fromkeys(references))
+        embs = np.asarray(self._model([*uniq, *candidates]))
+        embs = embs / np.linalg.norm(embs, axis=1, keepdims=True)
+        ref_rows = {r: embs[i] for i, r in enumerate(uniq)}
+        cand = embs[len(uniq):]
+        return np.asarray(
+            [cand[i] @ ref_rows[r] for i, r in enumerate(references)], np.float32
+        )
 
 
 class BertMeanPoolGate(SimilarityGate):
@@ -107,8 +149,10 @@ class BertMeanPoolGate(SimilarityGate):
     def _pool(self, texts: Sequence[str]) -> np.ndarray:
         import jax.numpy as jnp
 
-        ids, mask = self._tokenizer.encode_batch(texts, self._max_length)
-        hidden = np.asarray(self._embed_fn(jnp.asarray(ids), jnp.asarray(mask)))
+        padded, n = pad_to_bucket(texts)
+        ids, mask = self._tokenizer.encode_batch(padded, self._max_length)
+        hidden = np.asarray(self._embed_fn(jnp.asarray(ids), jnp.asarray(mask)))[:n]
+        mask = mask[:n]
         m = mask[..., None].astype(np.float32)
         pooled = (hidden * m).sum(1) / np.maximum(m.sum(1), 1.0)
         return pooled / np.maximum(np.linalg.norm(pooled, axis=1, keepdims=True), 1e-9)
@@ -116,6 +160,15 @@ class BertMeanPoolGate(SimilarityGate):
     def scores(self, reference, candidates):
         embs = self._pool([reference, *candidates])
         return embs[1:] @ embs[0]
+
+    def scores_pairs(self, references, candidates):
+        uniq = list(dict.fromkeys(references))
+        embs = self._pool([*uniq, *candidates])
+        ref_rows = {r: embs[i] for i, r in enumerate(uniq)}
+        cand = embs[len(uniq):]
+        return np.asarray(
+            [cand[i] @ ref_rows[r] for i, r in enumerate(references)], np.float32
+        )
 
 
 def make_gate(
