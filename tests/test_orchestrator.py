@@ -129,3 +129,23 @@ def test_mar_labels_no_match():
     tok = WordPieceTokenizer.toy(WORDS)
     mar = build_mar_labels("a cat in the park.", "frisbee", [], tok, max_len=12)
     assert mar.old_alg == 1 and mar.labels is None
+
+
+def test_evaluate_victim_batch_matches_single(pipeline):
+    """One batched rank_answer call must reproduce the per-sample decode
+    (including the power-of-two padding rows being sliced away)."""
+    pipe, answer_ids, answer_mask = pipeline
+    rng = np.random.default_rng(5)
+    images = [
+        rng.uniform(-1, 1, _sample_pixels().shape).astype(np.float32)
+        for _ in range(3)
+    ]
+    texts = ["what color is the dog", "is the cat red", "dog cat hat"]
+    got_ids, got_probs = pipe.evaluate_victim_batch(
+        images, texts, answer_ids, answer_mask
+    )
+    assert got_ids.shape == (3, pipe.cfg.k_test)
+    for i, (img, txt) in enumerate(zip(images, texts)):
+        one_ids, one_probs = pipe.evaluate_victim(img, txt, answer_ids, answer_mask)
+        assert np.array_equal(np.asarray(one_ids)[0], got_ids[i])
+        assert np.allclose(np.asarray(one_probs)[0], got_probs[i], atol=1e-5)

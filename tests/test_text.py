@@ -383,3 +383,45 @@ def test_scores_pairs_default_matches_scores():
     want = [float(g.scores(r, [t])[0]) for r, t in zip(refs, texts)]
     assert np.allclose(got, want)
     assert np.all(NullGate().scores_pairs(refs, texts) == 1.0)
+
+
+def test_generate_candidates_batch_matches_per_question():
+    """Chunked batched candidate generation must reproduce per-question
+    results with ceil(#substitutable-questions / chunk) MLM calls."""
+    from vqattack_tpu.attacks.text_attack import generate_candidates_batch
+
+    tok = make_tok()
+    vocab = len(tok.vocab) if hasattr(tok, "vocab") else 120
+
+    calls = {"n": 0}
+
+    def mlm_logits(ids, mask):
+        calls["n"] += 1
+        out = np.zeros((*ids.shape, vocab), np.float32)
+        for b in range(ids.shape[0]):
+            r = np.random.default_rng(int(ids[b].sum()))
+            out[b] = r.normal(size=(ids.shape[1], vocab)).astype(np.float32)
+        return out
+
+    fw = frozenset({"the", "is", "a", "what"})
+    questions = [
+        "what color is the dog",
+        "the cat is playing",
+        "what is the a",          # everything filtered -> no MLM row
+        "dog cat hat",
+    ]
+    got = generate_candidates_batch(
+        questions, tok, mlm_logits, fw, max_length=16, max_mlm_batch=2
+    )
+    n_batch_calls = calls["n"]
+    assert n_batch_calls == 2  # 3 substitutable questions, chunk 2 -> 2 calls
+
+    for q, g in zip(questions, got):
+        calls["n"] = 0
+        single = generate_candidates(q, tok, mlm_logits, fw, max_length=16)
+        assert g.words == single.words
+        assert g.spans == single.spans
+        assert g.candidate_lists == single.candidate_lists
+        assert g.iter_list == single.iter_list
+    assert got[2].iter_list == [] and all(c is None for c in got[2].candidate_lists)
+    assert any(c for c in got[0].candidate_lists)  # scenario non-trivial

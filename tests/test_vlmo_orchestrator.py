@@ -86,3 +86,14 @@ def test_vlmo_recover_probe(pipeline):
     )
     out = pipeline.recover_answer_probe(px, mar)
     assert isinstance(out, str) and len(out) > 0
+
+
+def test_vlmo_evaluate_victim_batch_matches_single(pipeline):
+    rng = np.random.default_rng(5)
+    images = [rng.uniform(-1, 1, _px().shape).astype(np.float32) for _ in range(3)]
+    texts = ["what color is the dog?", "is the cat red?", "dog cat hat?"]
+    got = pipeline.evaluate_victim_batch(images, texts)
+    assert len(got) == 3
+    for (img, txt), (pid, ans) in zip(zip(images, texts), got):
+        one_pid, one_ans = pipeline.evaluate_victim(img, txt)
+        assert (one_pid, one_ans) == (pid, ans)

@@ -43,7 +43,7 @@ from vqattack_tpu.attacks.text_attack import (
     SubstitutionRequest,
     WordCandidates,
     apply_substitutions_to_paraphrase,
-    generate_candidates,
+    generate_candidates_batch,
     select_substitutions_multi,
 )
 from vqattack_tpu.models.albef import AlbefPretrain
@@ -196,22 +196,38 @@ class BatchedAlbefAttack:
     # ------------------------------------------------------------------ prep
 
     def _prepare(self, sample: Dict[str, Any]) -> _SampleState:
+        return self._prepare_many([sample])[0]
+
+    def _prepare_many(self, samples: Sequence[Dict[str, Any]]) -> List[_SampleState]:
+        """Per-sample attack state for the whole sweep at once.
+
+        The per-sample version paid two ~61 ms device round-trips per sample
+        (candidate-MLM forward + original-question embedding) — ~10 min of
+        pure dispatch over a 5k sweep.  Here both batch across samples:
+        candidates via :func:`generate_candidates_batch` (one MLM call per
+        64-sample chunk) and the embeddings via chunked ``embed_texts``
+        (power-of-two padded).  Results are those of the per-sample path."""
         p, atk = self.p, self.p.cfg.attack
-        if sample.get("paraphrase") and sample.get("target_answer"):
-            mar = build_mar_labels(
-                sample["paraphrase"], sample["target_answer"],
-                sample.get("all_correct_answers", ()),
-                p.tokenizer, self._max_text_len, atk.max_answers,
-                sentence_suffix=self._sentence_suffix,
-            )
-        else:
-            mar = MarLabels(1, None, None, None, [], [], [], 0)
+        mars = []
+        for sample in samples:
+            if sample.get("paraphrase") and sample.get("target_answer"):
+                mars.append(build_mar_labels(
+                    sample["paraphrase"], sample["target_answer"],
+                    sample.get("all_correct_answers", ()),
+                    p.tokenizer, self._max_text_len, atk.max_answers,
+                    sentence_suffix=self._sentence_suffix,
+                ))
+            else:
+                mars.append(MarLabels(1, None, None, None, [], [], [], 0))
         if p.mlm_model is not None:
-            q = sample["question"]
-            if self._question_suffix:
-                q = q.strip(self._question_suffix)
-            cands = generate_candidates(
-                q, p.tokenizer, p.candidate_mlm_logits,
+            qs = []
+            for sample in samples:
+                q = sample["question"]
+                if self._question_suffix:
+                    q = q.strip(self._question_suffix)
+                qs.append(q)
+            cands_list = generate_candidates_batch(
+                qs, p.tokenizer, p.candidate_mlm_logits,
                 p.filter_words, total_iters=atk.num_iters,
                 top_k=atk.mlm_top_k, score_threshold=atk.mlm_score_threshold,
             )
@@ -219,15 +235,22 @@ class BatchedAlbefAttack:
             # no candidate MLM -> image-only attack: empty substitution
             # state, single full-budget PGD block (iter_list falls back to
             # [num_iters] in attack_bucket)
-            cands = WordCandidates([], [], [], [])
-        ids, _ = self._encode_batch([sample["question"]])
-        ori_emb = np.asarray(p._embed_text(p.surrogate_params, ids))[0]
-        return _SampleState(
-            qid=str(sample["qid"]), question=sample["question"],
-            adv_text=sample["question"], mar=mar,
-            mar_words=list(mar.paraphrase_words), cands=cands,
-            ori_emb=ori_emb, substitutions=[],
-        )
+            cands_list = [WordCandidates([], [], [], []) for _ in samples]
+        ori_embs: List[np.ndarray] = []
+        for start in range(0, len(samples), 64):
+            texts = [s["question"] for s in samples[start : start + 64]]
+            ori_embs.extend(np.asarray(p.embed_texts(texts)))
+        return [
+            _SampleState(
+                qid=str(sample["qid"]), question=sample["question"],
+                adv_text=sample["question"], mar=mar,
+                mar_words=list(mar.paraphrase_words), cands=cands,
+                ori_emb=ori_emb, substitutions=[],
+            )
+            for sample, mar, cands, ori_emb in zip(
+                samples, mars, cands_list, ori_embs
+            )
+        ]
 
     @staticmethod
     def bucket_key(state: _SampleState) -> Tuple[int, int]:
@@ -438,7 +461,7 @@ class BatchedAlbefAttack:
         if rng is None:
             rng = jax.random.key(self.p.cfg.seed)
         with self._timer.phase("prepare"):
-            prepared = [(self._prepare(s), s) for s in samples]
+            prepared = list(zip(self._prepare_many(samples), samples))
         buckets: Dict[Tuple[int, int], List[Tuple[_SampleState, dict]]] = {}
         for st, s in prepared:
             buckets.setdefault(self.bucket_key(st), []).append((st, s))

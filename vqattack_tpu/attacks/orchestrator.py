@@ -320,6 +320,31 @@ class AlbefAttackPipeline:
             answer_ids, answer_mask, k,
         )
 
+    def evaluate_victim_batch(
+        self,
+        adv_images: Sequence[np.ndarray],      # N x [1, H, W, 3]
+        adv_texts: Sequence[str],
+        answer_ids: jnp.ndarray,
+        answer_mask: jnp.ndarray,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """:meth:`evaluate_victim` for N pairs in ONE jitted rank_answer call
+        (the sweep's eval cadence previously paid one batch-1 decode per
+        pending sample).  Pads N to a power of two; returns
+        ``(topk_ids [N,k], topk_probs [N,k])``."""
+        n = len(adv_texts)
+        padded_texts, _ = pad_to_bucket(list(adv_texts))
+        pad = len(padded_texts) - n
+        px = np.concatenate(list(adv_images) + [adv_images[-1]] * pad, axis=0)
+        ids, mask = self.tokenizer.encode_batch(
+            padded_texts, self.cfg.attack.max_text_len
+        )
+        k = min(self.cfg.k_test, int(answer_ids.shape[0]))
+        topk_ids, topk_probs = self._rank_answer(
+            self.victim_params, jnp.asarray(px), jnp.asarray(ids),
+            jnp.asarray(mask), answer_ids, answer_mask, k,
+        )
+        return np.asarray(topk_ids)[:n], np.asarray(topk_probs)[:n]
+
 
 def save_artifacts(
     results: Sequence[AttackResult], out_dir: str, txt_name: str = "adv_txt_dict.json"

@@ -122,57 +122,106 @@ def generate_candidates(
     here the sequence is padded to a static shape with the attention mask
     zero on padding, which is numerically identical at the real positions.
     """
-    words, sub_words, spans = tokenizer.word_spans(question)
-    candidate_lists: List[Optional[List[str]]] = [None] * len(words)
+    return generate_candidates_batch(
+        [question], tokenizer, mlm_logits_fn, filter_words,
+        total_iters=total_iters, top_k=top_k,
+        score_threshold=score_threshold, max_length=max_length,
+    )[0]
 
-    substitutable = [
-        i
-        for i, (w, (s, e)) in enumerate(zip(words, spans))
-        # the span must lie inside the MLM window ([CLS] + max_length-2
-        # sub-tokens): the reference's cap is its 510-token slice
-        # (adv_attack.py:241); beyond it there are no logits to read
-        if e - s == 1 and w not in filter_words and e <= max_length - 2
-    ]
-    iter_list = compute_iter_schedule(len(substitutable), total_iters)
-    if not substitutable:
-        return WordCandidates(words, spans, candidate_lists, [])
 
-    ids = np.asarray(
-        [tokenizer.cls_token_id]
-        + tokenizer.convert_tokens_to_ids(sub_words[: max_length - 2])
-        + [tokenizer.sep_token_id],
-        np.int32,
-    )
-    n = len(ids)
-    ids_padded = np.zeros((1, max_length), np.int32) + tokenizer.pad_token_id
-    ids_padded[0, :n] = ids
-    mask_padded = np.zeros((1, max_length), np.int32)
-    mask_padded[0, :n] = 1
-    logits = np.asarray(mlm_logits_fn(ids_padded, mask_padded))[0]  # [S, V]
+def generate_candidates_batch(
+    questions: Sequence[str],
+    tokenizer: WordPieceTokenizer,
+    mlm_logits_fn: Callable[[np.ndarray], np.ndarray],
+    filter_words: frozenset,
+    total_iters: int = 40,
+    top_k: int = 5,
+    score_threshold: float = 0.3,
+    max_length: int = 64,
+    max_mlm_batch: int = 64,
+) -> List[WordCandidates]:
+    """:func:`generate_candidates` for many questions at once: all questions'
+    MLM forwards batch into ``ceil(N / max_mlm_batch)`` device calls
+    (power-of-two padded rows — one compiled program per bucket size)
+    instead of one ~61 ms round-trip per sample.  Per-question results are
+    those of :func:`generate_candidates`."""
+    preps: List[Tuple[List[str], List[str], List[Tuple[int, int]], List[int], List[int]]] = []
+    rows: List[Tuple[np.ndarray, np.ndarray]] = []
+    row_of: Dict[int, int] = {}
+    for qi, question in enumerate(questions):
+        words, sub_words, spans = tokenizer.word_spans(question)
+        substitutable = [
+            i
+            for i, (w, (s, e)) in enumerate(zip(words, spans))
+            # the span must lie inside the MLM window ([CLS] + max_length-2
+            # sub-tokens): the reference's cap is its 510-token slice
+            # (adv_attack.py:241); beyond it there are no logits to read
+            if e - s == 1 and w not in filter_words and e <= max_length - 2
+        ]
+        iter_list = compute_iter_schedule(len(substitutable), total_iters)
+        preps.append((words, sub_words, spans, substitutable, iter_list))
+        if not substitutable:
+            continue
+        ids = np.asarray(
+            [tokenizer.cls_token_id]
+            + tokenizer.convert_tokens_to_ids(sub_words[: max_length - 2])
+            + [tokenizer.sep_token_id],
+            np.int32,
+        )
+        n = len(ids)
+        ids_padded = np.full((max_length,), tokenizer.pad_token_id, np.int32)
+        ids_padded[:n] = ids
+        mask_padded = np.zeros((max_length,), np.int32)
+        mask_padded[:n] = 1
+        row_of[qi] = len(rows)
+        rows.append((ids_padded, mask_padded))
 
-    # top-k raw-logit scores per sub-token position (skipping [CLS], so row i
-    # aligns with sub_words[i] — adv_attack.py:244-246)
-    top_idx = np.argsort(-logits, axis=-1)[:, :top_k]
-    top_scores = np.take_along_axis(logits, top_idx, axis=-1)
-    top_idx, top_scores = top_idx[1:], top_scores[1:]
+    # one MLM device call per chunk, rows padded to a power-of-two count
+    row_logits: List[np.ndarray] = []
+    for start in range(0, len(rows), max_mlm_batch):
+        chunk = rows[start : start + max_mlm_batch]
+        size = 1
+        while size < len(chunk):
+            size *= 2
+        pad = size - len(chunk)
+        ids_np = np.stack([r[0] for r in chunk] + [chunk[-1][0]] * pad)
+        mask_np = np.stack([r[1] for r in chunk] + [chunk[-1][1]] * pad)
+        logits = np.asarray(mlm_logits_fn(ids_np, mask_np))
+        row_logits.extend(logits[: len(chunk)])
 
-    for wi in substitutable:
-        s, _ = spans[wi]
-        cands: List[str] = []
-        for tok_id, score in zip(top_idx[s], top_scores[s]):
-            if score_threshold != 0 and score < score_threshold:
-                break
-            cands.append(tokenizer.convert_ids_to_tokens([int(tok_id)])[0])
-        kept = []
-        for c in cands:
-            if c == words[wi] or "##" in c or c in filter_words:
-                continue
-            kept.append(c)
-        if kept:
-            candidate_lists[wi] = kept
-    # schedule was derived from all substitutable words (pre-filter), like the
-    # reference, where iter_list comes from substitute_list not the survivors
-    return WordCandidates(words, spans, candidate_lists, iter_list)
+    out: List[WordCandidates] = []
+    for qi, (words, sub_words, spans, substitutable, iter_list) in enumerate(preps):
+        candidate_lists: List[Optional[List[str]]] = [None] * len(words)
+        if not substitutable:
+            out.append(WordCandidates(words, spans, candidate_lists, []))
+            continue
+        logits = row_logits[row_of[qi]]  # [S, V]
+
+        # top-k raw-logit scores per sub-token position (skipping [CLS], so
+        # row i aligns with sub_words[i] — adv_attack.py:244-246)
+        top_idx = np.argsort(-logits, axis=-1)[:, :top_k]
+        top_scores = np.take_along_axis(logits, top_idx, axis=-1)
+        top_idx, top_scores = top_idx[1:], top_scores[1:]
+
+        for wi in substitutable:
+            s, _ = spans[wi]
+            cands: List[str] = []
+            for tok_id, score in zip(top_idx[s], top_scores[s]):
+                if score_threshold != 0 and score < score_threshold:
+                    break
+                cands.append(tokenizer.convert_ids_to_tokens([int(tok_id)])[0])
+            kept = []
+            for c in cands:
+                if c == words[wi] or "##" in c or c in filter_words:
+                    continue
+                kept.append(c)
+            if kept:
+                candidate_lists[wi] = kept
+        # schedule was derived from all substitutable words (pre-filter), like
+        # the reference, where iter_list comes from substitute_list not the
+        # survivors
+        out.append(WordCandidates(words, spans, candidate_lists, iter_list))
+    return out
 
 
 @dataclasses.dataclass

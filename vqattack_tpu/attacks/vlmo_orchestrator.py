@@ -288,6 +288,24 @@ class VlmoAttackPipeline:
         pred = int(np.asarray(jnp.argmax(logits, axis=-1))[0])
         return pred, self.id2answer.get(pred, str(pred))
 
+    def evaluate_victim_batch(
+        self,
+        adv_images: Sequence[np.ndarray],      # N x [1, H, W, 3]
+        adv_texts: Sequence[str],
+    ) -> List[Tuple[int, str]]:
+        """:meth:`evaluate_victim` for N pairs in ONE jitted classifier call
+        (pads N to a power of two)."""
+        n = len(adv_texts)
+        padded_texts, _ = pad_to_bucket(list(adv_texts))
+        pad = len(padded_texts) - n
+        px = np.concatenate(list(adv_images) + [adv_images[-1]] * pad, axis=0)
+        ids, mask = self.tokenizer.encode_batch(padded_texts, self.max_text_len)
+        logits = self._vqa_logits(
+            self.victim_params, jnp.asarray(px), jnp.asarray(ids), jnp.asarray(mask)
+        )
+        preds = np.asarray(jnp.argmax(logits, axis=-1))[:n]
+        return [(int(p), self.id2answer.get(int(p), str(int(p)))) for p in preds]
+
 
 def load_id2answer(path: str) -> Dict[int, str]:
     """``id2answer.txt`` loader: the reference stores a dill-pickled

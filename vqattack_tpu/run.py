@@ -314,19 +314,24 @@ def main(argv: Optional[list] = None) -> None:
 
     def eval_pending():
         nonlocal pending
-        for r, inf in pending:
-            clean_answer = inf.get("surrogate_answer")
-            if clean_answer is None:
-                continue
+        # ONE batched victim decode for the whole pending window (the
+        # reference — and the per-sample evaluate_victim — pays a batch-1
+        # forward per sample at the eval cadence)
+        todo = [(r, inf["surrogate_answer"]) for r, inf in pending
+                if inf.get("surrogate_answer") is not None]
+        if todo:
+            images = [r.adv_image for r, _ in todo]
+            texts = [r.adv_text for r, _ in todo]
             if args.pipeline == "albef" and answer_ids is not None:
-                topk_ids, _ = pipeline.evaluate_victim(
-                    r.adv_image, r.adv_text, answer_ids, answer_mask
+                topk_ids, _ = pipeline.evaluate_victim_batch(
+                    images, texts, answer_ids, answer_mask
                 )
-                pred = answer_list[int(np.asarray(topk_ids)[0, 0])]
+                preds = [answer_list[int(row[0])] for row in np.asarray(topk_ids)]
             else:
-                _, pred = pipeline.evaluate_victim(r.adv_image, r.adv_text)
-            flip.update(pred, clean_answer)
-            flip.maybe_log()
+                preds = [a for _, a in pipeline.evaluate_victim_batch(images, texts)]
+            for (_, clean_answer), pred in zip(todo, preds):
+                flip.update(pred, clean_answer)
+                flip.maybe_log()
         pending = []
 
     def flush_buffer():

@@ -107,22 +107,26 @@ def main(argv=None) -> None:
     files = sorted(glob.glob(os.path.join(args.artifacts, "*.npy")))
     if args.limit:
         files = files[: args.limit]
-    for path in files:
-        qid = os.path.splitext(os.path.basename(path))[0]
-        adv_img = np.load(path)
-        adv_text = adv_texts.get(qid, "")
+    # batched replay: one victim decode per 16-artifact chunk instead of a
+    # batch-1 forward per pair
+    for start in range(0, len(files), 16):
+        chunk = files[start : start + 16]
+        qids = [os.path.splitext(os.path.basename(p))[0] for p in chunk]
+        images = [np.load(p) for p in chunk]
+        texts = [adv_texts.get(q, "") for q in qids]
         if args.pipeline == "albef":
-            topk_ids, _ = pipeline.evaluate_victim(
-                adv_img, adv_text, answer_ids, answer_mask
+            topk_ids, _ = pipeline.evaluate_victim_batch(
+                images, texts, answer_ids, answer_mask
             )
-            pred = answer_list[int(np.asarray(topk_ids)[0, 0])]
+            preds = [answer_list[int(row[0])] for row in np.asarray(topk_ids)]
         else:
-            _, pred = pipeline.evaluate_victim(adv_img, adv_text)
-        clean = clean_answers.get(qid)
-        if clean is not None:
-            flip.update(pred, clean)
-        if qid in gt:
-            vqa.update(qid, pred, gt[qid])
+            preds = [a for _, a in pipeline.evaluate_victim_batch(images, texts)]
+        for qid, pred in zip(qids, preds):
+            clean = clean_answers.get(qid)
+            if clean is not None:
+                flip.update(pred, clean)
+            if qid in gt:
+                vqa.update(qid, pred, gt[qid])
 
     out = {
         "samples": len(files),
