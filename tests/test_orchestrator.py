@@ -149,3 +149,9 @@ def test_evaluate_victim_batch_matches_single(pipeline):
         one_ids, one_probs = pipe.evaluate_victim(img, txt, answer_ids, answer_mask)
         assert np.array_equal(np.asarray(one_ids)[0], got_ids[i])
         assert np.allclose(np.asarray(one_probs)[0], got_probs[i], atol=1e-5)
+
+
+def test_evaluate_victim_batch_empty(pipeline):
+    pipe, answer_ids, answer_mask = pipeline
+    ids, probs = pipe.evaluate_victim_batch([], [], answer_ids, answer_mask)
+    assert ids.shape == (0, pipe.cfg.k_test) and probs.shape == (0, pipe.cfg.k_test)

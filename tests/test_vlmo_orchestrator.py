@@ -97,3 +97,7 @@ def test_vlmo_evaluate_victim_batch_matches_single(pipeline):
     for (img, txt), (pid, ans) in zip(zip(images, texts), got):
         one_pid, one_ans = pipeline.evaluate_victim(img, txt)
         assert (one_pid, one_ans) == (pid, ans)
+
+
+def test_vlmo_evaluate_victim_batch_empty(pipeline):
+    assert pipeline.evaluate_victim_batch([], []) == []

@@ -94,6 +94,11 @@ def _make_timer() -> PhaseTimer:
     return PhaseTimer(os.environ.get("VQATTACK_PHASE_TIMING") == "1")
 
 
+# dispatch-batching chunk for sweep preparation: the candidate-MLM forwards
+# and question embeddings batch this many samples per device call
+_PREPARE_CHUNK = 64
+
+
 @functools.lru_cache(maxsize=None)
 def make_mixed_second_loss(model: AlbefPretrain):
     """Per-sample convex mix of the MAR and feature losses, weighted by
@@ -230,6 +235,7 @@ class BatchedAlbefAttack:
                 qs, p.tokenizer, p.candidate_mlm_logits,
                 p.filter_words, total_iters=atk.num_iters,
                 top_k=atk.mlm_top_k, score_threshold=atk.mlm_score_threshold,
+                max_mlm_batch=_PREPARE_CHUNK,
             )
         else:
             # no candidate MLM -> image-only attack: empty substitution
@@ -237,8 +243,10 @@ class BatchedAlbefAttack:
             # [num_iters] in attack_bucket)
             cands_list = [WordCandidates([], [], [], []) for _ in samples]
         ori_embs: List[np.ndarray] = []
-        for start in range(0, len(samples), 64):
-            texts = [s["question"] for s in samples[start : start + 64]]
+        for start in range(0, len(samples), _PREPARE_CHUNK):
+            texts = [
+                s["question"] for s in samples[start : start + _PREPARE_CHUNK]
+            ]
             ori_embs.extend(np.asarray(p.embed_texts(texts)))
         return [
             _SampleState(

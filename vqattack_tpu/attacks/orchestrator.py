@@ -37,6 +37,22 @@ from vqattack_tpu.text.similarity import SimilarityGate, pad_to_bucket
 from vqattack_tpu.text.tokenizer import WordPieceTokenizer
 
 
+def pad_eval_batch(
+    adv_images: Sequence[np.ndarray],
+    adv_texts: Sequence[str],
+    tokenizer: WordPieceTokenizer,
+    max_text_len: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, int]:
+    """Assemble a power-of-two-padded victim-eval batch: ``(pixels [P,...],
+    ids [P,S], mask [P,S], n_real)``.  Shared by both pipelines'
+    ``evaluate_victim_batch``; callers must slice results ``[:n_real]``."""
+    padded_texts, n = pad_to_bucket(list(adv_texts))
+    pad = len(padded_texts) - n
+    px = np.concatenate(list(adv_images) + [adv_images[-1]] * pad, axis=0)
+    ids, mask = tokenizer.encode_batch(padded_texts, max_text_len)
+    return jnp.asarray(px), jnp.asarray(ids), jnp.asarray(mask), n
+
+
 @dataclasses.dataclass
 class AttackResult:
     qid: str
@@ -331,17 +347,14 @@ class AlbefAttackPipeline:
         (the sweep's eval cadence previously paid one batch-1 decode per
         pending sample).  Pads N to a power of two; returns
         ``(topk_ids [N,k], topk_probs [N,k])``."""
-        n = len(adv_texts)
-        padded_texts, _ = pad_to_bucket(list(adv_texts))
-        pad = len(padded_texts) - n
-        px = np.concatenate(list(adv_images) + [adv_images[-1]] * pad, axis=0)
-        ids, mask = self.tokenizer.encode_batch(
-            padded_texts, self.cfg.attack.max_text_len
-        )
         k = min(self.cfg.k_test, int(answer_ids.shape[0]))
+        if not adv_texts:
+            return np.zeros((0, k), np.int32), np.zeros((0, k), np.float32)
+        px, ids, mask, n = pad_eval_batch(
+            adv_images, adv_texts, self.tokenizer, self.cfg.attack.max_text_len
+        )
         topk_ids, topk_probs = self._rank_answer(
-            self.victim_params, jnp.asarray(px), jnp.asarray(ids),
-            jnp.asarray(mask), answer_ids, answer_mask, k,
+            self.victim_params, px, ids, mask, answer_ids, answer_mask, k,
         )
         return np.asarray(topk_ids)[:n], np.asarray(topk_probs)[:n]
 

@@ -177,13 +177,12 @@ def generate_candidates_batch(
         rows.append((ids_padded, mask_padded))
 
     # one MLM device call per chunk, rows padded to a power-of-two count
+    from vqattack_tpu.text.similarity import next_pow2
+
     row_logits: List[np.ndarray] = []
     for start in range(0, len(rows), max_mlm_batch):
         chunk = rows[start : start + max_mlm_batch]
-        size = 1
-        while size < len(chunk):
-            size *= 2
-        pad = size - len(chunk)
+        pad = next_pow2(len(chunk)) - len(chunk)
         ids_np = np.stack([r[0] for r in chunk] + [chunk[-1][0]] * pad)
         mask_np = np.stack([r[1] for r in chunk] + [chunk[-1][1]] * pad)
         logits = np.asarray(mlm_logits_fn(ids_np, mask_np))

@@ -26,7 +26,7 @@ import numpy as np
 
 from vqattack_tpu.attacks import vlmo as vlmo_losses
 from vqattack_tpu.attacks.mar_labels import MarLabels, build_mar_labels
-from vqattack_tpu.attacks.orchestrator import AttackResult
+from vqattack_tpu.attacks.orchestrator import AttackResult, pad_eval_batch
 from vqattack_tpu.attacks.pgd import pgd_alternating, pgd_feature, pgd_vl_step
 from vqattack_tpu.attacks.text_attack import (
     apply_substitutions_to_paraphrase,
@@ -295,14 +295,12 @@ class VlmoAttackPipeline:
     ) -> List[Tuple[int, str]]:
         """:meth:`evaluate_victim` for N pairs in ONE jitted classifier call
         (pads N to a power of two)."""
-        n = len(adv_texts)
-        padded_texts, _ = pad_to_bucket(list(adv_texts))
-        pad = len(padded_texts) - n
-        px = np.concatenate(list(adv_images) + [adv_images[-1]] * pad, axis=0)
-        ids, mask = self.tokenizer.encode_batch(padded_texts, self.max_text_len)
-        logits = self._vqa_logits(
-            self.victim_params, jnp.asarray(px), jnp.asarray(ids), jnp.asarray(mask)
+        if not adv_texts:
+            return []
+        px, ids, mask, n = pad_eval_batch(
+            adv_images, adv_texts, self.tokenizer, self.max_text_len
         )
+        logits = self._vqa_logits(self.victim_params, px, ids, mask)
         preds = np.asarray(jnp.argmax(logits, axis=-1))[:n]
         return [(int(p), self.id2answer.get(int(p), str(int(p)))) for p in preds]
 

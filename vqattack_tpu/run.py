@@ -319,9 +319,13 @@ def main(argv: Optional[list] = None) -> None:
         # forward per sample at the eval cadence)
         todo = [(r, inf["surrogate_answer"]) for r, inf in pending
                 if inf.get("surrogate_answer") is not None]
-        if todo:
-            images = [r.adv_image for r, _ in todo]
-            texts = [r.adv_text for r, _ in todo]
+        # chunk cap 16 (same as transfer_eval): ALBEF rank_answer's second
+        # pass materializes batch*k decoder rows, so an unbounded window
+        # (eval_every + a whole flushed bucket) could OOM the chip
+        for start in range(0, len(todo), 16):
+            chunk = todo[start : start + 16]
+            images = [r.adv_image for r, _ in chunk]
+            texts = [r.adv_text for r, _ in chunk]
             if args.pipeline == "albef" and answer_ids is not None:
                 topk_ids, _ = pipeline.evaluate_victim_batch(
                     images, texts, answer_ids, answer_mask
@@ -329,7 +333,7 @@ def main(argv: Optional[list] = None) -> None:
                 preds = [answer_list[int(row[0])] for row in np.asarray(topk_ids)]
             else:
                 preds = [a for _, a in pipeline.evaluate_victim_batch(images, texts)]
-            for (_, clean_answer), pred in zip(todo, preds):
+            for (_, clean_answer), pred in zip(chunk, preds):
                 flip.update(pred, clean_answer)
                 flip.maybe_log()
         pending = []

@@ -36,6 +36,11 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 
+def next_pow2(n: int) -> int:
+    """Smallest power of two >= max(n, 1)."""
+    return 1 << max(n - 1, 0).bit_length()
+
+
 def pad_to_bucket(texts: Sequence[str]) -> Tuple[List[str], int]:
     """Pad a text batch to the next power-of-two size with empty strings.
 
@@ -45,10 +50,7 @@ def pad_to_bucket(texts: Sequence[str]) -> Tuple[List[str], int]:
     power-of-two buckets bounds the compiled-program count at
     ``log2(max batch)`` — callers slice the first ``n`` result rows."""
     n = len(texts)
-    size = 1
-    while size < n:
-        size *= 2
-    return list(texts) + [""] * (size - n), n
+    return list(texts) + [""] * (next_pow2(n) - n), n
 
 # the reference's USE-space gate constant (adv_attack.py:303)
 USE_SPACE_DEFAULT = 0.95
