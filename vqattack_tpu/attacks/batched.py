@@ -485,6 +485,10 @@ class BatchedAlbefAttack:
                     chunk.append(chunk[-1])
                 step += 1
                 chunks.append((chunk, n_real, jax.random.fold_in(rng, step)))
+        # padding occupancy: chip time scales with padded rows, so a low
+        # fraction here means the caller's buffer is too small for the
+        # bucket-key spread (run.py --buffer-factor)
+        self.last_occupancy = len(samples) / max(len(chunks) * batch_size, 1)
 
         results: List[AttackResult] = []
         if pipeline_depth <= 1 or len(chunks) <= 1:

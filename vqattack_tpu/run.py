@@ -108,6 +108,16 @@ def build_argparser() -> argparse.ArgumentParser:
              "(0 = no mesh; requires --batch-size divisible by it)",
     )
     p.add_argument(
+        "--buffer-factor", type=int, default=16,
+        help="buffer this many batches of samples before bucketing+flushing "
+             "to the lockstep engine. Samples bucket by (old_alg, k) — with "
+             "~10 distinct bucket keys in real VQA questions, a small buffer "
+             "leaves buckets mostly padding (a 4x buffer averaged ~3 real "
+             "samples per batch-8 bucket, >2x chip-time waste); 16x fills "
+             "them. Costs host RAM (~2.8 MB/sample at 480px) and delays the "
+             "first result; lower it for small --limit smoke runs",
+    )
+    p.add_argument(
         "--pipeline-depth", type=int, default=2,
         help="overlap this many independent buckets: one bucket's host-side "
              "text work runs while the next bucket's PGD scans occupy the "
@@ -353,6 +363,7 @@ def main(argv: Optional[list] = None) -> None:
         )
         dt = (time.time() - t0) / max(1, len(out))
         by_qid = {s["qid"]: s["_info"] for s in sample_buffer}
+        logger.update(bucket_occupancy=batched.last_occupancy)
         for r in out:
             logger.update(attack_s=dt, blocks=r.num_blocks)
             results.append(r)
@@ -400,7 +411,7 @@ def main(argv: Optional[list] = None) -> None:
                 "all_correct_answers": info["all_correct_answers"],
                 "_info": info,
             })
-            if len(sample_buffer) >= 4 * args.batch_size:
+            if len(sample_buffer) >= args.buffer_factor * args.batch_size:
                 flush_buffer()
             if args.limit and n_done + len(sample_buffer) >= args.limit:
                 flush_buffer()
