@@ -178,3 +178,13 @@ def test_pipelined_buckets_match_serial(batched):
         assert a.adv_text == b.adv_text
         assert a.substitutions == b.substitutions
         np.testing.assert_array_equal(a.feat_losses, b.feat_losses)
+
+
+def test_leftover_chunks_pad_to_pow2(batched):
+    """A partial tail bucket pads to the next power of two, not the full
+    batch size (chip time scales with padded rows)."""
+    samples = _samples(3)  # same bucket key (equal k, no paraphrase)
+    out = batched.run(samples, batch_size=8)
+    assert len(out) == 3
+    assert batched.last_chunk_sizes == [4]       # next_pow2(3), not 8
+    assert abs(batched.last_occupancy - 3 / 4) < 1e-9

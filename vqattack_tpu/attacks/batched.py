@@ -474,21 +474,40 @@ class BatchedAlbefAttack:
         for st, s in prepared:
             buckets.setdefault(self.bucket_key(st), []).append((st, s))
 
+        from vqattack_tpu.text.similarity import next_pow2
+
+        # leftover chunks pad only to the next power of two (not the full
+        # batch size): a 3-sample tail costs a b=4 program, not b=16 — the
+        # extra compiled variants are bounded at log2(batch) per bucket key
+        # (scripts/warm_cache.py --batch-sizes pre-compiles them).  A mesh
+        # needs the batch divisible by its DATA-axis size, so that's the floor
+        # (an indivisible batch silently replicates — parallel/mesh.py).
+        if self.mesh is None:
+            min_b = 1
+        else:
+            from vqattack_tpu.parallel.mesh import DATA_AXIS
+
+            min_b = int(self.mesh.shape[DATA_AXIS])
         chunks: List[Tuple[List[Tuple[_SampleState, dict]], int, jax.Array]] = []
         step = 0
+        n_padded_rows = 0
         for key in sorted(buckets):
             entries = buckets[key]
             for i in range(0, len(entries), batch_size):
                 chunk = entries[i : i + batch_size]
                 n_real = len(chunk)
-                while len(chunk) < batch_size:
+                target = max(next_pow2(n_real), min_b)
+                target = min(batch_size, -(-target // min_b) * min_b)
+                while len(chunk) < target:
                     chunk.append(chunk[-1])
                 step += 1
+                n_padded_rows += target
                 chunks.append((chunk, n_real, jax.random.fold_in(rng, step)))
         # padding occupancy: chip time scales with padded rows, so a low
         # fraction here means the caller's buffer is too small for the
         # bucket-key spread (run.py --buffer-factor)
-        self.last_occupancy = len(samples) / max(len(chunks) * batch_size, 1)
+        self.last_occupancy = len(samples) / max(n_padded_rows, 1)
+        self.last_chunk_sizes = [len(c) for c, _, _ in chunks]
 
         results: List[AttackResult] = []
         if pipeline_depth <= 1 or len(chunks) <= 1:
