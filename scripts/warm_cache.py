@@ -281,6 +281,21 @@ def warm_vlmo(batch_sizes, max_k, total_iters, image_size, use_pallas,
     return count
 
 
+def expand_batch_sizes(requested) -> tuple:
+    """Close the requested batch sizes under powers of two below each:
+    leftover bucket chunks run at every power of two under the sweep's
+    --batch-size (attacks/batched.py), so those tail programs need warming
+    too."""
+    requested = list(requested)
+    sizes = set(requested)
+    for b in requested:
+        p = 1
+        while p < b:
+            sizes.add(p)
+            p *= 2
+    return tuple(sorted(sizes))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--model", choices=("albef", "vlmo"), default="albef")
@@ -311,7 +326,9 @@ def main() -> None:
     enable_compile_cache(cache_dir)
     use_pallas = (args.pallas_update and not args.no_pallas
                   and jax.default_backend() not in ("cpu",))
-    batch_sizes = tuple(int(x) for x in args.batch_sizes.split(","))
+    batch_sizes = expand_batch_sizes(
+        int(x) for x in args.batch_sizes.split(",")
+    )
     fn = warm_vlmo if args.model == "vlmo" else warm_albef
     n = fn(batch_sizes, args.max_k, args.iters, args.image_size, use_pallas,
            dtype=args.dtype, no_remat=args.no_remat)

@@ -83,3 +83,22 @@ def test_vl_widths_cover_pow2_padding():
         for max_p in range(1, 2 * max_k + 1):
             padded = 1 << (max_p - 1).bit_length()
             assert padded in widths, (max_k, max_p, widths)
+
+
+def test_expand_batch_sizes_covers_pow2_tails():
+    """The sweep's leftover chunks run at every power of two below
+    --batch-size (attacks/batched.py pow2 tail padding), so warming must
+    close the requested set downward."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "warm_cache",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "warm_cache.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.expand_batch_sizes([8]) == (1, 2, 4, 8)
+    assert mod.expand_batch_sizes([1, 8]) == (1, 2, 4, 8)
+    assert mod.expand_batch_sizes([6]) == (1, 2, 4, 6)
+    assert mod.expand_batch_sizes([1]) == (1,)
