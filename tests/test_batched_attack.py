@@ -88,14 +88,25 @@ def test_batched_mar_bucket(batched):
 
 
 def test_batched_matches_single(batched):
-    """Lockstep batch of identical samples reproduces the single-sample
-    pipeline bit-for-bit given the same keys is not required (different key
-    folds), but ball/clip invariants and loss finiteness must hold and the
-    padded duplicate must not corrupt the real sample."""
-    samples = _samples(1)
-    r_batch = batched.run(samples, batch_size=2)  # forces padding duplicate
-    assert len(r_batch) == 1
-    assert np.isfinite(r_batch[0].feat_losses).all()
+    """Padding rows must behave exactly like independent fresh-state
+    samples.  A 3-sample bucket at batch_size=4 pads with a duplicate of
+    the last sample; running the same bucket with that duplicate added as
+    a REAL 4th sample produces the identical chunk (same program, same
+    fold key, same pixel rows), so the first three results must match
+    bit-for-bit.  Any mutable-state leak from the padding copy into the
+    real sample it mirrors (substitutions, mar_words) diverges here."""
+    samples = _samples(3, with_para=True)
+    manual = samples + [dict(samples[-1])]     # the padding row, made real
+    r_pad = batched.run(samples, batch_size=4)
+    r_man = batched.run(manual, batch_size=4)[:3]
+    assert len(r_pad) == 3
+    for a, b in zip(r_pad, r_man):
+        assert a.qid == b.qid
+        assert a.adv_text == b.adv_text
+        assert a.substitutions == b.substitutions
+        assert np.array_equal(a.adv_image, b.adv_image)
+        assert np.array_equal(a.feat_losses, b.feat_losses)
+        assert np.isfinite(a.feat_losses).all()
 
 
 def test_batched_vlmo(batched):

@@ -89,16 +89,7 @@ def test_expand_batch_sizes_covers_pow2_tails():
     """The sweep's leftover chunks run at every power of two below
     --batch-size (attacks/batched.py pow2 tail padding), so warming must
     close the requested set downward."""
-    import importlib.util
-    import os
-
-    spec = importlib.util.spec_from_file_location(
-        "warm_cache",
-        os.path.join(os.path.dirname(__file__), "..", "scripts", "warm_cache.py"),
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    assert mod.expand_batch_sizes([8]) == (1, 2, 4, 8)
-    assert mod.expand_batch_sizes([1, 8]) == (1, 2, 4, 8)
-    assert mod.expand_batch_sizes([6]) == (1, 2, 4, 6)
-    assert mod.expand_batch_sizes([1]) == (1,)
+    assert warm_cache.expand_batch_sizes([8]) == (1, 2, 4, 8)
+    assert warm_cache.expand_batch_sizes([1, 8]) == (1, 2, 4, 8)
+    assert warm_cache.expand_batch_sizes([6]) == (1, 2, 4, 6)
+    assert warm_cache.expand_batch_sizes([1]) == (1,)

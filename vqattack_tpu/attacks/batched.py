@@ -479,7 +479,8 @@ class BatchedAlbefAttack:
         # leftover chunks pad only to the next power of two (not the full
         # batch size): a 3-sample tail costs a b=4 program, not b=16 — the
         # extra compiled variants are bounded at log2(batch) per bucket key
-        # (scripts/warm_cache.py --batch-sizes pre-compiles them).  A mesh
+        # (scripts/warm_cache.py pre-compiles them for SINGLE-DEVICE sweeps;
+        # mesh programs are not warmed and compile on first use).  A mesh
         # needs the batch divisible by its DATA-axis size, so that's the floor
         # (an indivisible batch silently replicates — parallel/mesh.py).
         if self.mesh is None:
