@@ -19,6 +19,9 @@ Usage::
 Pass the same ``--dtype`` / ``--no-remat`` the sweep will use (e.g. the
 fastest measured config ``--dtype bfloat16 --no-remat``) — they change the
 compiled HLO, so warming the default config does not cover them.
+``--batch-sizes`` closes downward over powers of two automatically
+(``--batch-sizes 8`` warms 1,2,4,8): leftover bucket chunks run at every
+power of two below the sweep's ``--batch-size`` (attacks/batched.py).
 
 Prints one line per compiled program; re-runs are no-ops (cache hits).
 """
