@@ -104,6 +104,39 @@ def test_victim_eval_and_artifacts(pipeline, tmp_path):
     assert (tmp_path / "adv_txt_dict.json").exists()
 
 
+def test_save_artifacts_survive_without_torch(tmp_path, monkeypatch, caplog):
+    """With torch unimportable the sweep's primary product (the adversarial
+    images + adv-text JSON, ``adv_attack.py:713-715``) must survive as .npy
+    with a logged warning, not silently vanish (only the optional
+    reference-compatible .pt copy is dropped)."""
+    import builtins
+    import json
+    import logging
+
+    from vqattack_tpu.attacks.orchestrator import AttackResult
+
+    real_import = builtins.__import__
+
+    def no_torch(name, *a, **k):
+        if name == "torch" or name.startswith("torch."):
+            raise ImportError("torch disabled for test")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_torch)
+    res = AttackResult(
+        qid="77", adv_image=np.zeros((1, 4, 4, 3), np.float32),
+        adv_text="what color", old_alg=1,
+        feat_losses=np.zeros(2, np.float32), mlm_losses=None,
+        num_blocks=1, substitutions=[],
+    )
+    with caplog.at_level(logging.WARNING):
+        save_artifacts([res], str(tmp_path))
+    assert (tmp_path / "77.npy").exists()
+    assert not (tmp_path / "77.pt").exists()
+    assert json.loads((tmp_path / "adv_txt_dict.json").read_text())["77"] == "what color"
+    assert any("npy" in r.message for r in caplog.records)
+
+
 def test_mar_labels_construction():
     tok = WordPieceTokenizer.toy(WORDS)
     mar = build_mar_labels(

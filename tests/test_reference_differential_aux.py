@@ -370,14 +370,17 @@ def _opt_fixture(seed):
     return model, params, name_map
 
 
-def _run_optimizer_differential(opt_name, make_ours, seed, steps=5, atol=3e-6):
+def _run_optimizer_differential(opt_name, make_ours, seed, steps=5,
+                                atol=3e-6, with_betas=True):
     tools = rs.albef_tools()
     model, params, name_map = _opt_fixture(seed)
     args = types.SimpleNamespace(
         opt=opt_name, lr=1e-2, weight_decay=0.05, opt_eps=1e-8,
         # the reference pops eps but not betas on the SGD branch
-        # (optim_factory.py:65-67) — callers must omit betas there
-        opt_betas=(0.9, 0.999) if opt_name not in ("sgd", "momentum") else None,
+        # (optim_factory.py:65-67) — callers must omit betas there; SGDP and
+        # RMSpropTF ctors likewise take no betas kwarg (with_betas=False)
+        opt_betas=(0.9, 0.999)
+        if with_betas and opt_name not in ("sgd", "momentum") else None,
         momentum=0.9,
     )
     torch_opt = tools.optim_factory.create_optimizer(args, model)
@@ -393,7 +396,12 @@ def _run_optimizer_differential(opt_name, make_ours, seed, steps=5, atol=3e-6):
         grads = {}
         for tname, p in model.named_parameters():
             g = rng.normal(size=p.shape).astype(np.float32)
-            p.grad = torch.from_numpy(g)
+            # copy: the reference NovoGrads normalize p.grad IN PLACE
+            # (novograd.py:62 ``grad *= 1.0/(sqrt(grad_ema)+eps)``), and
+            # torch.from_numpy shares g's memory, which jnp.asarray may
+            # zero-copy alias on the CPU backend — without the copy the jax
+            # side can see the mutated gradient (order-dependent flake)
+            p.grad = torch.from_numpy(g.copy())
             mod, leaf, _ = name_map[tname]
             arr = g.T if leaf == "kernel" else g
             grads.setdefault(mod, {})[leaf] = jnp.asarray(arr)
@@ -427,6 +435,91 @@ def test_optim_factory_adamw_trajectory_matches_reference():
                                 weight_decay=0.05, eps=1e-8)
 
     _run_optimizer_differential("adamw", make, seed=10)
+
+
+_ZOO_TAIL_CASES = [
+    # (factory opt name, kwargs for create_optimizer, with_betas, steps)
+    ("nadam", dict(weight_decay=0.05), True, 5),
+    ("radam", dict(weight_decay=0.05), True, 8),  # crosses the N_sma>=5 flip
+    ("adamp", dict(weight_decay=0.05), True, 5),
+    ("sgdp", dict(weight_decay=0.05, momentum=0.9), False, 5),
+    # the reference's NovoGrad reads decay from the ctor arg the factory
+    # zeroes (novograd.py:20 self._wd vs optim_factory.py:42-48), so it
+    # effectively runs decay-free; match that
+    ("novograd", dict(weight_decay=0.0), True, 5),
+    ("nvnovograd", dict(weight_decay=0.05), True, 5),
+    ("rmsproptf", dict(weight_decay=0.05, momentum=0.9), False, 5),
+]
+
+
+@pytest.mark.parametrize("name,kw,with_betas,steps", _ZOO_TAIL_CASES,
+                         ids=[c[0] for c in _ZOO_TAIL_CASES])
+def test_optim_zoo_tail_trajectories_match_reference(name, kw, with_betas,
+                                                     steps):
+    """Update-trajectory parity for the unused tail of the timm zoo
+    (``optim_factory.py:66-123``): nadam/radam/adamp/sgdp/novograd/
+    nvnovograd/rmsproptf, each against the reference's own class driven
+    through ``optim_factory.create_optimizer``."""
+    from vqattack_tpu.train.optim import create_optimizer
+
+    def make(params):
+        return create_optimizer(params, opt=name, schedule=1e-2,
+                                eps=1e-8, **kw)
+
+    seed = 20 + _ZOO_TAIL_CASES.index((name, kw, with_betas, steps))
+    _run_optimizer_differential(name, make, seed=seed, steps=steps,
+                                with_betas=with_betas)
+
+
+def test_lookahead_wrapper_trajectory_matches_reference():
+    """``lookahead_adamw`` prefix dispatch (``optim_factory.py:119-121``)
+    over 13 steps — two k=6 sync points, incl. the lazily-created slow
+    buffer whose first sync is a no-op (``lookahead.py:31-40``)."""
+    from vqattack_tpu.train.optim import create_optimizer
+
+    def make(params):
+        return create_optimizer(params, opt="lookahead_adamw", schedule=1e-2,
+                                weight_decay=0.05, eps=1e-8)
+
+    _run_optimizer_differential("lookahead_adamw", make, seed=31, steps=13,
+                                atol=6e-6)
+
+
+def test_adamp_projection_matches_reference():
+    """The AdamP/SGDP radial projection itself (``adamp.py:28-53``) on
+    inputs crafted to trigger the channel and layer branches."""
+    from vqattack_tpu.train.optim_extra import _projection
+
+    ref = rs.albef_tools()
+    import optim.adamp as radamp  # type: ignore  # noqa: F401,E501  (path installed by albef_tools)
+
+    inst = radamp.AdamP([torch.zeros(1, requires_grad=True)], lr=1e-2)
+    rng = np.random.default_rng(5)
+    p = rng.normal(size=(6, 10)).astype(np.float32)
+    pert = rng.normal(size=(6, 10)).astype(np.float32)
+    # per-channel-orthogonal gradient -> channel cos == 0 -> projection fires
+    g = rng.normal(size=(6, 10)).astype(np.float32)
+    g -= (g * p).sum(1, keepdims=True) / (p * p).sum(1, keepdims=True) * p
+
+    tp = torch.from_numpy(p.copy())
+    tp_param = torch.nn.Parameter(tp)
+    want, want_wd = inst._projection(
+        tp_param, torch.from_numpy(g.copy()),
+        torch.from_numpy(pert.copy()), 0.1, 0.01, 1e-8)
+    got, got_wd = _projection(jnp.asarray(p), jnp.asarray(g),
+                              jnp.asarray(pert), 0.1, 0.01, 1e-8)
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=1e-5)
+    assert float(got_wd) == pytest.approx(float(want_wd))
+
+    # near-parallel gradient -> no projection, wd scale 1
+    g2 = p + 0.001 * rng.normal(size=p.shape).astype(np.float32)
+    want2, want_wd2 = inst._projection(
+        tp_param, torch.from_numpy(g2.copy()),
+        torch.from_numpy(pert.copy()), 0.1, 0.01, 1e-8)
+    got2, got_wd2 = _projection(jnp.asarray(p), jnp.asarray(g2),
+                                jnp.asarray(pert), 0.1, 0.01, 1e-8)
+    np.testing.assert_allclose(np.asarray(got2), want2.numpy(), atol=1e-5)
+    assert float(got_wd2) == pytest.approx(float(want_wd2)) == 1.0
 
 
 def test_optim_factory_nesterov_sgd_trajectory_matches_reference():

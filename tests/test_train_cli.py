@@ -144,6 +144,22 @@ def test_preset_fills_defaults_but_flags_win():
         apply_preset(parser, args3)
 
 
+def test_pretrain_loss_weights_keep_zeros():
+    """Preset zero weights must pass through (not be dropped) so the
+    objective's w>0 guards skip them — dropping them would re-enable the
+    disabled losses at the 1.0 default, a different objective than the
+    preset specifies (task_mlm_itm_itc_base/large: itc=0, itm=0)."""
+    from vqattack_tpu.named_configs import vlmo_named_config
+    from vqattack_tpu.train.cli import pretrain_loss_weights
+
+    preset = vlmo_named_config("task_mlm_itm_itc_base")
+    w = pretrain_loss_weights(preset)
+    assert w == {"mlm": 1.0, "itc": 0.0, "itm": 0.0}
+
+    with pytest.raises(SystemExit):
+        pretrain_loss_weights(vlmo_named_config("task_finetune_nlvr2_base"))
+
+
 def test_vlmo_pretrain_rejects_presets_without_pretrain_losses(tmp_path):
     """A preset enabling none of mlm/itc/itm must fail fast, not silently
     re-enable all three at weight 1."""

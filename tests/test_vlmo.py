@@ -283,7 +283,20 @@ def test_vlffn_itc_branch_and_pretrain_loss():
     assert sum(jax.tree_util.tree_leaves(g["params"]["logit_scale"])) > 0
     assert sum(jax.tree_util.tree_leaves(g["params"]["logit_vl_scale"])) > 0
 
-    # weight gating skips terms entirely
+    # weight gating skips terms entirely — including explicit zeros, which
+    # must NOT fall back to the 1.0 defaults
     l_mlm, m_mlm = vlmo_pretrain_loss(
         model, params, batch, jax.random.key(2), weights={"mlm": 1, "itc": 0, "itm": 0})
-    assert "itm_loss" not in m_mlm and np.isfinite(float(l_mlm))
+    assert "itm_loss" not in m_mlm and "itc_loss" not in m_mlm
+    assert np.isfinite(float(l_mlm))
+
+    # joint-trunk MLM is scaled 0.25 like the reference's compute_mlm
+    # (objectives.py:31 `mlm_loss * 0.25`)
+    from vqattack_tpu.train.objectives import masked_lm_loss
+
+    out = model.apply(params, batch["mlm_ids"], batch["text_mask"],
+                      batch["pixels"], method=VLMo.infer)
+    mlm_logits = model.apply(params, out["text_feats"],
+                             method=lambda m, x: m.mlm_score(x))
+    raw = masked_lm_loss(mlm_logits, batch["mlm_labels"])
+    np.testing.assert_allclose(float(l_mlm), 0.25 * float(raw), rtol=1e-6)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import logging
 import os
 import zlib
 from typing import Any, Dict, List, Optional, Sequence, Tuple
@@ -368,6 +369,7 @@ def save_artifacts(
     (NCHW) when torch is importable, for byte-compat with the reference's
     downstream transfer-eval scripts."""
     os.makedirs(out_dir, exist_ok=True)
+    warned = False
     txt: Dict[str, str] = {}
     for r in results:
         np.save(os.path.join(out_dir, f"{r.qid}.npy"), r.adv_image)
@@ -379,7 +381,13 @@ def save_artifacts(
                 os.path.join(out_dir, f"{r.qid}.pt"),
             )
         except ImportError:
-            pass
+            if not warned:
+                warned = True
+                logging.getLogger(__name__).warning(
+                    "torch unavailable: adversarial images saved as .npy "
+                    "only (no reference-compatible .pt); vqattack_tpu's "
+                    "transfer_eval reads .npy natively"
+                )
         txt[r.qid] = r.adv_text
     path = os.path.join(out_dir, txt_name)
     existing = {}

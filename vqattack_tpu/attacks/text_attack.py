@@ -71,7 +71,7 @@ def compute_iter_schedule(num_sub_words: int, total_iters: int = 40) -> List[int
 def bpe_substitutes(
     substitutes: np.ndarray,
     tokenizer: WordPieceTokenizer,
-    mlm_logits_fn: Callable[[np.ndarray], np.ndarray],
+    mlm_logits_fn: Callable[[np.ndarray, np.ndarray], np.ndarray],
     max_len: int = 12,
     max_width: int = 4,
     max_candidates: int = 24,
@@ -106,7 +106,7 @@ def bpe_substitutes(
 def generate_candidates(
     question: str,
     tokenizer: WordPieceTokenizer,
-    mlm_logits_fn: Callable[[np.ndarray], np.ndarray],
+    mlm_logits_fn: Callable[[np.ndarray, np.ndarray], np.ndarray],
     filter_words: frozenset,
     total_iters: int = 40,
     top_k: int = 5,
@@ -132,7 +132,7 @@ def generate_candidates(
 def generate_candidates_batch(
     questions: Sequence[str],
     tokenizer: WordPieceTokenizer,
-    mlm_logits_fn: Callable[[np.ndarray], np.ndarray],
+    mlm_logits_fn: Callable[[np.ndarray, np.ndarray], np.ndarray],
     filter_words: frozenset,
     total_iters: int = 40,
     top_k: int = 5,

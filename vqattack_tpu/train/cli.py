@@ -111,6 +111,26 @@ def apply_preset(parser: argparse.ArgumentParser, args) -> dict | None:
     return preset
 
 
+def pretrain_loss_weights(preset: dict) -> dict:
+    """loss_names -> vlmo_pretrain_loss weights for --task vlmo_pretrain.
+
+    Zero weights are kept (not dropped): ``vlmo_pretrain_loss``'s ``w > 0``
+    guards skip the disabled terms, whereas dropping them would let the 1.0
+    defaults silently re-enable them — a different objective than the preset
+    specifies.  Raises ``SystemExit`` when the preset enables none of
+    mlm/itc/itm."""
+    weights = {
+        k: float(v) for k, v in preset["loss_names"].items()
+        if k in ("mlm", "itc", "itm")
+    }
+    if not any(weights.values()):
+        raise SystemExit(
+            "preset enables none of mlm/itc/itm "
+            f"(loss_names={preset['loss_names']}); pick one of the "
+            "mlm_itm_itc presets for --task vlmo_pretrain")
+    return weights
+
+
 def main(argv=None) -> None:
     parser = build_argparser()
     args = parser.parse_args(argv)
@@ -389,15 +409,7 @@ def main(argv=None) -> None:
         loss_weights = None
         whole_word = False
         if preset is not None:
-            loss_weights = {
-                k: v for k, v in preset["loss_names"].items()
-                if k in ("mlm", "itc", "itm") and v
-            }
-            if not loss_weights:
-                raise SystemExit(
-                    "preset enables none of mlm/itc/itm "
-                    f"(loss_names={preset['loss_names']}); pick one of the "
-                    "mlm_itm_itc presets for --task vlmo_pretrain")
+            loss_weights = pretrain_loss_weights(preset)
             whole_word = bool(preset["whole_word_masking"])
 
         model = VLMo(cfg.vlmo)

@@ -532,7 +532,10 @@ def vlmo_pretrain_loss(
     if w["mlm"] > 0:
         out = m.infer(batch["mlm_ids"], batch["text_mask"], batch["pixels"])
         mlm_logits = m.mlm_score(out["text_feats"])
-        mlm = masked_lm_loss(mlm_logits, batch["mlm_labels"])
+        # the reference's joint-trunk compute_mlm scales the CE by 0.25
+        # (objectives.py:31 `mlm_loss * 0.25`) and the module total sums the
+        # scaled value; the text-only path (vlmo_textmlm) stays unscaled
+        mlm = 0.25 * masked_lm_loss(mlm_logits, batch["mlm_labels"])
         metrics["mlm_loss"] = mlm
         total = total + w["mlm"] * mlm
 

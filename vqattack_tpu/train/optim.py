@@ -90,7 +90,17 @@ def create_optimizer(
     grad_clip: Optional[float] = None,
 ) -> optax.GradientTransformation:
     """The factory (``optim_factory.create_optimizer`` surface): masked decay,
-    optional head lr multiplier, optional global-norm clipping."""
+    optional head lr multiplier, optional global-norm clipping.  A
+    ``lookahead_`` prefix wraps the base optimizer like the factory's
+    ``opt_split`` dispatch (``optim_factory.py:119-121``)."""
+    if opt.startswith("lookahead_"):
+        from vqattack_tpu.train.optim_extra import lookahead
+
+        base = create_optimizer(
+            params, opt[len("lookahead_"):], schedule, weight_decay,
+            b1, b2, eps, momentum, head_lr_mult, head_names, grad_clip)
+        return lookahead(base)
+
     mask = decay_mask(params)
     if opt == "adamw":
         core = optax.adamw(schedule, b1=b1, b2=b2, eps=eps,
@@ -114,6 +124,36 @@ def create_optimizer(
                           weight_decay=weight_decay, mask=mask)
     elif opt == "lion":
         core = optax.lion(schedule, weight_decay=weight_decay, mask=mask)
+    elif opt in ("nadam", "radam", "adamp", "sgdp", "novograd",
+                 "nvnovograd", "rmsproptf"):
+        from vqattack_tpu.train import optim_extra as extra
+
+        if opt == "nadam":
+            core = extra.nadam(schedule, b1=b1, b2=b2, eps=eps,
+                               weight_decay=weight_decay, mask=mask)
+        elif opt == "radam":
+            core = extra.radam(schedule, b1=b1, b2=b2, eps=eps,
+                               weight_decay=weight_decay, mask=mask)
+        elif opt == "adamp":
+            # factory wiring: wd_ratio=0.01, nesterov=True (optim_factory.py:79-80)
+            core = extra.adamp(schedule, b1=b1, b2=b2, eps=eps,
+                               weight_decay=weight_decay, wd_ratio=0.01,
+                               nesterov=True, mask=mask)
+        elif opt == "sgdp":
+            core = extra.sgdp(schedule, momentum=momentum, nesterov=True,
+                              eps=eps, weight_decay=weight_decay, mask=mask)
+        elif opt == "novograd":
+            # NB: the reference's NovoGrad ignores per-group decay entirely
+            # (see optim_extra.novograd docstring); decay works here
+            core = extra.novograd(schedule, b1=b1, b2=b2, eps=eps,
+                                  weight_decay=weight_decay, mask=mask)
+        elif opt == "nvnovograd":
+            core = extra.nvnovograd(schedule, b1=b1, b2=b2, eps=eps,
+                                    weight_decay=weight_decay, mask=mask)
+        else:  # rmsproptf — factory passes alpha=0.9, momentum (optim_factory.py:93-94)
+            core = extra.rmsprop_tf(schedule, alpha=0.9, eps=eps,
+                                    momentum=momentum,
+                                    weight_decay=weight_decay, mask=mask)
     elif opt == "adahessian":
         # second-order: update() requires hess_diag= (see train/adahessian.py)
         from vqattack_tpu.train.adahessian import adahessian as _adahessian
