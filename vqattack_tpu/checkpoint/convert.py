@@ -382,13 +382,16 @@ def convert_textpt_state_dict(
     sd: Dict[str, np.ndarray],
     all_num_relative_distance: int,
     num_heads_times_layers: int,
+    base_table: Optional[np.ndarray] = None,
 ) -> Dict[str, np.ndarray]:
     """BEiT/text-pretrain checkpoint -> VLMo key layout
     (``vlmo_module.py:convert_to_textpt_ckpt:47-85``):
 
     - per-layer ``blocks.N.attn.relative_position_bias_table`` tensors merge
-      column-wise into the single fused table (zero-padded to the joint
-      text+image distance count);
+      column-wise into the single fused table, spliced over ``base_table``
+      (the reference splices into a clone of the module's current table,
+      ``vlmo_module.py:79-83`` — zeros at init, which is the default here;
+      pass the live table to reproduce the splice over a non-fresh module);
     - ``mlp``/``norm2`` keys re-target the image expert (``mlp_imag`` /
       ``norm2_imag``); everything gains the ``transformer.`` prefix.
 
@@ -417,9 +420,12 @@ def convert_textpt_state_dict(
         merged = np.concatenate(
             [per_layer_tables[i] for i in sorted(per_layer_tables)], axis=1
         )
-        full = np.zeros(
-            (all_num_relative_distance, num_heads_times_layers), merged.dtype
-        )
+        if base_table is not None:
+            full = np.array(base_table, dtype=merged.dtype, copy=True)
+        else:
+            full = np.zeros(
+                (all_num_relative_distance, num_heads_times_layers), merged.dtype
+            )
         full[: merged.shape[0], :] = merged
         out["relative_position_bias_table"] = full
     return out

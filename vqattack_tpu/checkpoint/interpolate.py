@@ -85,14 +85,18 @@ def _geometric_points(src_size: int, dst_size: int) -> np.ndarray:
     def gp(r):
         return (1.0 - r ** n) / (1.0 - r)  # a=1
 
+    # NB: the ratio used is the midpoint tested in the FINAL bisection
+    # iteration (the loop variable q), not a post-loop (left+right)/2 —
+    # recomputing shifts q by ~5e-7 and every source coordinate with it
+    # (measured 2e-4 drift on the 27->59 table vs the reference's own code)
     left, right = 1.01, 1.5
+    q = (left + right) / 2.0
     while right - left > 1e-6:
         q = (left + right) / 2.0
         if gp(q) > target:
             right = q
         else:
             left = q
-    q = (left + right) / 2.0
     dis, cur = [], 1.0
     for i in range(n):
         dis.append(cur)
