@@ -7,11 +7,14 @@ json, and the five side-table families.  Weights stay random (``run.py``
 initializes when no ``--surrogate-ckpt`` is given) — this exercises every
 code path at real geometry, which is what on-TPU verification needs.
 
-Usage: ``python scripts/make_synth_assets.py [outdir] [n_samples]``
-(default ``/tmp/vqa_synth_assets``, 2 samples); prints the ready-to-paste
-CLI invocation.  ``n_samples > 2`` cycles question templates with varying
-substitutable-word counts, so a batched sweep over them exercises the
-lockstep bucketing across distinct block schedules (attacks/batched.py).
+Usage: ``python scripts/make_synth_assets.py [outdir] [n_samples]
+[--realistic]`` (default ``/tmp/vqa_synth_assets``, 2 samples); prints the
+ready-to-paste CLI invocation.  ``n_samples > 2`` cycles question templates
+with varying substitutable-word counts, so a batched sweep over them
+exercises the lockstep bucketing across distinct block schedules
+(attacks/batched.py).  ``--realistic`` draws questions from a VQAv2-like
+length / substitutable-k / paraphrase-count distribution instead — the
+steady-state-sweep measurement input (PERF.md round 3).
 """
 
 from __future__ import annotations
@@ -53,7 +56,54 @@ def make_image(path: str, size: int = 640) -> None:
     Image.fromarray(arr, "RGB").save(path, quality=90)
 
 
-def main(outdir: str, n_samples: int = 2) -> None:
+def realistic_samples(n: int, seed: int = 0):
+    """Samples with a VQAv2-like question-length / substitutable-k /
+    paraphrase-count distribution (VERDICT r2 Next #4).
+
+    Length histogram approximates the VQAv2 val questions the vendored side
+    tables index (mean ~6.2 words, 4-12 range); the substitutable word count
+    k (words NOT in the vendored filter list — the quantity that drives the
+    text-attack block schedule, ``compute_iter_schedule``) follows the
+    1-5 spread real questions produce; paraphrase lists carry 2-4 entries
+    like the reference's paraphrase tables."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    lengths = [4, 5, 6, 7, 8, 9, 10, 12]
+    length_p = [0.08, 0.24, 0.26, 0.18, 0.11, 0.07, 0.04, 0.02]
+    # content words (substitutable: not in the vendored filter list)
+    content = ["dog", "cat", "man", "woman", "person", "red", "blue",
+               "green", "yellow", "white", "black", "frisbee", "ball",
+               "hat", "shirt", "table", "grass", "street", "room",
+               "wearing", "holding", "playing", "running", "sitting",
+               "standing"]
+    # filler words (filtered: stopwords/question words — contribute length
+    # but not substitution slots)
+    fillers = ["what", "is", "the", "a", "on", "in", "of", "and", "are",
+               "it", "this", "that", "there", "how", "many"]
+    answer_vocab = ["red", "blue", "green", "frisbee", "ball", "dog", "cat",
+                    "hat", "two", "yes"]
+    out = []
+    for i in range(n):
+        L = int(rng.choice(lengths, p=length_p))
+        k = int(np.clip(1 + rng.poisson(1.2), 1, min(5, L - 2)))
+        words = ["what"]
+        body = list(rng.choice(content, size=k, replace=False))
+        while len(words) + len(body) < L:
+            words.append(str(rng.choice(fillers)))
+        rest = words[1:] + body
+        rng.shuffle(rest)
+        q = " ".join(["what"] + rest)[: 25 * 6]
+        ans = answer_vocab[i % len(answer_vocab)]
+        paras = [ans, f"the answer is {ans}"]
+        for _ in range(int(rng.integers(0, 3))):
+            paras.append(f"{ans} " + " ".join(
+                rng.choice(content, size=2, replace=False)))
+        out.append((2000 + i, q, ans, paras))
+    return out
+
+
+def main(outdir: str, n_samples: int = 2, realistic: bool = False) -> None:
     os.makedirs(outdir, exist_ok=True)
     j = lambda name, obj: json.dump(  # noqa: E731
         obj, open(os.path.join(outdir, name), "w")
@@ -81,6 +131,13 @@ def main(outdir: str, n_samples: int = 2) -> None:
         q, ans, para = templates[i % len(templates)]
         samples.append((1003 + i, q, ans, para))
     samples = samples[:max(1, n_samples)]
+    if realistic:
+        samples = [(qid, q, ans, paras[1])
+                   for qid, q, ans, paras in realistic_samples(n_samples)]
+        para_lists = {str(s[0]): p[3] for s, p in
+                      zip(samples, realistic_samples(n_samples))}
+    else:
+        para_lists = None
     ann = [
         # ground-truth answers included: the CLI's alignment guard
         # (adv_attack.py:416-427) requires the stored surrogate answer to be
@@ -97,7 +154,8 @@ def main(outdir: str, n_samples: int = 2) -> None:
         f.write("\n".join(str(qid) for qid, *_ in samples) + "\n")
     j("sur.json", {str(qid): ans for qid, _, ans, _ in samples})
     j("tgt.json", {str(qid): ans for qid, _, ans, _ in samples})
-    j("para.json", {str(qid): [ans, para] for qid, _, ans, para in samples})
+    j("para.json", para_lists if para_lists is not None
+      else {str(qid): [ans, para] for qid, _, ans, para in samples})
     j("allc.json", {str(qid): [ans] for qid, _, ans, _ in samples})
 
     # ---- VLMo pipeline assets: pyarrow table + id2answer -----------------
@@ -148,7 +206,9 @@ def main(outdir: str, n_samples: int = 2) -> None:
 
 
 if __name__ == "__main__":
+    argv = [a for a in sys.argv[1:] if a != "--realistic"]
     main(
-        sys.argv[1] if len(sys.argv) > 1 else "/tmp/vqa_synth_assets",
-        int(sys.argv[2]) if len(sys.argv) > 2 else 2,
+        argv[0] if argv else "/tmp/vqa_synth_assets",
+        int(argv[1]) if len(argv) > 1 else 2,
+        realistic="--realistic" in sys.argv,
     )
