@@ -159,6 +159,13 @@ def _make_albef(batch, iters, dtype, fused, remat, unroll):
     # albef_attack_config() defaults remat ON — set it explicitly BOTH ways
     # so BENCH_REMAT=0 really disables it
     cfg = _with_remat(albef_attack_config(), remat)
+    if os.environ.get("BENCH_FUSED_LN") == "1":
+        # fuse every ViT residual-add + LayerNorm into one Pallas pass
+        # (ops/fused_ln.py); A/B lever for PERF.md round 3
+        albef = dataclasses.replace(
+            cfg.albef, vit=dataclasses.replace(cfg.albef.vit, fused_ln=True)
+        )
+        cfg = dataclasses.replace(cfg, albef=albef)
     model = AlbefPretrain(cfg.albef, dtype=dtype, fused_feats=fused)
     # FLOP counting uses the no-remat program: MFU's numerator is
     # algorithmic FLOPs, so remat recompute must not inflate it

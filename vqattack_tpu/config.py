@@ -42,6 +42,9 @@ class ViTConfig:
     # checkpoint only the [B,H,S,S] attention scores/probs (recomputed in
     # backward); the selective point between remat on/off — see PERF.md
     remat_scores: bool = False
+    # fuse every residual-add + LayerNorm pair into one Pallas pass
+    # (ops/fused_ln.py); same math, A/B'd in PERF.md round 3
+    fused_ln: bool = False
 
     @property
     def num_patches(self) -> int:

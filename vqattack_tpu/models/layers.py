@@ -148,32 +148,78 @@ class MultiHeadAttention(nn.Module):
         return nn.Dense(self.out_dim, dtype=self.dtype, name="proj")(out)
 
 
+class ResidualLayerNorm(nn.Module):
+    """``(x + delta, LayerNorm(x + delta))`` with the parameter tree of a
+    plain ``nn.LayerNorm`` (``scale``/``bias``) so checkpoint conversion is
+    untouched.  On TPU with 128-multiple widths this runs the fused Pallas
+    kernel (``ops/fused_ln.py``) — one pass instead of XLA's separate
+    add fusion + latency-bound convert+reduce stat fusion; elsewhere it
+    falls back to the numerically-equivalent jnp twin."""
+
+    epsilon: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, delta):
+        from vqattack_tpu.ops.fused_ln import residual_layernorm
+
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
+        x = x.astype(self.dtype)
+        if delta is not None:
+            delta = delta.astype(self.dtype)
+        return residual_layernorm(x, delta, scale, bias, self.epsilon)
+
+
 class ViTBlock(nn.Module):
-    """Pre-LN transformer block (reference ``vit.py:77-94``)."""
+    """Pre-LN transformer block (reference ``vit.py:77-94``).
+
+    With ``fused_ln`` the block takes and returns a *pending-residual* pair
+    — ``__call__(x, delta)`` first materializes ``x + delta`` (the previous
+    block's un-added MLP output) through the fused residual+LayerNorm
+    kernel, and returns its own MLP output un-added — so every LayerNorm in
+    the trunk fuses with the residual add that produces its input.  The
+    trunk closes the last pending pair with the final norm (see
+    ``VisionTransformer``).  Same math; A/B'd in PERF.md round 3.
+    """
 
     num_heads: int
     mlp_ratio: float = 4.0
     layer_norm_eps: float = 1e-6
     remat_scores: bool = False
+    fused_ln: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, delta: Optional[jnp.ndarray] = None):
         dim = x.shape[-1]
         head_dim = dim // self.num_heads
-        h = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm1")(x)
-        x = x + MultiHeadAttention(
+        attn = MultiHeadAttention(
             num_heads=self.num_heads,
             head_dim=head_dim,
             out_dim=dim,
             remat_scores=self.remat_scores,
             dtype=self.dtype,
             name="attn",
-        )(h)
+        )
+        mlp = Mlp(hidden_dim=int(dim * self.mlp_ratio), out_dim=dim,
+                  dtype=self.dtype, name="mlp")
+        if self.fused_ln:
+            # returns (s, d_out, x_tap): x_tap = x + delta is this block's
+            # INPUT stream (the previous block's feature tap); s + d_out is
+            # its un-added output, summed by the next block / final norm
+            x, h = ResidualLayerNorm(epsilon=self.layer_norm_eps,
+                                     dtype=self.dtype, name="norm1")(x, delta)
+            s, h2 = ResidualLayerNorm(epsilon=self.layer_norm_eps,
+                                      dtype=self.dtype, name="norm2")(x, attn(h))
+            return s, mlp(h2), x
+
+        assert delta is None
+        h = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm1")(x)
+        x = x + attn(h)
         h = nn.LayerNorm(epsilon=self.layer_norm_eps, dtype=self.dtype, name="norm2")(x)
-        x = x + Mlp(
-            hidden_dim=int(dim * self.mlp_ratio), out_dim=dim, dtype=self.dtype, name="mlp"
-        )(h)
+        x = x + mlp(h)
         return x
 
 

@@ -72,19 +72,41 @@ class VisionTransformer(nn.Module):
 
         # remat trades recompute for activation memory in the attack backward
         block_cls = nn.remat(ViTBlock) if cfg.remat else ViTBlock
-        feats = [x]
-        for i in range(cfg.depth):
-            x = block_cls(
+
+        def make_block(i):
+            return block_cls(
                 num_heads=cfg.num_heads,
                 mlp_ratio=cfg.mlp_ratio,
                 layer_norm_eps=cfg.layer_norm_eps,
                 remat_scores=cfg.remat_scores,
+                fused_ln=cfg.fused_ln,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
-            )(x)
-            feats.append(x)
+            )
 
-        out = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="norm")(x)
+        feats = [x]
+        if cfg.fused_ln:
+            # pending-residual carry: each block's entry fuses the previous
+            # block's residual add with its LN1; the final norm closes the
+            # last pending pair (see ViTBlock docstring / ops/fused_ln.py)
+            from vqattack_tpu.models.layers import ResidualLayerNorm
+
+            delta = None
+            for i in range(cfg.depth):
+                x, delta, tap = make_block(i)(x, delta)
+                if i > 0:
+                    feats.append(tap)
+            x, out = ResidualLayerNorm(
+                epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="norm"
+            )(x, delta)
+            feats.append(x)
+        else:
+            for i in range(cfg.depth):
+                x = make_block(i)(x)
+                feats.append(x)
+            out = nn.LayerNorm(
+                epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="norm"
+            )(x)
         if not self.stack_feats:
             return out, tuple(feats)
         return out, jnp.stack(feats, axis=1)

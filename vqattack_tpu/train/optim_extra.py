@@ -18,7 +18,7 @@ factory's ``add_weight_decay`` no-decay split, ``optim_factory.py:26-37``).
 from __future__ import annotations
 
 import math
-from typing import Any, NamedTuple, Optional
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
