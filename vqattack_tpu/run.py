@@ -440,16 +440,22 @@ def main(argv: Optional[list] = None) -> None:
         flush_buffer()
     eval_pending()
     save_artifacts(results, args.output)
-    print(
-        json.dumps(
-            {
-                "samples": n_done,
-                "attack_accuracy": flip.value,
-                "mean_attack_s": logger.meters["attack_s"].global_avg if n_done else 0,
-                "output": args.output,
-            }
-        )
-    )
+    summary = {
+        "samples": n_done,
+        "attack_accuracy": flip.value,
+        "mean_attack_s": logger.meters["attack_s"].global_avg if n_done else 0,
+        "output": args.output,
+    }
+    if batched is not None and "bucket_occupancy" in logger.meters:
+        # realized rows/padded-rows across all dispatched buckets — the
+        # steady-state padding tax on a real question/k distribution
+        summary["bucket_occupancy"] = logger.meters["bucket_occupancy"].global_avg
+    if batched is not None and batched._timer.enabled and batched._timer.acc:
+        summary["phase_s"] = {
+            k: round(v, 2) for k, v in sorted(
+                batched._timer.acc.items(), key=lambda kv: -kv[1])
+        }
+    print(json.dumps(summary))
 
 
 def _build_pipeline(args, cfg, tokenizer, use_pallas):
