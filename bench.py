@@ -166,6 +166,16 @@ def _make_albef(batch, iters, dtype, fused, remat, unroll):
             cfg.albef, vit=dataclasses.replace(cfg.albef.vit, fused_ln=True)
         )
         cfg = dataclasses.replace(cfg, albef=albef)
+    sm = os.environ.get("BENCH_SOFTMAX")
+    if sm:
+        # softmax over the [B,H,S,S] scores in this dtype ("bfloat16" halves
+        # the score-tensor traffic, ~1/3 of all program bytes; PERF.md r3)
+        albef = dataclasses.replace(
+            cfg.albef,
+            vit=dataclasses.replace(cfg.albef.vit, softmax_dtype=sm),
+            bert=dataclasses.replace(cfg.albef.bert, softmax_dtype=sm),
+        )
+        cfg = dataclasses.replace(cfg, albef=albef)
     model = AlbefPretrain(cfg.albef, dtype=dtype, fused_feats=fused)
     # FLOP counting uses the no-remat program: MFU's numerator is
     # algorithmic FLOPs, so remat recompute must not inflate it

@@ -230,3 +230,47 @@ def test_bf16_full_trajectory_drift_budget():
     assert d.mean() < 0.5 * eps, d.mean()
     # both respect the ball
     assert (np.abs(np.asarray(a16) - np.asarray(px)) <= eps + 1e-5).all()
+
+
+def test_bf16_softmax_trajectory_drift_budget():
+    """softmax_dtype="bfloat16" (the round-3 score-tensor byte-reduction
+    lever): a full 40-iteration feature attack with the whole softmax
+    pipeline in bf16 must track the f32-softmax bf16-trunk trajectory within
+    the same budget as the bf16-trunk-vs-f32 lever it composes with."""
+    import dataclasses as dc
+
+    from vqattack_tpu.attacks import albef as albef_losses
+    from vqattack_tpu.attacks.pgd import pgd_feature
+
+    base = dc.replace(CFG.albef, mlm_probability=0.0)
+    sm16 = dc.replace(
+        base,
+        vit=dc.replace(base.vit, softmax_dtype="bfloat16"),
+        bert=dc.replace(base.bert, softmax_dtype="bfloat16"),
+    )
+    m_ref = AlbefPretrain(base, dtype=jnp.bfloat16)
+    m_sm = AlbefPretrain(sm16, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    px = jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)), jnp.float32)
+    ids = jnp.asarray(rng.integers(5, base.bert.vocab_size, (2, 8)), jnp.int32)
+    mask = jnp.ones_like(ids)
+    params = jax.jit(m_ref.init)(jax.random.key(0), px, ids, mask)
+    img_f, txt_f, _ = AlbefPretrain(base).apply(params, px, ids, mask)
+    aux = {"variables": params, "text_ids": ids, "text_mask": mask,
+           "tgt_img": img_f, "tgt_txt": txt_f, "txt_token_mask": None,
+           "special_ids": (4, 0, 2)}
+    eps = 0.125
+    kw = dict(eps=eps, eps_iter=0.01, nb_iter=40, rand_init=False,
+              use_pallas=False)
+    a_ref, l_ref = pgd_feature(albef_losses.make_feature_loss(m_ref), px, px,
+                               jax.random.key(1), aux, **kw)
+    a_sm, l_sm = pgd_feature(albef_losses.make_feature_loss(m_sm), px, px,
+                             jax.random.key(1), aux, **kw)
+    l_ref, l_sm = np.asarray(l_ref), np.asarray(l_sm)
+    rel_final = np.abs(l_sm[-1] - l_ref[-1]) / np.abs(l_ref[-1])
+    assert (rel_final < 0.10).all(), rel_final
+    rel_traj = np.mean(np.abs(l_sm - l_ref) / np.maximum(np.abs(l_ref), 1e-6))
+    assert rel_traj < 0.20, rel_traj
+    d = np.abs(np.asarray(a_sm) - np.asarray(a_ref))
+    assert d.mean() < 0.5 * eps, d.mean()
+    assert (np.abs(np.asarray(a_sm) - np.asarray(px)) <= eps + 1e-5).all()

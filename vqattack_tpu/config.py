@@ -45,6 +45,10 @@ class ViTConfig:
     # fuse every residual-add + LayerNorm pair into one Pallas pass
     # (ops/fused_ln.py); same math, A/B'd in PERF.md round 3
     fused_ln: bool = False
+    # softmax pipeline dtype over the [B,H,S,S] scores: "float32" matches
+    # the reference bit-for-bit; "bfloat16" halves the score-tensor bytes
+    # (~1/3 of the program) at a drift-validated precision cost (PERF.md r3)
+    softmax_dtype: str = "float32"
 
     @property
     def num_patches(self) -> int:
@@ -79,6 +83,7 @@ class BertConfig:
     pad_token_id: int = 0
     remat: bool = False  # jax.checkpoint each layer
     remat_scores: bool = False  # checkpoint only attention scores/probs
+    softmax_dtype: str = "float32"  # see ViTConfig.softmax_dtype
 
     @property
     def head_dim(self) -> int:
@@ -132,6 +137,7 @@ class VLMoConfig:
     drop_path_rate: float = 0.0
     remat: bool = False  # jax.checkpoint each block
     remat_scores: bool = False  # checkpoint only attention scores/probs
+    softmax_dtype: str = "float32"  # see ViTConfig.softmax_dtype
     # False = single shared FFN per block (the ViLT single-stream family —
     # the paper's black-box transfer target — is VLMo minus the experts)
     moe: bool = True

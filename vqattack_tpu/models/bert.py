@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vqattack_tpu.config import BertConfig
-from vqattack_tpu.models.layers import (
+from vqattack_tpu.models.layers import (  # noqa: I001
+    resolve_dtype as _resolve_dtype,
     MultiHeadAttention,
     causal_bias,
     gelu,
@@ -38,6 +39,11 @@ from vqattack_tpu.models.layers import (
 )
 
 Dtype = Any
+
+
+def _sm(cfg):
+    # config softmax dtype (string) -> jnp dtype; default f32
+    return _resolve_dtype(getattr(cfg, 'softmax_dtype', 'float32'))
 
 
 class BertEmbeddings(nn.Module):
@@ -110,6 +116,7 @@ class BertLayer(nn.Module):
             out_dim=cfg.num_heads * cfg.head_dim,
             use_out_proj=False,  # HF layout: proj lives in the output block
             remat_scores=cfg.remat_scores,
+            softmax_dtype=_sm(cfg),
             dtype=self.dtype,
             name="attention_self",
         )(x, bias=self_bias)
@@ -123,6 +130,7 @@ class BertLayer(nn.Module):
                 out_dim=cfg.num_heads * cfg.head_dim,
                 use_out_proj=False,
                 remat_scores=cfg.remat_scores,
+                softmax_dtype=_sm(cfg),
                 dtype=self.dtype,
                 name="crossattention_self",
             )(x, kv=encoder_states, bias=cross_bias, attn_scale=cross_attn_scale)

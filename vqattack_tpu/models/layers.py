@@ -25,6 +25,13 @@ Dtype = Any
 NEG_INF = -1e9  # additive-mask fill; large-negative beats -inf under bf16
 
 
+def resolve_dtype(d):
+    """Config-string or jnp dtype -> jnp dtype (configs store strings)."""
+    if isinstance(d, str):
+        return {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[d]
+    return d
+
+
 def gelu(x: jnp.ndarray) -> jnp.ndarray:
     """Exact (erf) GELU — torch ``nn.GELU`` default and HF ``"gelu"``."""
     return jax.nn.gelu(x, approximate=False)
@@ -87,6 +94,12 @@ class MultiHeadAttention(nn.Module):
     # O(S*D) activation and recomputes only the O(S^2) ones — the selective
     # point between the remat on/off extremes A/B'd in PERF.md.
     remat_scores: bool = False
+    # dtype of the softmax pipeline over the [B,H,Sq,Sk] scores.  float32
+    # (default) matches the reference bit-for-bit; under a bf16 trunk the
+    # f32 max/exp/sum passes over the score tensor are ~1/3 of all program
+    # bytes — softmax_dtype=bfloat16 halves them (byte-reduction lever,
+    # trajectory-drift validated like the bf16 trunk; A/B in PERF.md r3)
+    softmax_dtype: Dtype = jnp.float32
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -124,7 +137,7 @@ class MultiHeadAttention(nn.Module):
                 if bias is not None:
                     attn = attn + bias.astype(attn.dtype)
                 attn = jax.nn.softmax(
-                    attn.astype(jnp.float32), axis=-1
+                    attn.astype(self.softmax_dtype), axis=-1
                 ).astype(self.dtype)
                 if attn_scale is not None:
                     # differentiable probe: d(score)/d(attn_scale) at ones
@@ -189,6 +202,7 @@ class ViTBlock(nn.Module):
     layer_norm_eps: float = 1e-6
     remat_scores: bool = False
     fused_ln: bool = False
+    softmax_dtype: Dtype = jnp.float32
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -200,6 +214,7 @@ class ViTBlock(nn.Module):
             head_dim=head_dim,
             out_dim=dim,
             remat_scores=self.remat_scores,
+            softmax_dtype=resolve_dtype(self.softmax_dtype),
             dtype=self.dtype,
             name="attn",
         )

@@ -80,6 +80,7 @@ class VisionTransformer(nn.Module):
                 layer_norm_eps=cfg.layer_norm_eps,
                 remat_scores=cfg.remat_scores,
                 fused_ln=cfg.fused_ln,
+                softmax_dtype=cfg.softmax_dtype,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )

@@ -37,7 +37,12 @@ from flax import linen as nn
 
 from vqattack_tpu.config import VLMoConfig
 from vqattack_tpu.models.bert import BertEmbeddings, BertPredictionHead
-from vqattack_tpu.models.layers import Mlp, MultiHeadAttention, mask_to_bias
+from vqattack_tpu.models.layers import (
+    Mlp,
+    MultiHeadAttention,
+    mask_to_bias,
+    resolve_dtype,
+)
 from vqattack_tpu.config import BertConfig
 
 Dtype = Any
@@ -153,6 +158,7 @@ class MultiWayBlock(nn.Module):
             k_bias=False,  # decomposed qkv bias: k un-biased (:75-93)
             v_bias=True,
             remat_scores=cfg.remat_scores,
+            softmax_dtype=resolve_dtype(cfg.softmax_dtype),
             dtype=self.dtype,
             name="attn",
         )(h, bias=attn_bias)
