@@ -86,6 +86,13 @@ def build_argparser() -> argparse.ArgumentParser:
              "implies --no-remat for the trunk blocks",
     )
     p.add_argument(
+        "--softmax-dtype", choices=["float32", "bfloat16"], default=None,
+        help="dtype of the softmax pipeline over the attention scores "
+             "(default float32 = reference bit parity; bfloat16 halves the "
+             "score-tensor bytes, ~1/3 of the attack program — "
+             "trajectory-drift validated, PERF.md round 3)",
+    )
+    p.add_argument(
         "--dtype", choices=["float32", "bfloat16"], default=None,
         help="surrogate trunk compute dtype (default: config compute_dtype, "
              "float32). bfloat16 + --no-remat + --batch-size 8 is the fastest "
@@ -212,6 +219,17 @@ def resolve_config(args):
         )
     if getattr(args, "dtype", None):
         cfg = dataclasses.replace(cfg, compute_dtype=args.dtype)
+    if getattr(args, "softmax_dtype", None):
+        sm = args.softmax_dtype
+        cfg = dataclasses.replace(
+            cfg,
+            albef=dataclasses.replace(
+                cfg.albef,
+                vit=dataclasses.replace(cfg.albef.vit, softmax_dtype=sm),
+                bert=dataclasses.replace(cfg.albef.bert, softmax_dtype=sm),
+            ),
+            vlmo=dataclasses.replace(cfg.vlmo, softmax_dtype=sm),
+        )
     return cfg
 
 
