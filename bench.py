@@ -25,15 +25,17 @@ A100-class GPU) — a measured-vs-assumed ratio, labeled as such everywhere.
 
 The default (no env knobs) measures the PRODUCTION configuration — the
 best point of the measured batch x dtype x remat matrix (PERF.md):
-bfloat16 trunk (f32 softmax/losses/update), no remat, batch 16, scan
-unroll 4.  Set the env knobs to reproduce any other matrix point (the
+bfloat16 trunk AND bf16 score-softmax pipeline (losses/update stay f32),
+no remat, batch 16, scan unroll 4.  Set the env knobs to reproduce any other matrix point (the
 round-1 headline was the reference's own config: BENCH_BATCH=1
 BENCH_DTYPE=float32).  Longitudinal note: headlines recorded before the
 unroll lever landed were unroll=1 (BENCH_UNROLL=1 reproduces them);
 matrix rows carry an explicit "unroll" field, with absent = 1.
 
 Env knobs: BENCH_BATCH (default 16), BENCH_ITERS (default 40),
-BENCH_DTYPE (float32|bfloat16, default bfloat16), BENCH_ATTN (xla|flash),
+BENCH_DTYPE (float32|bfloat16, default bfloat16), BENCH_SOFTMAX
+(float32|bfloat16; default bfloat16 when the trunk is bf16 — the round-3
+score-pipeline byte-reduction lever, +6.1% measured), BENCH_ATTN (xla|flash),
 BENCH_PRECISION (default|high|highest), BENCH_REMAT (default 0;
 1 = full block remat, "scores" = attention-scores-only),
 BENCH_FUSED_LOSS (1 = per-layer cosine without materializing the image
@@ -166,8 +168,12 @@ def _make_albef(batch, iters, dtype, fused, remat, unroll):
             cfg.albef, vit=dataclasses.replace(cfg.albef.vit, fused_ln=True)
         )
         cfg = dataclasses.replace(cfg, albef=albef)
-    sm = os.environ.get("BENCH_SOFTMAX")
-    if sm:
+    # production default: bf16 score pipeline (+6.1% measured, same-hour
+    # A/B; trajectory-drift validated like the bf16 trunk itself).
+    # BENCH_SOFTMAX=float32 reproduces the reference-bit-parity softmax.
+    sm = os.environ.get("BENCH_SOFTMAX", "bfloat16" if dtype == jnp.bfloat16
+                        else None)
+    if sm and sm != "float32":
         # softmax over the [B,H,S,S] scores in this dtype ("bfloat16" halves
         # the score-tensor traffic, ~1/3 of all program bytes; PERF.md r3)
         albef = dataclasses.replace(
@@ -241,10 +247,13 @@ def _make_vlmo(batch, iters, dtype, fused, remat, unroll):
 
     # vlmo_attack_config() defaults remat ON — honor BENCH_REMAT all ways
     cfg = vlmo_attack_config()
+    sm = os.environ.get("BENCH_SOFTMAX", "bfloat16" if dtype == jnp.bfloat16
+                        else None)
     cfg = dataclasses.replace(
         cfg,
         vlmo=dataclasses.replace(
-            cfg.vlmo, remat=remat is True, remat_scores=remat == "scores"
+            cfg.vlmo, remat=remat is True, remat_scores=remat == "scores",
+            softmax_dtype=sm if sm else cfg.vlmo.softmax_dtype,
         ),
     )
     model = VLMo(cfg.vlmo, dtype=dtype, fused_feats=fused)
