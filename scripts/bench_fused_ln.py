@@ -57,20 +57,24 @@ def main(iters: int = 30) -> None:
     beta = jnp.asarray(rng.normal(size=(D,)) * 0.05, jnp.float32)
     w = jnp.asarray(rng.normal(size=(D, D)) * 0.02, DTYPE)
 
+    def hard_sync(out):
+        # device->host scalar: the tunneled runtime's only reliable sync
+        # (block_until_ready can return before remote execution finishes,
+        # leaking warmup/upload time into whatever is timed next)
+        np.asarray(jax.device_get(out[0].reshape(-1)[:1]))
+
     for name, fused in (("xla", False), ("pallas", True)):
         f = make_chain(fused)
         t0 = time.perf_counter()
-        out = f(x, delta, gamma, beta, w)
-        jax.block_until_ready(out)
+        hard_sync(f(x, delta, gamma, beta, w))
         compile_s = time.perf_counter() - t0
+        hard_sync(f(x, delta, gamma, beta, w))  # steady-state warmup
         t0 = time.perf_counter()
         for _ in range(iters):
             out = f(x, delta, gamma, beta, w)
-        jax.block_until_ready(out)
-        # device->host scalar: the tunneled runtime's only reliable sync
-        np.asarray(jax.device_get(out[0].reshape(-1)[:1]))
+        hard_sync(out)
         dt = (time.perf_counter() - t0) / iters
-        print(f"{name}: {dt * 1e3:.2f} ms/step (compile {compile_s:.1f}s)")
+        print(f"{name}: {dt * 1e3:.2f} ms/step (compile+upload {compile_s:.1f}s)")
 
 
 if __name__ == "__main__":
