@@ -40,7 +40,9 @@ BENCH_PRECISION (default|high|highest), BENCH_REMAT (default 0;
 1 = full block remat, "scores" = attention-scores-only),
 BENCH_FUSED_LOSS (1 = per-layer cosine without materializing the image
 feature stack), BENCH_UNROLL (scan unroll width, default 4 = measured
-production sweet spot), BENCH_MODEL (albef|vlmo), BENCH_MATRIX (1 = run the
+production sweet spot), BENCH_DYNAMIC (1 = the traced-trip-count while-loop
+kernel the sweep uses under --dynamic-pgd; unroll is then N/A),
+BENCH_MODEL (albef|vlmo), BENCH_MATRIX (1 = run the
 batch x dtype matrix, write BENCH_MATRIX.json, print per-config lines to
 stderr; the stdout JSON line is then the b=1 f32 headline for driver
 comparability).
@@ -214,14 +216,27 @@ def _make_albef(batch, iters, dtype, fused, remat, unroll):
     loss = albef_losses.make_feature_loss(model)
     flops_loss = albef_losses.make_feature_loss(flops_model)
 
-    def run(key):
-        return pgd_feature(
-            loss, px, px, key, aux,
-            eps=atk.eps, eps_iter=atk.step_size, nb_iter=iters,
-            clip_min=atk.clip_min, clip_max=atk.clip_max,
-            rand_init=True, use_pallas=_pallas_update(),
-            unroll=unroll,
-        )
+    if os.environ.get("BENCH_DYNAMIC") == "1":
+        # the traced-trip-count kernel the sweep uses under --dynamic-pgd:
+        # measures the while-loop steady state vs the static scan
+        from vqattack_tpu.attacks.pgd import pgd_feature_dynamic
+
+        def run(key):
+            return pgd_feature_dynamic(
+                loss, px, px, key, jnp.int32(iters), jnp.asarray(True), aux,
+                eps=atk.eps, eps_iter=atk.step_size, max_iter=iters,
+                clip_min=atk.clip_min, clip_max=atk.clip_max,
+                use_pallas=_pallas_update(),
+            )
+    else:
+        def run(key):
+            return pgd_feature(
+                loss, px, px, key, aux,
+                eps=atk.eps, eps_iter=atk.step_size, nb_iter=iters,
+                clip_min=atk.clip_min, clip_max=atk.clip_max,
+                rand_init=True, use_pallas=_pallas_update(),
+                unroll=unroll,
+            )
 
     def flops():
         return _flops_of(
@@ -286,14 +301,27 @@ def _make_vlmo(batch, iters, dtype, fused, remat, unroll):
     loss = vlmo_losses.make_feature_loss(model)
     flops_loss = vlmo_losses.make_feature_loss(flops_model)
 
-    def run(key):
-        return pgd_feature(
-            loss, px, px, key, aux,
-            eps=atk.eps, eps_iter=atk.step_size, nb_iter=iters,
-            clip_min=atk.clip_min, clip_max=atk.clip_max,
-            rand_init=True, use_pallas=_pallas_update(),
-            unroll=unroll,
-        )
+    if os.environ.get("BENCH_DYNAMIC") == "1":
+        # the traced-trip-count kernel the sweep uses under --dynamic-pgd:
+        # measures the while-loop steady state vs the static scan
+        from vqattack_tpu.attacks.pgd import pgd_feature_dynamic
+
+        def run(key):
+            return pgd_feature_dynamic(
+                loss, px, px, key, jnp.int32(iters), jnp.asarray(True), aux,
+                eps=atk.eps, eps_iter=atk.step_size, max_iter=iters,
+                clip_min=atk.clip_min, clip_max=atk.clip_max,
+                use_pallas=_pallas_update(),
+            )
+    else:
+        def run(key):
+            return pgd_feature(
+                loss, px, px, key, aux,
+                eps=atk.eps, eps_iter=atk.step_size, nb_iter=iters,
+                clip_min=atk.clip_min, clip_max=atk.clip_max,
+                rand_init=True, use_pallas=_pallas_update(),
+                unroll=unroll,
+            )
 
     def flops():
         return _flops_of(

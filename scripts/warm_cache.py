@@ -14,11 +14,15 @@ Usage::
 
     python scripts/warm_cache.py [--model albef|vlmo] [--batch-sizes 1,8]
         [--max-k 8] [--iters 40] [--image-size 480] [--cache-dir DIR]
-        [--dtype bfloat16] [--no-remat]
+        [--dtype bfloat16] [--no-remat] [--softmax-dtype bfloat16] [--dynamic]
 
-Pass the same ``--dtype`` / ``--no-remat`` the sweep will use (e.g. the
-fastest measured config ``--dtype bfloat16 --no-remat``) — they change the
-compiled HLO, so warming the default config does not cover them.
+Pass the same ``--dtype`` / ``--no-remat`` / ``--softmax-dtype`` the sweep
+will use (e.g. the fastest measured config ``--dtype bfloat16 --no-remat
+--softmax-dtype bfloat16``) — they change the compiled HLO, so warming the
+default config does not cover them.  ``--dynamic`` matches a
+``--dynamic-pgd`` sweep: the whole block lattice collapses to one
+traced-trip-count program per (algorithm, label rank), so there is far
+less to warm.
 ``--batch-sizes`` closes downward over powers of two automatically
 (``--batch-sizes 8`` warms 1,2,4,8): leftover bucket chunks run at every
 power of two below the sweep's ``--batch-size`` (attacks/batched.py).
@@ -61,9 +65,10 @@ def _distinct_blocks(max_k: int, total_iters: int):
     return sorted(out)
 
 
-def _apply_overrides(cfg, dtype, no_remat):
-    """Mirror run.py::resolve_config's --dtype/--no-remat transforms so the
-    warmed programs are HLO-identical to what the sweep compiles."""
+def _apply_overrides(cfg, dtype, no_remat, softmax_dtype=None):
+    """Mirror run.py::resolve_config's --dtype/--no-remat/--softmax-dtype
+    transforms so the warmed programs are HLO-identical to what the sweep
+    compiles."""
     import dataclasses
 
     if no_remat:
@@ -78,6 +83,18 @@ def _apply_overrides(cfg, dtype, no_remat):
         )
     if dtype:
         cfg = dataclasses.replace(cfg, compute_dtype=dtype)
+    if softmax_dtype:
+        cfg = dataclasses.replace(
+            cfg,
+            albef=dataclasses.replace(
+                cfg.albef,
+                vit=dataclasses.replace(
+                    cfg.albef.vit, softmax_dtype=softmax_dtype),
+                bert=dataclasses.replace(
+                    cfg.albef.bert, softmax_dtype=softmax_dtype),
+            ),
+            vlmo=dataclasses.replace(cfg.vlmo, softmax_dtype=softmax_dtype),
+        )
     return cfg
 
 
@@ -88,16 +105,24 @@ def _trunk_dtype(cfg):
 
 
 def warm_albef(batch_sizes, max_k, total_iters, image_size, use_pallas,
-               cfg=None, *, dtype=None, no_remat=False):
+               cfg=None, *, dtype=None, no_remat=False, dynamic=False,
+               softmax_dtype=None):
     import jax
     import jax.numpy as jnp
 
     from vqattack_tpu.attacks import albef as albef_losses
-    from vqattack_tpu.attacks.pgd import pgd_alternating, pgd_feature, pgd_vl_step
+    from vqattack_tpu.attacks.pgd import (
+        pgd_alternating,
+        pgd_alternating_dynamic,
+        pgd_feature,
+        pgd_feature_dynamic,
+        pgd_vl_step,
+    )
     from vqattack_tpu.config import albef_attack_config
     from vqattack_tpu.models.albef import AlbefPretrain
 
-    cfg = _apply_overrides(cfg or albef_attack_config(), dtype, no_remat)
+    cfg = _apply_overrides(cfg or albef_attack_config(), dtype, no_remat,
+                           softmax_dtype)
     model = AlbefPretrain(cfg.albef, dtype=_trunk_dtype(cfg))
     atk = cfg.attack
     s = atk.max_text_len
@@ -145,6 +170,44 @@ def warm_albef(batch_sizes, max_k, total_iters, image_size, use_pallas,
                       clip_min=atk.clip_min, clip_max=atk.clip_max,
                       use_pallas=use_pallas)
 
+        if dynamic:
+            # --dynamic-pgd sweeps: the whole block lattice is ONE program
+            # per (algorithm, label rank); the VL width is fixed
+            nb, ri = sds((), i32), sds((), jnp.bool_)
+            t0 = time.perf_counter()
+            pgd_feature_dynamic.lower(
+                feat, px, px, key, nb, ri, aux, max_iter=total_iters, **common,
+            ).compile()
+            count += 1
+            print(f"albef feature-dynamic b={b}: "
+                  f"{time.perf_counter() - t0:.1f}s", flush=True)
+            for label_aux, rank in ((mlm_aux, 2), (mlm_aux3, 3)):
+                mix_aux = dict(label_aux, mlm_weight=sds((b,), f32))
+                for second, second_aux, tag in (
+                    (mlm, label_aux, ""), (mixed, mix_aux, " mixed"),
+                ):
+                    t0 = time.perf_counter()
+                    pgd_alternating_dynamic.lower(
+                        feat, second, px, px, key, nb, ri, second_aux,
+                        max_iter=total_iters // 2, **common,
+                    ).compile()
+                    count += 1
+                    print(f"albef alternating-dynamic{tag} b={b} "
+                          f"labels={rank}D: {time.perf_counter() - t0:.1f}s",
+                          flush=True)
+            for p in sorted({w for w in _vl_widths(max_k)
+                             if w >= atk.max_sub_words}
+                            | {1 << (atk.max_sub_words - 1).bit_length()}):
+                t0 = time.perf_counter()
+                pgd_vl_step.lower(
+                    vl, px, sds((b, s, d), f32), px, sds((b, p), i32), key,
+                    aux, **common,
+                ).compile()
+                count += 1
+                print(f"albef vl b={b} p={p}: "
+                      f"{time.perf_counter() - t0:.1f}s", flush=True)
+            continue
+
         for n, first in _distinct_blocks(max_k, total_iters):
             t0 = time.perf_counter()
             pgd_feature.lower(
@@ -189,16 +252,24 @@ def warm_albef(batch_sizes, max_k, total_iters, image_size, use_pallas,
 
 
 def warm_vlmo(batch_sizes, max_k, total_iters, image_size, use_pallas,
-              cfg=None, *, dtype=None, no_remat=False):
+              cfg=None, *, dtype=None, no_remat=False, dynamic=False,
+              softmax_dtype=None):
     import jax
     import jax.numpy as jnp
 
     from vqattack_tpu.attacks import vlmo as vlmo_losses
-    from vqattack_tpu.attacks.pgd import pgd_alternating, pgd_feature, pgd_vl_step
+    from vqattack_tpu.attacks.pgd import (
+        pgd_alternating,
+        pgd_alternating_dynamic,
+        pgd_feature,
+        pgd_feature_dynamic,
+        pgd_vl_step,
+    )
     from vqattack_tpu.config import vlmo_attack_config
     from vqattack_tpu.models.vlmo import VLMo
 
-    cfg = _apply_overrides(cfg or vlmo_attack_config(), dtype, no_remat)
+    cfg = _apply_overrides(cfg or vlmo_attack_config(), dtype, no_remat,
+                           softmax_dtype)
     model = VLMo(cfg.vlmo, dtype=_trunk_dtype(cfg))
     atk = cfg.attack
     t = cfg.vlmo.max_text_len
@@ -246,6 +317,42 @@ def warm_vlmo(batch_sizes, max_k, total_iters, image_size, use_pallas,
         common = dict(eps=atk.eps, eps_iter=atk.step_size,
                       clip_min=atk.clip_min, clip_max=atk.clip_max,
                       use_pallas=use_pallas)
+
+        if dynamic:
+            nb, ri = sds((), i32), sds((), jnp.bool_)
+            t0 = time.perf_counter()
+            pgd_feature_dynamic.lower(
+                feat, px, px, key, nb, ri, aux, max_iter=total_iters, **common,
+            ).compile()
+            count += 1
+            print(f"vlmo feature-dynamic b={b}: "
+                  f"{time.perf_counter() - t0:.1f}s", flush=True)
+            for label_aux, rank in ((mlm_aux, 2), (mlm_aux3, 3)):
+                mix_aux = dict(label_aux, mlm_weight=sds((b,), f32))
+                for second, second_aux, tag in (
+                    (mlm, label_aux, ""), (mixed, mix_aux, " mixed"),
+                ):
+                    t0 = time.perf_counter()
+                    pgd_alternating_dynamic.lower(
+                        feat, second, px, px, key, nb, ri, second_aux,
+                        max_iter=total_iters // 2, **common,
+                    ).compile()
+                    count += 1
+                    print(f"vlmo alternating-dynamic{tag} b={b} "
+                          f"labels={rank}D: {time.perf_counter() - t0:.1f}s",
+                          flush=True)
+            for p in sorted({w for w in _vl_widths(max_k)
+                             if w >= atk.max_sub_words}
+                            | {1 << (atk.max_sub_words - 1).bit_length()}):
+                t0 = time.perf_counter()
+                pgd_vl_step.lower(
+                    vl, px, sds((b, t, d), f32), px, sds((b, p), i32), key,
+                    aux, **common,
+                ).compile()
+                count += 1
+                print(f"vlmo vl b={b} p={p}: "
+                      f"{time.perf_counter() - t0:.1f}s", flush=True)
+            continue
 
         for n, first in _distinct_blocks(max_k, total_iters):
             t0 = time.perf_counter()
@@ -319,6 +426,15 @@ def main() -> None:
                          "are the ones the sweep compiles")
     ap.add_argument("--no-remat", action="store_true",
                     help="match the sweep's --no-remat")
+    ap.add_argument("--softmax-dtype", choices=["float32", "bfloat16"],
+                    default=None,
+                    help="match the sweep's --softmax-dtype (changes the "
+                         "compiled HLO)")
+    ap.add_argument("--dynamic", action="store_true",
+                    help="match the sweep's --dynamic-pgd: warm the "
+                         "traced-trip-count kernels (one program per "
+                         "algorithm x label rank instead of the block "
+                         "lattice)")
     args = ap.parse_args()
 
     import jax
@@ -334,7 +450,8 @@ def main() -> None:
     )
     fn = warm_vlmo if args.model == "vlmo" else warm_albef
     n = fn(batch_sizes, args.max_k, args.iters, args.image_size, use_pallas,
-           dtype=args.dtype, no_remat=args.no_remat)
+           dtype=args.dtype, no_remat=args.no_remat, dynamic=args.dynamic,
+           softmax_dtype=args.softmax_dtype)
     print(f"warmed {n} programs into {cache_dir}")
 
 

@@ -169,6 +169,59 @@ def test_cli_batched_mode(tmp_path):
         assert (out_dir / f"{qid}.npy").exists()
 
 
+def test_cli_batched_dynamic_pgd(tmp_path):
+    """--dynamic-pgd routes the batched sweep through the traced-trip-count
+    kernels (attacks/pgd.py dynamic variants) end to end."""
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from vqattack_tpu.run import main
+
+    words = ["what", "color", "is", "the", "dog", "cat", "red", "blue"]
+    vocab_file = tmp_path / "vocab.txt"
+    vocab_size = _write_vocab(vocab_file, words)
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(0)
+    ann = []
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (40, 40, 3), np.uint8)).save(
+            img_dir / f"{i}.jpg"
+        )
+        ann.append({"image": f"{i}.jpg", "question": "what color is the dog",
+                    "question_id": 300 + i})
+    (tmp_path / "ann.json").write_text(json.dumps(ann))
+    (tmp_path / "answers.json").write_text(json.dumps(["red", "blue"]))
+
+    base = cfg_mod.tiny_test_config()
+    import dataclasses
+
+    bert = dataclasses.replace(base.albef.bert, vocab_size=vocab_size)
+    albef = dataclasses.replace(base.albef, bert=bert)
+    data = dataclasses.replace(base.data, image_size=32)
+    cfg = dataclasses.replace(base, albef=albef, data=data, eval_every=2,
+                              k_test=2)
+    cfg_path = tmp_path / "cfg.json"
+    cfg_mod.save_config(cfg, str(cfg_path))
+
+    out_dir = tmp_path / "out"
+    main([
+        "--pipeline", "albef",
+        "--config", str(cfg_path),
+        "--vocab", str(vocab_file),
+        "--ann", str(tmp_path / "ann.json"),
+        "--image-root", str(img_dir),
+        "--answer-list", str(tmp_path / "answers.json"),
+        "--output", str(out_dir),
+        "--batch-size", "2",
+        "--dynamic-pgd",
+        "--no-pallas",
+    ])
+    for qid in (300, 301):
+        assert (out_dir / f"{qid}.npy").exists()
+
+
 def test_cli_vlmo_arrow_path(tmp_path):
     """VLMo pipeline over pyarrow tables (--arrow), end to end."""
     pytest.importorskip("PIL")

@@ -29,7 +29,7 @@ def test_distinct_blocks_cover_schedules():
         assert (sched[0], True) in blocks
 
 
-def _warm_in_subprocess(fn_name: str) -> int:
+def _warm_in_subprocess(fn_name: str, extra: str = "") -> int:
     """Run a warm function in a FRESH interpreter.
 
     The full suite accumulates hundreds of XLA:CPU compilations in one
@@ -50,7 +50,7 @@ def _warm_in_subprocess(fn_name: str) -> int:
         "spec = importlib.util.spec_from_file_location('warm_cache', "
         f"{os.path.join(os.path.dirname(__file__), '..', 'scripts', 'warm_cache.py')!r})\n"
         "wc = importlib.util.module_from_spec(spec); spec.loader.exec_module(wc)\n"
-        f"n = wc.{fn_name}((1,), 1, 4, 32, False, cfg=tiny_test_config())\n"
+        f"n = wc.{fn_name}((1,), 1, 4, 32, False, cfg=tiny_test_config(){extra})\n"
         "print('WARMED', n)\n"
     )
     out = subprocess.run(
@@ -73,6 +73,13 @@ def test_warm_albef_compiles_tiny():
 
 def test_warm_vlmo_compiles_tiny():
     assert _warm_in_subprocess("warm_vlmo") == 17
+
+
+def test_warm_albef_dynamic_compiles_tiny():
+    # --dynamic collapses the block lattice: 1 feature-dynamic + 4
+    # alternating-dynamic (2D/3D labels x plain/mixed) + 1 fixed-width vl
+    # program (max_sub_words=16 -> width 16) = 6 programs
+    assert _warm_in_subprocess("warm_albef", ", dynamic=True") == 6
 
 
 def test_vl_widths_cover_pow2_padding():

@@ -38,7 +38,13 @@ import numpy as np
 from vqattack_tpu.attacks import albef as albef_losses
 from vqattack_tpu.attacks.mar_labels import MarLabels, build_mar_labels
 from vqattack_tpu.attacks.orchestrator import AlbefAttackPipeline, AttackResult
-from vqattack_tpu.attacks.pgd import pgd_alternating, pgd_feature, pgd_vl_step
+from vqattack_tpu.attacks.pgd import (
+    pgd_alternating,
+    pgd_alternating_dynamic,
+    pgd_feature,
+    pgd_feature_dynamic,
+    pgd_vl_step,
+)
 from vqattack_tpu.attacks.text_attack import (
     SubstitutionRequest,
     WordCandidates,
@@ -300,6 +306,10 @@ class BatchedAlbefAttack:
         # pre-compiled widths (1,2,4,...) cover every bucket
         max_p = max((len(s.cands.attack_positions) for s in states), default=0)
         if max_p > 0:
+            if atk.dynamic_pgd:
+                # fixed width: the VL-step gather is the only shape that
+                # would otherwise re-specialize per bucket on this path
+                max_p = max(max_p, atk.max_sub_words)
             max_p = 1 << (max_p - 1).bit_length()
 
         if self.mesh is not None:
@@ -339,25 +349,47 @@ class BatchedAlbefAttack:
 
             with self._timer.phase("pgd"):
                 if old_alg == 1:
-                    adv_px, losses = pgd_feature(
-                        p._feature_loss, adv_px, ori_px, r_block, aux,
-                        eps=atk.eps, eps_iter=atk.step_size, nb_iter=block_iters,
-                        clip_min=atk.clip_min, clip_max=atk.clip_max,
-                        rand_init=rand_init, use_pallas=p.use_pallas,
-                        unroll=atk.scan_unroll,
-                    )
-                    ln = np.asarray(losses)
+                    if atk.dynamic_pgd:
+                        adv_px, losses = pgd_feature_dynamic(
+                            p._feature_loss, adv_px, ori_px, r_block,
+                            jnp.int32(block_iters), jnp.asarray(rand_init), aux,
+                            eps=atk.eps, eps_iter=atk.step_size,
+                            max_iter=atk.num_iters,
+                            clip_min=atk.clip_min, clip_max=atk.clip_max,
+                            use_pallas=p.use_pallas,
+                        )
+                    else:
+                        adv_px, losses = pgd_feature(
+                            p._feature_loss, adv_px, ori_px, r_block, aux,
+                            eps=atk.eps, eps_iter=atk.step_size, nb_iter=block_iters,
+                            clip_min=atk.clip_min, clip_max=atk.clip_max,
+                            rand_init=rand_init, use_pallas=p.use_pallas,
+                            unroll=atk.scan_unroll,
+                        )
+                    ln = np.asarray(losses)[:block_iters]
                     for j in range(b):
                         feat_losses[j].append(ln[:, j])
                 else:
-                    adv_px, fl, ml = pgd_alternating(
-                        p._feature_loss, second, adv_px, ori_px, r_block, aux,
-                        eps=atk.eps, eps_iter=atk.step_size, nb_iter=block_iters // 2,
-                        clip_min=atk.clip_min, clip_max=atk.clip_max,
-                        rand_init=rand_init, use_pallas=p.use_pallas,
-                        unroll=atk.scan_unroll,
-                    )
-                    fln, mln = np.asarray(fl), np.asarray(ml)
+                    if atk.dynamic_pgd:
+                        adv_px, fl, ml = pgd_alternating_dynamic(
+                            p._feature_loss, second, adv_px, ori_px, r_block,
+                            jnp.int32(block_iters // 2), jnp.asarray(rand_init),
+                            aux,
+                            eps=atk.eps, eps_iter=atk.step_size,
+                            max_iter=atk.num_iters // 2,
+                            clip_min=atk.clip_min, clip_max=atk.clip_max,
+                            use_pallas=p.use_pallas,
+                        )
+                    else:
+                        adv_px, fl, ml = pgd_alternating(
+                            p._feature_loss, second, adv_px, ori_px, r_block, aux,
+                            eps=atk.eps, eps_iter=atk.step_size, nb_iter=block_iters // 2,
+                            clip_min=atk.clip_min, clip_max=atk.clip_max,
+                            rand_init=rand_init, use_pallas=p.use_pallas,
+                            unroll=atk.scan_unroll,
+                        )
+                    fln = np.asarray(fl)[: block_iters // 2]
+                    mln = np.asarray(ml)[: block_iters // 2]
                     for j in range(b):
                         feat_losses[j].append(fln[:, j])
                         mlm_losses[j].append(mln[:, j])

@@ -26,7 +26,13 @@ import numpy as np
 
 from vqattack_tpu.attacks import albef as albef_losses
 from vqattack_tpu.attacks.mar_labels import MarLabels, build_mar_labels
-from vqattack_tpu.attacks.pgd import pgd_alternating, pgd_feature, pgd_vl_step
+from vqattack_tpu.attacks.pgd import (
+    pgd_alternating,
+    pgd_alternating_dynamic,
+    pgd_feature,
+    pgd_feature_dynamic,
+    pgd_vl_step,
+)
 from vqattack_tpu.attacks.text_attack import (
     apply_substitutions_to_paraphrase,
     generate_candidates,
@@ -252,14 +258,24 @@ class AlbefAttackPipeline:
             rand_init = first_block and atk.rand_init
 
             if old_alg == 1:
-                adv_px, losses = pgd_feature(
-                    self._feature_loss, adv_px, ori_px, r_block, aux,
-                    eps=atk.eps, eps_iter=atk.step_size, nb_iter=block_iters,
-                    clip_min=atk.clip_min, clip_max=atk.clip_max,
-                    rand_init=rand_init, use_pallas=self.use_pallas,
-                    unroll=atk.scan_unroll,
-                )
-                feat_losses.append(np.asarray(losses)[:, 0])
+                if atk.dynamic_pgd:
+                    adv_px, losses = pgd_feature_dynamic(
+                        self._feature_loss, adv_px, ori_px, r_block,
+                        jnp.int32(block_iters), jnp.asarray(rand_init), aux,
+                        eps=atk.eps, eps_iter=atk.step_size,
+                        max_iter=atk.num_iters,
+                        clip_min=atk.clip_min, clip_max=atk.clip_max,
+                        use_pallas=self.use_pallas,
+                    )
+                else:
+                    adv_px, losses = pgd_feature(
+                        self._feature_loss, adv_px, ori_px, r_block, aux,
+                        eps=atk.eps, eps_iter=atk.step_size, nb_iter=block_iters,
+                        clip_min=atk.clip_min, clip_max=atk.clip_max,
+                        rand_init=rand_init, use_pallas=self.use_pallas,
+                        unroll=atk.scan_unroll,
+                    )
+                feat_losses.append(np.asarray(losses)[:block_iters, 0])
             else:
                 # label-alignment guard: if substitution changed the masked
                 # paraphrase's token count, the labels no longer align and the
@@ -273,15 +289,25 @@ class AlbefAttackPipeline:
                 aux["mlm_mask"] = jnp.asarray(cur_mask[None])
                 aux["mlm_labels"] = jnp.asarray(mar.labels[None])
                 second_loss = self._mlm_loss if aligned else self._feature_loss
-                adv_px, fl, ml = pgd_alternating(
-                    self._feature_loss, second_loss, adv_px, ori_px, r_block, aux,
-                    eps=atk.eps, eps_iter=atk.step_size, nb_iter=block_iters // 2,
-                    clip_min=atk.clip_min, clip_max=atk.clip_max,
-                    rand_init=rand_init, use_pallas=self.use_pallas,
-                    unroll=atk.scan_unroll,
-                )
-                feat_losses.append(np.asarray(fl)[:, 0])
-                mlm_losses.append(np.asarray(ml)[:, 0])
+                if atk.dynamic_pgd:
+                    adv_px, fl, ml = pgd_alternating_dynamic(
+                        self._feature_loss, second_loss, adv_px, ori_px, r_block,
+                        jnp.int32(block_iters // 2), jnp.asarray(rand_init), aux,
+                        eps=atk.eps, eps_iter=atk.step_size,
+                        max_iter=atk.num_iters // 2,
+                        clip_min=atk.clip_min, clip_max=atk.clip_max,
+                        use_pallas=self.use_pallas,
+                    )
+                else:
+                    adv_px, fl, ml = pgd_alternating(
+                        self._feature_loss, second_loss, adv_px, ori_px, r_block, aux,
+                        eps=atk.eps, eps_iter=atk.step_size, nb_iter=block_iters // 2,
+                        clip_min=atk.clip_min, clip_max=atk.clip_max,
+                        rand_init=rand_init, use_pallas=self.use_pallas,
+                        unroll=atk.scan_unroll,
+                    )
+                feat_losses.append(np.asarray(fl)[: block_iters // 2, 0])
+                mlm_losses.append(np.asarray(ml)[: block_iters // 2, 0])
             first_block = False
 
             if block_idx == len(iter_list) - 1 or not cands.attack_word_indices:

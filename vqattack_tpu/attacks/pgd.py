@@ -180,6 +180,123 @@ def pgd_alternating(
     return adv, feat_losses, mlm_losses
 
 
+@partial(
+    jax.jit,
+    static_argnames=("loss_fn", "max_iter", "norm", "use_pallas",
+                     "eps", "eps_iter", "clip_min", "clip_max"),
+)
+def pgd_feature_dynamic(
+    loss_fn: LossFn,
+    x: jnp.ndarray,
+    ori_x: jnp.ndarray,
+    rng: jax.Array,
+    nb_iter: jnp.ndarray,
+    rand_init: jnp.ndarray,
+    aux: Any = None,
+    eps: float = 0.125,
+    eps_iter: float = 0.01,
+    max_iter: int = 40,
+    clip_min: float = -1.0,
+    clip_max: float = 1.0,
+    norm: str = LINF,
+    use_pallas: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`pgd_feature` with a *traced* trip count and rand-init flag.
+
+    The realistic sweep's block schedules (``k+1`` blocks per sample,
+    ``adv_attack.py:232-239``) produce ~9 distinct block lengths x the
+    first-block rand-init variant, each a separate XLA program under the
+    static kernel — the measured 256-sample sweep spent most of its pgd
+    phase compiling that lattice (PERF.md round 3).  Here ``nb_iter`` is an
+    int32 scalar and ``rand_init`` a bool scalar, both traced: ONE compiled
+    program per (loss_fn, batch shape) serves every block.
+
+    Semantics are identical to the static kernel at ``unroll=1`` — the
+    per-iteration keys are ``split(scan_key, max_iter)[:nb_iter]``, which
+    bit-matches ``split(scan_key, nb_iter)`` under threefry's counter
+    layout (asserted by tests/test_pgd_dynamic.py).  The loss buffer is a
+    fixed ``[max_iter, B]`` array; rows ``>= nb_iter`` are zero — callers
+    slice ``losses[:n]`` host-side.  ``fori_loop`` with a traced bound
+    lowers to ``while_loop``, so no scan unroll applies (the unroll lever
+    measured as a wash on the current runtime — PERF.md round 3).
+    """
+    init_key, scan_key = jax.random.split(rng)
+    eta = rand_init_eta(init_key, x.shape, eps, norm, x.dtype)
+    adv = jnp.where(rand_init, jnp.clip(x + eta, clip_min, clip_max), x)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    keys = jax.random.split(scan_key, max_iter)
+    ps = jax.eval_shape(lambda a: loss_fn(a, keys[0], aux)[1], x)
+    losses0 = jnp.zeros((max_iter,) + ps.shape, ps.dtype)
+
+    def body(i, carry):
+        adv, losses = carry
+        (_, per_sample), g = grad_fn(adv, keys[i], aux)
+        adv = _update(adv, g, ori_x, eps, eps_iter, norm, clip_min, clip_max, use_pallas)
+        losses = jax.lax.dynamic_update_index_in_dim(losses, per_sample, i, 0)
+        return adv, losses
+
+    n = jnp.minimum(jnp.asarray(nb_iter, jnp.int32), max_iter)
+    adv, losses = jax.lax.fori_loop(0, n, body, (adv, losses0))
+    return adv, losses
+
+
+@partial(
+    jax.jit,
+    static_argnames=("feature_loss_fn", "mlm_loss_fn", "max_iter", "norm",
+                     "use_pallas", "eps", "eps_iter", "clip_min", "clip_max"),
+)
+def pgd_alternating_dynamic(
+    feature_loss_fn: LossFn,
+    mlm_loss_fn: LossFn,
+    x: jnp.ndarray,
+    ori_x: jnp.ndarray,
+    rng: jax.Array,
+    nb_iter: jnp.ndarray,
+    rand_init: jnp.ndarray,
+    aux: Any = None,
+    eps: float = 0.125,
+    eps_iter: float = 0.01,
+    max_iter: int = 20,
+    clip_min: float = -1.0,
+    clip_max: float = 1.0,
+    norm: str = LINF,
+    use_pallas: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """:func:`pgd_alternating` with traced trip count / rand-init flag.
+
+    Same program-lattice collapse as :func:`pgd_feature_dynamic`; per-trip
+    semantics (feature step clamp-only, MLM step project+clamp,
+    ``pgd:153-189``) unchanged and bit-matched against the static kernel.
+    """
+    init_key, scan_key = jax.random.split(rng)
+    eta = rand_init_eta(init_key, x.shape, eps, norm, x.dtype)
+    adv = jnp.where(rand_init, jnp.clip(x + eta, clip_min, clip_max), x)
+    feat_grad = jax.value_and_grad(feature_loss_fn, has_aux=True)
+    mlm_grad = jax.value_and_grad(mlm_loss_fn, has_aux=True)
+    keys = jax.random.split(scan_key, max_iter)
+    f_ps = jax.eval_shape(lambda a: feature_loss_fn(a, keys[0], aux)[1], x)
+    m_ps = jax.eval_shape(lambda a: mlm_loss_fn(a, keys[0], aux)[1], x)
+    feat0 = jnp.zeros((max_iter,) + f_ps.shape, f_ps.dtype)
+    mlm0 = jnp.zeros((max_iter,) + m_ps.shape, m_ps.dtype)
+
+    def body(i, carry):
+        adv, feat_l, mlm_l = carry
+        k1, k2 = jax.random.split(keys[i])
+        (_, feat_ps), g1 = feat_grad(adv, k1, aux)
+        adv = jnp.clip(adv + optimize_linear(g1, eps_iter, norm), clip_min, clip_max)
+        (_, mlm_ps), g2 = mlm_grad(adv, k2, aux)
+        adv = _update(adv, g2, ori_x, eps, eps_iter, norm, clip_min, clip_max, use_pallas)
+        feat_l = jax.lax.dynamic_update_index_in_dim(feat_l, feat_ps, i, 0)
+        mlm_l = jax.lax.dynamic_update_index_in_dim(mlm_l, mlm_ps, i, 0)
+        return adv, feat_l, mlm_l
+
+    n = jnp.minimum(jnp.asarray(nb_iter, jnp.int32), max_iter)
+    adv, feat_losses, mlm_losses = jax.lax.fori_loop(
+        0, n, body, (adv, feat0, mlm0)
+    )
+    return adv, feat_losses, mlm_losses
+
+
 def pgd_multi_restart(
     loss_fn: LossFn,
     x: jnp.ndarray,

@@ -195,6 +195,15 @@ class AttackConfig:
     # the unroll=4 drift budget over a full 40-iteration attack is pinned by
     # test_pgd_feature_trajectory_production_unroll.
     scan_unroll: int = 4
+    # Trace the PGD trip count + rand-init flag instead of specializing a
+    # program per (block length, first-block) pair: ONE compiled program per
+    # (algorithm, batch shape) serves every block schedule.  The realistic
+    # k-distribution otherwise compiles tens of multi-minute programs
+    # (PERF.md round-3 256-sample sweep).  Trajectories are bit-identical to
+    # the static kernels at scan_unroll=1 (tests/test_pgd_dynamic.py);
+    # scan_unroll is ignored on this path (a traced bound lowers to
+    # while_loop, which cannot unroll — measured a wash anyway).
+    dynamic_pgd: bool = False
 
 
 # ---------------------------------------------------------------------------

@@ -93,6 +93,14 @@ def build_argparser() -> argparse.ArgumentParser:
              "trajectory-drift validated, PERF.md round 3)",
     )
     p.add_argument(
+        "--dynamic-pgd", action="store_true",
+        help="trace the PGD trip count + rand-init flag: one compiled "
+             "program per (algorithm, batch shape) serves every block "
+             "schedule instead of one per distinct block length — collapses "
+             "the sweep's compile lattice on a realistic k-distribution "
+             "(PERF.md round 3); trajectories bit-match scan_unroll=1",
+    )
+    p.add_argument(
         "--dtype", choices=["float32", "bfloat16"], default=None,
         help="surrogate trunk compute dtype (default: config compute_dtype, "
              "float32). bfloat16 + --no-remat + --batch-size 8 is the fastest "
@@ -229,6 +237,10 @@ def resolve_config(args):
                 bert=dataclasses.replace(cfg.albef.bert, softmax_dtype=sm),
             ),
             vlmo=dataclasses.replace(cfg.vlmo, softmax_dtype=sm),
+        )
+    if getattr(args, "dynamic_pgd", False):
+        cfg = dataclasses.replace(
+            cfg, attack=dataclasses.replace(cfg.attack, dynamic_pgd=True)
         )
     return cfg
 
