@@ -41,7 +41,10 @@ BENCH_PRECISION (default|high|highest), BENCH_REMAT (default 0;
 BENCH_FUSED_LOSS (1 = per-layer cosine without materializing the image
 feature stack), BENCH_UNROLL (scan unroll width, default 4 = measured
 production sweet spot), BENCH_DYNAMIC (1 = the traced-trip-count while-loop
-kernel the sweep uses under --dynamic-pgd; unroll is then N/A),
+kernel the sweep uses under --dynamic-pgd; unroll is then N/A and recorded
+as null), BENCH_ALG (feature|alternating, default feature — alternating
+measures the ls==0 kernel: one feature FGM step + one MAR/MLM FGM step per
+iteration over nb_iter/2 iterations, the reference's pgd:153-189 shape),
 BENCH_MODEL (albef|vlmo), BENCH_MATRIX (1 = run the
 batch x dtype matrix, write BENCH_MATRIX.json, print per-config lines to
 stderr; the stdout JSON line is then the b=1 f32 headline for driver
@@ -141,6 +144,37 @@ def _unroll() -> int:
     return int(os.environ.get("BENCH_UNROLL", "4"))
 
 
+def _alg() -> str:
+    return os.environ.get("BENCH_ALG", "feature")
+
+
+def _alt_runner(feat, second, px, aux, atk, iters, unroll):
+    """Runner for the alternating (ls==0) kernel: ``iters // 2`` trips, each
+    trip = one feature grad step + one MLM grad step (pgd:153-189)."""
+    from vqattack_tpu.attacks.pgd import pgd_alternating, pgd_alternating_dynamic
+
+    nb = iters // 2
+    if os.environ.get("BENCH_DYNAMIC") == "1":
+        def run(key):
+            a, fl, _ = pgd_alternating_dynamic(
+                feat, second, px, px, key, jnp.int32(nb), jnp.asarray(True),
+                aux, eps=atk.eps, eps_iter=atk.step_size, max_iter=nb,
+                clip_min=atk.clip_min, clip_max=atk.clip_max,
+                use_pallas=_pallas_update(),
+            )
+            return a, fl
+    else:
+        def run(key):
+            a, fl, _ = pgd_alternating(
+                feat, second, px, px, key, aux,
+                eps=atk.eps, eps_iter=atk.step_size, nb_iter=nb,
+                clip_min=atk.clip_min, clip_max=atk.clip_max,
+                rand_init=True, use_pallas=_pallas_update(), unroll=unroll,
+            )
+            return a, fl
+    return run
+
+
 def _make_albef(batch, iters, dtype, fused, remat, unroll):
     import dataclasses
 
@@ -215,6 +249,21 @@ def _make_albef(batch, iters, dtype, fused, remat, unroll):
     atk = cfg.attack
     loss = albef_losses.make_feature_loss(model)
     flops_loss = albef_losses.make_feature_loss(flops_model)
+
+    if _alg() == "alternating":
+        # ls==0 kernel: per trip one feature FGM step + one MAR/MLM FGM step
+        # (pgd:153-189); the reference's 40-iter budget = nb_iter/2 trips.
+        # Labels: one masked answer position per sample (-100 elsewhere),
+        # the realistic single-answer MAR shape.
+        labels = np.full((batch, s), -100, np.int64)
+        labels[:, 5] = np.asarray(rng.integers(1000, 20000, batch))
+        aux = dict(aux, mlm_ids=ids, mlm_mask=mask,
+                   mlm_labels=jnp.asarray(labels, jnp.int32))
+        second = albef_losses.make_mlm_loss(model)
+        return _alt_runner(
+            albef_losses.make_feature_loss(model), second, px, aux, atk, iters,
+            unroll,
+        ), (lambda: 0.0)
 
     if os.environ.get("BENCH_DYNAMIC") == "1":
         # the traced-trip-count kernel the sweep uses under --dynamic-pgd:
@@ -301,6 +350,14 @@ def _make_vlmo(batch, iters, dtype, fused, remat, unroll):
     loss = vlmo_losses.make_feature_loss(model)
     flops_loss = vlmo_losses.make_feature_loss(flops_model)
 
+    if _alg() == "alternating":
+        labels = np.full((batch, t), -100, np.int64)
+        labels[:, 5] = np.asarray(rng.integers(1000, 20000, batch))
+        aux = dict(aux, mlm_ids=ids, mlm_mask=mask,
+                   mlm_labels=jnp.asarray(labels, jnp.int32))
+        second = vlmo_losses.make_mlm_loss(model)
+        return _alt_runner(loss, second, px, aux, atk, iters, unroll), (lambda: 0.0)
+
     if os.environ.get("BENCH_DYNAMIC") == "1":
         # the traced-trip-count kernel the sweep uses under --dynamic-pgd:
         # measures the while-loop steady state vs the static scan
@@ -357,18 +414,27 @@ def measure(model_kind, batch, iters, dtype, *, fused=False, remat=True,
         dt = (time.perf_counter() - t0) / reps
         scan_flops = flops_fn()
 
+    dynamic = os.environ.get("BENCH_DYNAMIC") == "1"
+    alg = _alg()
+    # units: one "sample-iter" = one grad step (fwd+bwd) on one sample.  The
+    # alternating kernel runs iters/2 trips of TWO grad steps each, so its
+    # aggregate uses the same unit and per_pair covers the same full budget.
+    trips = iters // 2 if alg == "alternating" else iters
     agg = iters * batch / dt
     out = {
         "model": model_kind,
         "batch": batch,
         "nb_iter": iters,
+        "alg": alg,
+        "dynamic": dynamic,  # traced-trip-count while-loop kernel
         "dtype": jnp.dtype(dtype).name,
         "fused_loss": bool(fused),
-        "unroll": unroll,
+        # the while-loop path cannot unroll; record null so rows reproduce
+        "unroll": None if dynamic else unroll,
         "pallas_update": _pallas_update(),
         "remat": remat if isinstance(remat, str) else bool(remat),
         "wall_s_per_scan": round(dt, 4),
-        "scan_steps_per_s": round(iters / dt, 2),
+        "scan_steps_per_s": round(trips / dt, 2),
         "aggregate_sample_iters_per_s": round(agg, 2),
         "per_pair_wall_s": round(dt * (40.0 / iters) / batch, 4),
     }
@@ -377,10 +443,14 @@ def measure(model_kind, batch, iters, dtype, *, fused=False, remat=True,
         out["flops_source"] = "xla_cost_analysis"
     else:
         # relay backends don't expose cost_analysis; use the calibrated
-        # algorithmic count (see _MODEL_FLOPS_PER_SAMPLE_ITER)
+        # algorithmic count (see _MODEL_FLOPS_PER_SAMPLE_ITER).  The
+        # alternating kernel's MLM step swaps the tap-cosine tail for the
+        # vocab head (~+1% of a grad step) — flag the approximation.
         scan_flops = _MODEL_FLOPS_PER_SAMPLE_ITER[model_kind] * iters * batch
         out["flops_per_sample_iter_g"] = round(scan_flops / (iters * batch) / 1e9, 1)
-        out["flops_source"] = "calibrated_model_flops"
+        out["flops_source"] = ("calibrated_model_flops_approx"
+                               if alg == "alternating"
+                               else "calibrated_model_flops")
     achieved = scan_flops / dt
     out["tflops_per_s"] = round(achieved / 1e12, 1)
     out["mfu_pct"] = round(100.0 * achieved / _chip_peak(), 1)
@@ -436,7 +506,8 @@ def main() -> None:
             # rows written before round 2c had the pallas update kernel ON
             return (r.get("model"), r.get("batch"), r.get("dtype"),
                     str(r.get("remat")), r.get("fused_loss", False),
-                    r.get("unroll", 1), r.get("pallas_update", True))
+                    r.get("unroll", 1), r.get("pallas_update", True),
+                    r.get("dynamic", False), r.get("alg", "feature"))
 
         fresh = {_key(r) for r in rows}
         merged["rows"] = [r for r in merged["rows"] if _key(r) not in fresh]
@@ -467,8 +538,11 @@ def main() -> None:
                        fused=fused, remat=remat, attn=attn)
 
     agg = head["aggregate_sample_iters_per_s"]
+    alg_tag = "" if head.get("alg", "feature") == "feature" else f"_{head['alg']}"
+    dyn_tag = "_dynamic" if head.get("dynamic") else ""
     line = {
-        "metric": f"{model_kind}_pgd_aggregate_sample_iters_per_sec_per_chip",
+        "metric": (f"{model_kind}_pgd{alg_tag}{dyn_tag}"
+                   "_aggregate_sample_iters_per_sec_per_chip"),
         "value": agg,
         "unit": (
             f"sample-iters/s (batch={head['batch']}, fwd+bwd "

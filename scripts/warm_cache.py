@@ -40,14 +40,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _vl_widths(max_k: int):
+def _vl_widths(max_k: int, max_text_len: int = 25):
     """Power-of-two position widths: the block loop pads each bucket's
     attack-position count up to the next power of two (attacks/batched.py),
-    so these widths cover every program the sweep can compile.  Sub-token
-    expansion can push the position count past ``max_k`` words — cover up
-    to the next power of two above ``2 * max_k``."""
+    so these widths cover every program the sweep can compile.  The count is
+    one position per attackable WORD (text_attack.py:50), so it is hard-
+    bounded by the token budget ``max_text_len`` — cover every power of two
+    up to that bound (typically ~2*max_k in practice, but an unusually
+    word-dense question can exceed it, and an unwarmed VL program costs a
+    multi-minute relay compile mid-sweep)."""
+    del max_k  # the text-length bound dominates 2*max_k at every config
+    top = 1 << (max(max_text_len, 1) - 1).bit_length()
     widths = [1]
-    while widths[-1] < 2 * max_k:
+    while widths[-1] < top:
         widths.append(widths[-1] * 2)
     return tuple(widths)
 
@@ -195,7 +200,7 @@ def warm_albef(batch_sizes, max_k, total_iters, image_size, use_pallas,
                     print(f"albef alternating-dynamic{tag} b={b} "
                           f"labels={rank}D: {time.perf_counter() - t0:.1f}s",
                           flush=True)
-            for p in sorted({w for w in _vl_widths(max_k)
+            for p in sorted({w for w in _vl_widths(max_k, s)
                              if w >= atk.max_sub_words}
                             | {1 << (atk.max_sub_words - 1).bit_length()}):
                 t0 = time.perf_counter()
@@ -239,7 +244,7 @@ def warm_albef(batch_sizes, max_k, total_iters, image_size, use_pallas,
 
         # one VL joint-step program per (batch, positions) width: the block
         # loop pads positions to the next power of two — warm them all
-        for p in _vl_widths(max_k):
+        for p in _vl_widths(max_k, s):
             t0 = time.perf_counter()
             pgd_vl_step.lower(
                 vl, px, sds((b, s, d), f32), px, sds((b, p), i32), key, aux,
@@ -341,7 +346,7 @@ def warm_vlmo(batch_sizes, max_k, total_iters, image_size, use_pallas,
                     print(f"vlmo alternating-dynamic{tag} b={b} "
                           f"labels={rank}D: {time.perf_counter() - t0:.1f}s",
                           flush=True)
-            for p in sorted({w for w in _vl_widths(max_k)
+            for p in sorted({w for w in _vl_widths(max_k, t)
                              if w >= atk.max_sub_words}
                             | {1 << (atk.max_sub_words - 1).bit_length()}):
                 t0 = time.perf_counter()
@@ -379,7 +384,7 @@ def warm_vlmo(batch_sizes, max_k, total_iters, image_size, use_pallas,
                     print(f"vlmo alternating{tag} b={b} nb={n // 2} "
                           f"first={first} labels={rank}D: "
                           f"{time.perf_counter() - t0:.1f}s", flush=True)
-        for p in _vl_widths(max_k):
+        for p in _vl_widths(max_k, t):
             t0 = time.perf_counter()
             pgd_vl_step.lower(
                 vl, px, sds((b, t, d), f32), px, sds((b, p), i32), key, aux,

@@ -10,9 +10,11 @@ imported modules: forward parity, >=4 bit-tracked PGD iterations at
 ``scan_unroll=1``, and a measured reassociation-drift budget at the
 production ``scan_unroll=4``.
 
-Runs by default (~9-10 min warm-cache on the 1-core CI host; measured
-5 passed in 9:18).  ``VQATTACK_SKIP_FULL_GEOMETRY=1`` opts out for quick
-local iterations.  Evidence recorded in PARITY.md.
+Heavy tier (~9-10 min warm-cache on the 1-core CI host; measured 5 passed
+in 9:18): marked ``full_geometry`` and excluded from the default lane
+(pytest.ini addopts) — run explicitly with ``pytest -m full_geometry``.
+``VQATTACK_SKIP_FULL_GEOMETRY=1`` additionally opts out even when the
+marker is selected.  Evidence recorded in PARITY.md.
 """
 
 from __future__ import annotations
@@ -49,10 +51,13 @@ from vqattack_tpu.config import (  # noqa: E402
 from vqattack_tpu.models.albef import AlbefPretrain, AlbefVQA  # noqa: E402
 from vqattack_tpu.models.vlmo import VLMo as OurVLMo  # noqa: E402
 
-pytestmark = pytest.mark.skipif(
-    os.environ.get("VQATTACK_SKIP_FULL_GEOMETRY") == "1",
-    reason="full-geometry differentials skipped by VQATTACK_SKIP_FULL_GEOMETRY=1",
-)
+pytestmark = [
+    pytest.mark.full_geometry,
+    pytest.mark.skipif(
+        os.environ.get("VQATTACK_SKIP_FULL_GEOMETRY") == "1",
+        reason="full-geometry differentials skipped by VQATTACK_SKIP_FULL_GEOMETRY=1",
+    ),
+]
 
 EPS, STEP = 0.125, 0.01
 SPECIAL_FULL = (103, 0, 101)  # (mask, pad, cls), real 30,522-token vocab

@@ -100,6 +100,10 @@ def test_alternating_dynamic_matches_static(toy, nb_iter, rand_init):
 def test_dynamic_one_program_many_lengths(toy):
     """The point of the path: every (nb_iter, rand_init) combination reuses
     ONE compiled executable."""
+    if not hasattr(pgd_feature_dynamic, "_cache_size"):
+        # private jit-cache introspection API; not stable across JAX
+        # versions — the equivalence tests still cover the path's math
+        pytest.skip("jitted._cache_size() unavailable in this JAX version")
     x, aux = toy
     rng = jax.random.PRNGKey(5)
     pgd_feature_dynamic(  # first call compiles (or reuses an earlier test's)

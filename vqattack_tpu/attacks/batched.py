@@ -307,8 +307,11 @@ class BatchedAlbefAttack:
         max_p = max((len(s.cands.attack_positions) for s in states), default=0)
         if max_p > 0:
             if atk.dynamic_pgd:
-                # fixed width: the VL-step gather is the only shape that
-                # would otherwise re-specialize per bucket on this path
+                # floor the VL-step gather width at max_sub_words so typical
+                # buckets share one program; an unusually word-dense bucket
+                # can still exceed it (one position per attackable word,
+                # hard-bounded by max_text_len), which is why warm_cache's
+                # _vl_widths covers every power of two up to that bound
                 max_p = max(max_p, atk.max_sub_words)
             max_p = 1 << (max_p - 1).bit_length()
 
@@ -346,6 +349,13 @@ class BatchedAlbefAttack:
                 adv_px, aux = self._place(adv_px, aux)
             r_pgd, r_block = jax.random.split(r_pgd)
             rand_init = first_block and atk.rand_init
+            # the dynamic kernels clamp their trip count to max_iter
+            # on-device (silently truncating the attack) — enforce the
+            # schedule invariant here where it is visible
+            assert block_iters <= atk.num_iters, (
+                f"block_iters={block_iters} exceeds the attack budget "
+                f"num_iters={atk.num_iters}"
+            )
 
             with self._timer.phase("pgd"):
                 if old_alg == 1:

@@ -216,7 +216,13 @@ def pgd_feature_dynamic(
     bit-matches ``split(scan_key, nb_iter)`` under threefry's counter
     layout (asserted by tests/test_pgd_dynamic.py).  The loss buffer is a
     fixed ``[max_iter, B]`` array; rows ``>= nb_iter`` are zero — callers
-    slice ``losses[:n]`` host-side.  ``fori_loop`` with a traced bound
+    slice ``losses[:n]`` host-side.
+
+    Hard contract: ``nb_iter`` is clamped to ``max_iter`` on-device (the
+    trip bound is ``min(nb_iter, max_iter)``) — a larger request silently
+    runs only ``max_iter`` steps and its tail loss rows read as zeros.
+    Callers must enforce ``nb_iter <= max_iter`` host-side (the engines
+    assert ``block_iters <= num_iters`` before dispatch).  ``fori_loop`` with a traced bound
     lowers to ``while_loop``, so no scan unroll applies (the unroll lever
     measured as a wash on the current runtime — PERF.md round 3).
     """
@@ -267,6 +273,8 @@ def pgd_alternating_dynamic(
     Same program-lattice collapse as :func:`pgd_feature_dynamic`; per-trip
     semantics (feature step clamp-only, MLM step project+clamp,
     ``pgd:153-189``) unchanged and bit-matched against the static kernel.
+    The same ``nb_iter <= max_iter`` hard contract applies (the trip bound
+    is clamped on-device; callers assert host-side).
     """
     init_key, scan_key = jax.random.split(rng)
     eta = rand_init_eta(init_key, x.shape, eps, norm, x.dtype)
