@@ -45,7 +45,9 @@ kernel the sweep uses under --dynamic-pgd; unroll is then N/A and recorded
 as null), BENCH_ALG (feature|alternating, default feature — alternating
 measures the ls==0 kernel: one feature FGM step + one MAR/MLM FGM step per
 iteration over nb_iter/2 iterations, the reference's pgd:153-189 shape),
-BENCH_MODEL (albef|vlmo), BENCH_MATRIX (1 = run the
+BENCH_TAP_DTYPE (float32|bfloat16, default float32 — storage dtype of the
+clean feature-target stacks the loss reads every iteration; the config.py
+``tap_dtype`` byte-reduction lever), BENCH_MODEL (albef|vlmo), BENCH_MATRIX (1 = run the
 batch x dtype matrix, write BENCH_MATRIX.json, print per-config lines to
 stderr; the stdout JSON line is then the b=1 f32 headline for driver
 comparability).
@@ -148,6 +150,11 @@ def _alg() -> str:
     return os.environ.get("BENCH_ALG", "feature")
 
 
+def _tap_dtype() -> str:
+    # storage dtype of the clean feature-target stacks (config.py tap_dtype)
+    return os.environ.get("BENCH_TAP_DTYPE", "float32")
+
+
 def _alt_runner(feat, second, px, aux, atk, iters, unroll):
     """Runner for the alternating (ls==0) kernel: ``iters // 2`` trips, each
     trip = one feature grad step + one MLM grad step (pgd:153-189)."""
@@ -237,6 +244,9 @@ def _make_albef(batch, iters, dtype, fused, remat, unroll):
         lambda v, p, i, m: tgt_model.apply(v, p, i, m, method=AlbefPretrain.gen_feats)
     )
     img_f, txt_f, _ = gen(params, px, ids, mask)
+    if _tap_dtype() == "bfloat16":
+        # config.py tap_dtype lever: bf16-stored clean target stacks
+        img_f, txt_f = img_f.astype(jnp.bfloat16), txt_f.astype(jnp.bfloat16)
     aux = {
         "variables": params,
         "text_ids": ids,
@@ -337,6 +347,9 @@ def _make_vlmo(batch, iters, dtype, fused, remat, unroll):
         lambda v, p, i, m: model.apply(v, p, i, m, method=VLMo.attack_feats)
     )
     _, layer_cls, tokens, token_mask = attack_feats(params, px, ids, mask)
+    if _tap_dtype() == "bfloat16":
+        layer_cls = layer_cls.astype(jnp.bfloat16)
+        tokens = tokens.astype(jnp.bfloat16)
     rel_biases = jax.jit(
         lambda v: model.apply(v, method=VLMo.precompute_joint_biases)
     )(params)
@@ -427,6 +440,7 @@ def measure(model_kind, batch, iters, dtype, *, fused=False, remat=True,
         "nb_iter": iters,
         "alg": alg,
         "dynamic": dynamic,  # traced-trip-count while-loop kernel
+        "tap_dtype": _tap_dtype(),
         "dtype": jnp.dtype(dtype).name,
         "fused_loss": bool(fused),
         # the while-loop path cannot unroll; record null so rows reproduce
@@ -507,7 +521,8 @@ def main() -> None:
             return (r.get("model"), r.get("batch"), r.get("dtype"),
                     str(r.get("remat")), r.get("fused_loss", False),
                     r.get("unroll", 1), r.get("pallas_update", True),
-                    r.get("dynamic", False), r.get("alg", "feature"))
+                    r.get("dynamic", False), r.get("alg", "feature"),
+                    r.get("tap_dtype", "float32"))
 
         fresh = {_key(r) for r in rows}
         merged["rows"] = [r for r in merged["rows"] if _key(r) not in fresh]

@@ -70,7 +70,8 @@ def _distinct_blocks(max_k: int, total_iters: int):
     return sorted(out)
 
 
-def _apply_overrides(cfg, dtype, no_remat, softmax_dtype=None):
+def _apply_overrides(cfg, dtype, no_remat, softmax_dtype=None,
+                     tap_dtype=None):
     """Mirror run.py::resolve_config's --dtype/--no-remat/--softmax-dtype
     transforms so the warmed programs are HLO-identical to what the sweep
     compiles."""
@@ -100,6 +101,10 @@ def _apply_overrides(cfg, dtype, no_remat, softmax_dtype=None):
             ),
             vlmo=dataclasses.replace(cfg.vlmo, softmax_dtype=softmax_dtype),
         )
+    if tap_dtype:
+        cfg = dataclasses.replace(
+            cfg, attack=dataclasses.replace(cfg.attack, tap_dtype=tap_dtype)
+        )
     return cfg
 
 
@@ -111,7 +116,7 @@ def _trunk_dtype(cfg):
 
 def warm_albef(batch_sizes, max_k, total_iters, image_size, use_pallas,
                cfg=None, *, dtype=None, no_remat=False, dynamic=False,
-               softmax_dtype=None):
+               softmax_dtype=None, tap_dtype=None):
     import jax
     import jax.numpy as jnp
 
@@ -127,7 +132,7 @@ def warm_albef(batch_sizes, max_k, total_iters, image_size, use_pallas,
     from vqattack_tpu.models.albef import AlbefPretrain
 
     cfg = _apply_overrides(cfg or albef_attack_config(), dtype, no_remat,
-                           softmax_dtype)
+                           softmax_dtype, tap_dtype)
     model = AlbefPretrain(cfg.albef, dtype=_trunk_dtype(cfg))
     atk = cfg.attack
     s = atk.max_text_len
@@ -136,6 +141,7 @@ def warm_albef(batch_sizes, max_k, total_iters, image_size, use_pallas,
     txt_layers = cfg.albef.bert.num_layers + 1
     img_layers = cfg.albef.vit.depth + 1
     f32, i32 = jnp.float32, jnp.int32
+    tapdt = jnp.bfloat16 if cfg.attack.tap_dtype == "bfloat16" else f32
     sds = jax.ShapeDtypeStruct
     key = jax.random.key(0)
 
@@ -159,8 +165,8 @@ def warm_albef(batch_sizes, max_k, total_iters, image_size, use_pallas,
             "variables": params,
             "text_ids": sds((b, s), i32),
             "text_mask": sds((b, s), i32),
-            "tgt_txt": sds((b, txt_layers, s, d), f32),
-            "tgt_img": sds((b, img_layers, n_img, d), f32),
+            "tgt_txt": sds((b, txt_layers, s, d), tapdt),
+            "tgt_img": sds((b, img_layers, n_img, d), tapdt),
             "txt_token_mask": sds((b, s), f32),
             "special_ids": (103, 0, 101),
         }
@@ -258,7 +264,7 @@ def warm_albef(batch_sizes, max_k, total_iters, image_size, use_pallas,
 
 def warm_vlmo(batch_sizes, max_k, total_iters, image_size, use_pallas,
               cfg=None, *, dtype=None, no_remat=False, dynamic=False,
-              softmax_dtype=None):
+              softmax_dtype=None, tap_dtype=None):
     import jax
     import jax.numpy as jnp
 
@@ -274,7 +280,7 @@ def warm_vlmo(batch_sizes, max_k, total_iters, image_size, use_pallas,
     from vqattack_tpu.models.vlmo import VLMo
 
     cfg = _apply_overrides(cfg or vlmo_attack_config(), dtype, no_remat,
-                           softmax_dtype)
+                           softmax_dtype, tap_dtype)
     model = VLMo(cfg.vlmo, dtype=_trunk_dtype(cfg))
     atk = cfg.attack
     t = cfg.vlmo.max_text_len
@@ -283,6 +289,7 @@ def warm_vlmo(batch_sizes, max_k, total_iters, image_size, use_pallas,
     seq = t + n_img
     layers = cfg.vlmo.depth + 1
     f32, i32 = jnp.float32, jnp.int32
+    tapdt = jnp.bfloat16 if cfg.attack.tap_dtype == "bfloat16" else f32
     sds = jax.ShapeDtypeStruct
     key = jax.random.key(0)
 
@@ -308,8 +315,8 @@ def warm_vlmo(batch_sizes, max_k, total_iters, image_size, use_pallas,
             "text_ids": sds((b, t), i32),
             "text_mask": sds((b, t), i32),
             "rel_biases": rel,
-            "tgt_layer_cls": sds((b, layers, d), f32),
-            "tgt_tokens": sds((b, layers, seq, d), f32),
+            "tgt_layer_cls": sds((b, layers, d), tapdt),
+            "tgt_tokens": sds((b, layers, seq, d), tapdt),
             "tgt_token_mask": sds((b, seq), f32),
         }
         mlm_aux = dict(
@@ -435,6 +442,11 @@ def main() -> None:
                     default=None,
                     help="match the sweep's --softmax-dtype (changes the "
                          "compiled HLO)")
+    ap.add_argument("--tap-dtype", choices=["float32", "bfloat16"],
+                    default=None,
+                    help="match the sweep's --tap-dtype (storage dtype of "
+                         "the clean feature-target stacks; changes the "
+                         "compiled HLO)")
     ap.add_argument("--dynamic", action="store_true",
                     help="match the sweep's --dynamic-pgd: warm the "
                          "traced-trip-count kernels (one program per "
@@ -456,7 +468,7 @@ def main() -> None:
     fn = warm_vlmo if args.model == "vlmo" else warm_albef
     n = fn(batch_sizes, args.max_k, args.iters, args.image_size, use_pallas,
            dtype=args.dtype, no_remat=args.no_remat, dynamic=args.dynamic,
-           softmax_dtype=args.softmax_dtype)
+           softmax_dtype=args.softmax_dtype, tap_dtype=args.tap_dtype)
     print(f"warmed {n} programs into {cache_dir}")
 
 

@@ -162,6 +162,11 @@ class AlbefAttackPipeline:
         img_f, txt_f, _ = self._gen_feats(
             self.surrogate_params, pixels, masked_ids, text_mask
         )
+        if self.cfg.attack.tap_dtype == "bfloat16":
+            # halve the per-iteration HBM read of the target stacks; the
+            # loss math follows cosine_sim's promotion rules (config.py)
+            img_f = img_f.astype(jnp.bfloat16)
+            txt_f = txt_f.astype(jnp.bfloat16)
         return img_f, txt_f
 
     def candidate_mlm_logits(self, ids: np.ndarray, mask: np.ndarray) -> np.ndarray:

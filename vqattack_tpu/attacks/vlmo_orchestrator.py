@@ -130,6 +130,11 @@ class VlmoAttackPipeline:
         _, layer_cls, tokens, token_mask = self._attack_feats(
             self.surrogate_params, pixels, text_ids, text_mask
         )
+        if self.cfg.attack.tap_dtype == "bfloat16":
+            # halve the per-iteration HBM read of the target stacks
+            # (config.py tap_dtype); the mask stays f32
+            layer_cls = layer_cls.astype(jnp.bfloat16)
+            tokens = tokens.astype(jnp.bfloat16)
         return layer_cls, tokens, token_mask.astype(jnp.float32)
 
     # ---------------------------------------------------------------- attack

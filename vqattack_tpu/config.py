@@ -195,6 +195,15 @@ class AttackConfig:
     # the unroll=4 drift budget over a full 40-iteration attack is pinned by
     # test_pgd_feature_trajectory_production_unroll.
     scan_unroll: int = 4
+    # Storage dtype for the clean per-layer feature-target stacks
+    # (tgt_img/tgt_txt [B,13,S,D], VLMo tgt_tokens/tgt_layer_cls) the
+    # feature loss reads EVERY iteration — at b=16 the f32 ALBEF stacks are
+    # ~0.6 GB of pure HBM reads per grad step.  "bfloat16" halves that
+    # stream; the cosine terms still accumulate per cosine_sim's promotion
+    # rules and the trajectory drift is gated like the bf16 trunk's
+    # (tests/test_tap_dtype.py).  Default f32 until the A/B is measured
+    # on-chip (PERF.md round 4).
+    tap_dtype: str = "float32"
     # Trace the PGD trip count + rand-init flag instead of specializing a
     # program per (block length, first-block) pair: ONE compiled program per
     # (algorithm, batch shape) serves every block schedule.  The realistic

@@ -93,6 +93,13 @@ def build_argparser() -> argparse.ArgumentParser:
              "trajectory-drift validated, PERF.md round 3)",
     )
     p.add_argument(
+        "--tap-dtype", choices=["float32", "bfloat16"], default=None,
+        help="storage dtype of the clean feature-target stacks the loss "
+             "reads every iteration (default float32 = reference parity; "
+             "bfloat16 halves that HBM stream — the config.py tap_dtype "
+             "byte-reduction lever, trajectory-drift gated)",
+    )
+    p.add_argument(
         "--dynamic-pgd", action="store_true",
         help="trace the PGD trip count + rand-init flag: one compiled "
              "program per (algorithm, batch shape) serves every block "
@@ -241,6 +248,11 @@ def resolve_config(args):
     if getattr(args, "dynamic_pgd", False):
         cfg = dataclasses.replace(
             cfg, attack=dataclasses.replace(cfg.attack, dynamic_pgd=True)
+        )
+    if getattr(args, "tap_dtype", None):
+        cfg = dataclasses.replace(
+            cfg, attack=dataclasses.replace(cfg.attack,
+                                            tap_dtype=args.tap_dtype)
         )
     return cfg
 
@@ -474,6 +486,10 @@ def main(argv: Optional[list] = None) -> None:
         "samples": n_done,
         "attack_accuracy": flip.value,
         "mean_attack_s": logger.meters["attack_s"].global_avg if n_done else 0,
+        # windowed tail mean (last 20 samples): the MARGINAL steady-state
+        # s/pair once the per-process program lattice is resident — the
+        # number a long sweep converges to (VERDICT r3 weak #2)
+        "tail_mean_attack_s": logger.meters["attack_s"].avg if n_done else 0,
         "output": args.output,
     }
     if batched is not None and "bucket_occupancy" in logger.meters:

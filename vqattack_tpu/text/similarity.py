@@ -95,14 +95,28 @@ class NullGate(SimilarityGate):
 
 class USEGate(SimilarityGate):
     """TF-hub Universal Sentence Encoder (local path; CPU-pinned like the
-    reference)."""
+    reference, ``adv_attack.py:101-103``).
+
+    ``tensorflow_hub`` is optional: for a *local* SavedModel directory
+    (the only case here — zero egress), ``hub.load`` reduces to
+    ``tf.saved_model.load``, so the gate falls back to it when hub is not
+    installed.  The code path (loading, CPU pinning, batching,
+    scores/scores_pairs, ratchet integration) is exercised in CI against a
+    tiny stand-in SavedModel (tests/test_use_gate_structural.py); numeric
+    parity vs the reference's USE scores stays asset-gated
+    (test_use_gate_parity_vs_tfhub, ``pytest -m assets``)."""
 
     def __init__(self, model_path: str):
         import tensorflow as tf
-        import tensorflow_hub as hub  # noqa: F401 — optional dep
 
+        try:
+            import tensorflow_hub as hub
+
+            loader = hub.load
+        except ModuleNotFoundError:
+            loader = tf.saved_model.load
         with tf.device("cpu"):
-            self._model = hub.load(model_path)
+            self._model = loader(model_path)
 
     def scores(self, reference, candidates):
         embs = np.asarray(self._model([reference, *candidates]))
