@@ -471,6 +471,36 @@ def measure(model_kind, batch, iters, dtype, *, fused=False, remat=True,
     return out
 
 
+def _merge_matrix_rows(rows) -> None:
+    """Upsert measured rows into BENCH_MATRIX.json, keyed by every knob that
+    changes the program (single runs record their row too, so dynamic/alg/
+    tap_dtype A/Bs land in the longitudinal artifact)."""
+    if not rows:
+        return
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_MATRIX.json")
+    merged = {"device": jax.devices()[0].device_kind, "rows": []}
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+
+    def _key(r):
+        # rows written before the unroll lever existed were unroll=1;
+        # rows written before round 2c had the pallas update kernel ON
+        return (r.get("model"), r.get("batch"), r.get("dtype"),
+                str(r.get("remat")), r.get("fused_loss", False),
+                r.get("unroll", 1), r.get("pallas_update", True),
+                r.get("dynamic", False), r.get("alg", "feature"),
+                r.get("tap_dtype", "float32"))
+
+    fresh = {_key(r) for r in rows}
+    merged["rows"] = [r for r in merged["rows"] if _key(r) not in fresh]
+    merged["rows"].extend(rows)
+    merged["device"] = jax.devices()[0].device_kind
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=1)
+
+
 def main() -> None:
     os.environ.setdefault("HF_HUB_OFFLINE", "1")
     from vqattack_tpu.utils.cache import enable_compile_cache
@@ -509,27 +539,7 @@ def main() -> None:
                                "error": repr(e)[:200]}
                     rows.append(row)
                     print(json.dumps(row), file=sys.stderr, flush=True)
-        path = os.path.join(os.path.dirname(__file__), "BENCH_MATRIX.json")
-        merged = {"device": jax.devices()[0].device_kind, "rows": []}
-        if os.path.exists(path):
-            with open(path) as f:
-                merged = json.load(f)
-
-        def _key(r):
-            # rows written before the unroll lever existed were unroll=1;
-            # rows written before round 2c had the pallas update kernel ON
-            return (r.get("model"), r.get("batch"), r.get("dtype"),
-                    str(r.get("remat")), r.get("fused_loss", False),
-                    r.get("unroll", 1), r.get("pallas_update", True),
-                    r.get("dynamic", False), r.get("alg", "feature"),
-                    r.get("tap_dtype", "float32"))
-
-        fresh = {_key(r) for r in rows}
-        merged["rows"] = [r for r in merged["rows"] if _key(r) not in fresh]
-        merged["rows"].extend(rows)
-        merged["device"] = jax.devices()[0].device_kind
-        with open(path, "w") as f:
-            json.dump(merged, f, indent=1)
+        _merge_matrix_rows(rows)
         # headline = b=1 f32 if it measured, else ANY measured row, else a
         # valid error line (never KeyError after the whole matrix ran)
         head = next((r for r in rows if r.get("batch") == 1
@@ -551,6 +561,7 @@ def main() -> None:
                  else jnp.bfloat16)
         head = measure(model_kind, batch, iters, dtype,
                        fused=fused, remat=remat, attn=attn)
+        _merge_matrix_rows([head])
 
     agg = head["aggregate_sample_iters_per_s"]
     alg_tag = "" if head.get("alg", "feature") == "feature" else f"_{head['alg']}"
@@ -570,6 +581,24 @@ def main() -> None:
     for k in ("per_pair_wall_s", "mfu_pct", "tflops_per_s", "scan_steps_per_s"):
         if k in head:
             line[k] = head[k]
+    # measured-vs-measured: divide by the reference-STYLE harness measured on
+    # THIS chip (scripts/bench_reference_style.py -> docs/REFSTYLE_BASELINE.json:
+    # batch 1, host loop, per-iteration loss sync, f32).  Retires the assumed
+    # nominal 2.0 from the headline whenever the artifact exists.
+    ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "docs", "REFSTYLE_BASELINE.json")
+    if os.path.exists(ref_path):
+        try:
+            with open(ref_path) as f:
+                ref = json.load(f)
+            row = ref.get(f"{model_kind}_float32")
+            rate = row and row.get("sample_iters_per_s")
+            if rate:
+                line["vs_reference_style_measured"] = round(agg / rate, 2)
+                line["reference_style_iters_per_s"] = rate
+                line["reference_style_device"] = row.get("device")
+        except Exception:
+            pass
     print(json.dumps(line))
 
 

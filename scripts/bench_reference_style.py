@@ -53,7 +53,7 @@ ARTIFACT = os.path.join(
 )
 
 
-def build_single_step(model_kind: str, dtype):
+def build_single_step(model_kind: str, dtype, remat: bool = False):
     """One jitted FGM step (adv, ori, key) -> (adv', per_sample_loss) plus
     the rand-init program and the clean input.
 
@@ -76,8 +76,8 @@ def build_single_step(model_kind: str, dtype):
         cfg = albef_attack_config()
         albef = dataclasses.replace(
             cfg.albef,
-            vit=dataclasses.replace(cfg.albef.vit, remat=False),
-            bert=dataclasses.replace(cfg.albef.bert, remat=False),
+            vit=dataclasses.replace(cfg.albef.vit, remat=remat),
+            bert=dataclasses.replace(cfg.albef.bert, remat=remat),
         )
         cfg = dataclasses.replace(cfg, albef=albef)
         model = AlbefPretrain(cfg.albef, dtype=dtype)
@@ -107,7 +107,7 @@ def build_single_step(model_kind: str, dtype):
 
         cfg = vlmo_attack_config()
         cfg = dataclasses.replace(
-            cfg, vlmo=dataclasses.replace(cfg.vlmo, remat=False))
+            cfg, vlmo=dataclasses.replace(cfg.vlmo, remat=remat))
         model = VLMo(cfg.vlmo, dtype=dtype)
         t = cfg.vlmo.max_text_len
         rng = np.random.default_rng(0)
@@ -184,6 +184,14 @@ def main() -> None:
                     default="float32")
     ap.add_argument("--no-write", action="store_true",
                     help="measure only; do not update docs/REFSTYLE_BASELINE.json")
+    ap.add_argument("--remat", action="store_true",
+                    help="checkpoint the trunk blocks.  The reference does "
+                         "not remat, but at f32 batch=1 remat is the FASTER "
+                         "configuration on this chip (r2 matrix: 98.9 vs "
+                         "92.8 agg) AND its far smaller backward program "
+                         "survives the relay's compile timeout — using it "
+                         "makes the baseline faster, i.e. the reported "
+                         "speedup conservative")
     args = ap.parse_args()
 
     os.environ.setdefault("HF_HUB_OFFLINE", "1")
@@ -198,10 +206,14 @@ def main() -> None:
     step, init, px = build_single_step(
         args.model,
         jnp.float32 if args.dtype == "float32" else jnp.bfloat16,
+        remat=args.remat,
     )
 
-    # warm: one full loop (compiles init + step), then hard-sync
-    run_loop(step, init, px, args.iters)
+    # warm: one full loop (compiles init + step), then hard-sync; transient
+    # relay aborts during the one-time compile are retried (utils/retry.py)
+    from vqattack_tpu.utils.retry import with_retries
+
+    with_retries(lambda: run_loop(step, init, px, args.iters))
     walls = []
     for _ in range(args.reps):
         t0 = time.perf_counter()
@@ -213,6 +225,7 @@ def main() -> None:
     row = {
         "model": args.model,
         "dtype": args.dtype,
+        "remat": bool(args.remat),
         "batch": 1,
         "nb_iter": args.iters,
         "reps": args.reps,

@@ -288,14 +288,23 @@ def albef_attack_config() -> RunConfig:
         vit=_replace(base.albef.vit, remat=True),
         bert=_replace(base.albef.bert, remat=True),
     )
-    return _replace(base, albef=albef)
+    # dynamic trip-count kernels: measured at steady-state parity with the
+    # static scan at the sweep batch sizes (138.64 vs 137.43 agg s-it/s at
+    # b=16 bf16, PERF.md round 4) while collapsing the multi-minute
+    # per-block-length compile lattice; production default since round 4.
+    # dynamic_pgd=False (the AttackConfig dataclass default) reproduces the
+    # static-scan execution shape.
+    return _replace(base, albef=albef,
+                    attack=_replace(base.attack, dynamic_pgd=True))
 
 
 def vlmo_attack_config() -> RunConfig:
     """The reference VLMo attack configuration
     (``task_finetune_vqa_base_image480``)."""
     base = RunConfig()
-    return _replace(base, vlmo=_replace(base.vlmo, remat=True))
+    # dynamic_pgd production default: see albef_attack_config
+    return _replace(base, vlmo=_replace(base.vlmo, remat=True),
+                    attack=_replace(base.attack, dynamic_pgd=True))
 
 
 def blip_vqa_config(image_size: int = 480) -> ALBEFConfig:

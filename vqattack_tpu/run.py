@@ -104,8 +104,17 @@ def build_argparser() -> argparse.ArgumentParser:
         help="trace the PGD trip count + rand-init flag: one compiled "
              "program per (algorithm, batch shape) serves every block "
              "schedule instead of one per distinct block length — collapses "
-             "the sweep's compile lattice on a realistic k-distribution "
-             "(PERF.md round 3); trajectories bit-match scan_unroll=1",
+             "the sweep's compile lattice on a realistic k-distribution; "
+             "PRODUCTION DEFAULT since round 4 (measured steady-state "
+             "parity, PERF.md round 4); trajectories bit-match "
+             "scan_unroll=1.  Kept as an explicit flag for configs whose "
+             "presets set dynamic_pgd=False",
+    )
+    p.add_argument(
+        "--static-pgd", action="store_true",
+        help="opt back into the static-scan program lattice (the "
+             "pre-round-4 execution shape; wins ~5%% steady-state at "
+             "batch 1 only — PERF.md round 4)",
     )
     p.add_argument(
         "--dtype", choices=["float32", "bfloat16"], default=None,
@@ -248,6 +257,12 @@ def resolve_config(args):
     if getattr(args, "dynamic_pgd", False):
         cfg = dataclasses.replace(
             cfg, attack=dataclasses.replace(cfg.attack, dynamic_pgd=True)
+        )
+    if getattr(args, "static_pgd", False):
+        # opt back into the static-scan lattice (reproduces the pre-round-4
+        # execution shape; the kernels are bit-identical at scan_unroll=1)
+        cfg = dataclasses.replace(
+            cfg, attack=dataclasses.replace(cfg.attack, dynamic_pgd=False)
         )
     if getattr(args, "tap_dtype", None):
         cfg = dataclasses.replace(
