@@ -591,11 +591,16 @@ def main() -> None:
         try:
             with open(ref_path) as f:
                 ref = json.load(f)
-            row = ref.get(f"{model_kind}_float32")
+            # prefer the f32 row (the reference's dtype); fall back to the
+            # bf16 row (matched-dtype structural baseline) when the f32
+            # single-step program cannot compile through the relay
+            row = (ref.get(f"{model_kind}_float32")
+                   or ref.get(f"{model_kind}_bfloat16"))
             rate = row and row.get("sample_iters_per_s")
             if rate:
                 line["vs_reference_style_measured"] = round(agg / rate, 2)
                 line["reference_style_iters_per_s"] = rate
+                line["reference_style_dtype"] = row.get("dtype")
                 line["reference_style_device"] = row.get("device")
         except Exception:
             pass

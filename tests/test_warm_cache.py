@@ -66,20 +66,21 @@ def _warm_in_subprocess(fn_name: str, extra: str = "") -> int:
 
 def test_warm_albef_compiles_tiny():
     # k in {0,1}: blocks {(4,True),(2,True),(2,False)} -> 3 feature + 12
-    # alternating (2D/3D labels x plain/mixed) + 2 vl widths (max_k=1 ->
-    # pow2 widths {1,2}) = 17 programs
-    assert _warm_in_subprocess("warm_albef") == 17
+    # alternating (2D/3D labels x plain/mixed) + 4 vl widths (the
+    # max_text_len=8 hard bound -> pow2 widths {1,2,4,8}) = 19 programs
+    assert _warm_in_subprocess("warm_albef") == 19
 
 
 def test_warm_vlmo_compiles_tiny():
-    assert _warm_in_subprocess("warm_vlmo") == 17
+    assert _warm_in_subprocess("warm_vlmo") == 19
 
 
 def test_warm_albef_dynamic_compiles_tiny():
     # --dynamic collapses the block lattice: 1 feature-dynamic + 4
-    # alternating-dynamic (2D/3D labels x plain/mixed) + 1 fixed-width vl
-    # program (max_sub_words=16 -> width 16) = 6 programs
-    assert _warm_in_subprocess("warm_albef", ", dynamic=True") == 6
+    # alternating-dynamic (2D/3D labels x plain/mixed) + 2 vl programs
+    # (widths >= the tiny config's max_sub_words=4 floor, up to the
+    # max_text_len=8 bound: {4,8}) = 7 programs
+    assert _warm_in_subprocess("warm_albef", ", dynamic=True") == 7
 
 
 def test_vl_widths_cover_pow2_padding():

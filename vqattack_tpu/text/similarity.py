@@ -107,16 +107,25 @@ class USEGate(SimilarityGate):
     (test_use_gate_parity_vs_tfhub, ``pytest -m assets``)."""
 
     def __init__(self, model_path: str):
+        import os
+
         import tensorflow as tf
 
-        try:
-            import tensorflow_hub as hub
+        def _load(path):
+            try:
+                import tensorflow_hub as hub
 
-            loader = hub.load
-        except ModuleNotFoundError:
-            loader = tf.saved_model.load
+                return hub.load(path)
+            except Exception:
+                # hub missing (or a stand-in that refuses, e.g. the test
+                # shim's placeholder): for a LOCAL SavedModel directory
+                # tf.saved_model.load is equivalent
+                if os.path.isdir(path):
+                    return tf.saved_model.load(path)
+                raise
+
         with tf.device("cpu"):
-            self._model = loader(model_path)
+            self._model = _load(model_path)
 
     def scores(self, reference, candidates):
         embs = np.asarray(self._model([reference, *candidates]))
