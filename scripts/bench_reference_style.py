@@ -135,19 +135,26 @@ def build_single_step(model_kind: str, dtype, remat: bool = False):
         loss_fn = losses_mod.make_feature_loss(model)
 
     atk = cfg.attack
-    from vqattack_tpu.attacks.norms import LINF, clip_eta, optimize_linear
-    from vqattack_tpu.attacks.pgd import rand_init_eta
+    from vqattack_tpu.attacks.norms import LINF
+    from vqattack_tpu.attacks.pgd import pgd_feature, rand_init_eta
 
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-
-    @jax.jit
     def step(adv, ori, key):
-        (_, per_sample), g = grad_fn(adv, key, aux)
-        adv = jnp.clip(adv + optimize_linear(g, atk.step_size, LINF),
-                       atk.clip_min, atk.clip_max)
-        eta = clip_eta(adv - ori, LINF, atk.eps)
-        adv = jnp.clip(ori + eta, atk.clip_min, atk.clip_max)
-        return adv, per_sample
+        # ONE FGM step + eps-ball projection + clamp, dispatched as the
+        # nb_iter=1 scan program.  The mathematically identical unscanned
+        # single-step HLO exceeds the compile relay's ~20-25 min request
+        # limit in EVERY dtype (six broken-pipe attempts recorded round 4),
+        # while the scan-of-1 form compiles in minutes like every other
+        # kernel here — per-step device work is identical, so the measured
+        # loop shape (fresh dispatch per step + host loss sync) is
+        # unchanged.  losses[0] is the loss at the pre-update adv, exactly
+        # the value the reference appends per iteration.
+        adv, losses = pgd_feature(
+            loss_fn, adv, ori, key, aux,
+            eps=atk.eps, eps_iter=atk.step_size, nb_iter=1,
+            clip_min=atk.clip_min, clip_max=atk.clip_max,
+            rand_init=False, unroll=1,
+        )
+        return adv, losses[0]
 
     @jax.jit
     def init(ori, key):
