@@ -19,18 +19,33 @@ import os
 
 
 def cpu_fingerprint() -> str:
-    """Short stable hash of this host's CPU feature flags."""
+    """Short stable hash of this host's CPU feature flags + jaxlib version.
+
+    The jaxlib version is part of the key because the serialized AOT
+    executable format (and XLA's target-feature autodetection, which can
+    see cpuid bits /proc/cpuinfo does not list) changes across releases —
+    a cache written by another jaxlib has segfaulted the loader
+    (round 4: SIGSEGV in ``compilation_cache.get_executable_and_time``
+    deserializing an entry whose compile-machine features did not match
+    the host)."""
+    feats = ""
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
                 if line.startswith("flags"):
                     feats = " ".join(sorted(line.split(":", 1)[1].split()))
-                    return hashlib.sha1(feats.encode()).hexdigest()[:10]
+                    break
     except OSError:
-        pass
-    import platform
+        import platform
 
-    return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
+        feats = platform.processor()
+    try:
+        import jaxlib
+
+        feats += f"|jaxlib-{jaxlib.__version__}"
+    except Exception:
+        pass
+    return hashlib.sha1(feats.encode()).hexdigest()[:10]
 
 
 def _platform() -> str:
