@@ -23,10 +23,14 @@ Baseline caveat: the reference publishes no wall-clock numbers (SURVEY §6).
 reference's loop (batch locked to 1, host sync every iteration, 1x
 A100-class GPU) — a measured-vs-assumed ratio, labeled as such everywhere.
 
-The default (no env knobs) measures the PRODUCTION configuration — the
-best point of the measured batch x dtype x remat matrix (PERF.md):
-bfloat16 trunk AND bf16 score-softmax pipeline (losses/update stay f32),
-no remat, batch 16, scan unroll 4.  Set the env knobs to reproduce any other matrix point (the
+The default (no env knobs) measures the longitudinal headline kernel — the
+static-scan form of the production configuration (bfloat16 trunk AND bf16
+score-softmax pipeline, losses/update stay f32, no remat, batch 16, scan
+unroll 4) — kept static so BENCH_r{N}.json stays comparable across rounds.
+The PRODUCTION sweep default since round 4 is the dynamic trip-count
+kernel (config.py ``dynamic_pgd``), measured at steady-state parity or
+better (BENCH_DYNAMIC=1 reproduces it: 138.64 vs 137.43 at this config,
+PERF.md round 4).  Set the env knobs to reproduce any other matrix point (the
 round-1 headline was the reference's own config: BENCH_BATCH=1
 BENCH_DTYPE=float32).  Longitudinal note: headlines recorded before the
 unroll lever landed were unroll=1 (BENCH_UNROLL=1 reproduces them);

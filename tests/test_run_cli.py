@@ -462,6 +462,26 @@ def test_resolve_config_defaults_and_no_remat():
     assert not cfg.vlmo.remat
 
 
+def test_resolve_config_dynamic_default_and_overrides():
+    """dynamic_pgd is the production default for BOTH pipeline presets
+    (PERF.md round 4); --static-pgd opts back out, --dynamic-pgd
+    re-enables over a static preset, --tap-dtype threads through."""
+    from vqattack_tpu.run import build_argparser, resolve_config
+
+    ap = build_argparser()
+    for pipe in ("albef", "vlmo"):
+        cfg = resolve_config(ap.parse_args(["--pipeline", pipe]))
+        assert cfg.attack.dynamic_pgd is True, pipe
+
+    cfg = resolve_config(ap.parse_args(["--pipeline", "albef", "--static-pgd"]))
+    assert cfg.attack.dynamic_pgd is False
+    assert cfg.attack.tap_dtype == "float32"  # reference-parity default
+
+    cfg = resolve_config(
+        ap.parse_args(["--pipeline", "albef", "--tap-dtype", "bfloat16"]))
+    assert cfg.attack.tap_dtype == "bfloat16"
+
+
 def test_cli_bfloat16_trunk(tmp_path):
     """--dtype bfloat16 runs the sweep with the mixed-precision surrogate
     (PERF.md's fastest measured configuration)."""
