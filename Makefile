@@ -3,6 +3,15 @@
 test:
 	python -m pytest tests/ -q
 
+# Populate the read-only test compile cache (see tests/conftest.py): one
+# pytest process per test file with persistent-cache writes enabled, so an
+# XLA:CPU serialize segfault loses only that file's entries, never the lane.
+warm-test-cache:
+	@for f in tests/test_*.py; do \
+	  echo "== $$f"; \
+	  VQATTACK_TESTS_CACHE_WRITE=1 python -m pytest "$$f" -q || echo "   (non-zero rc tolerated while warming)"; \
+	done
+
 test-fast:
 	python -m pytest tests/test_pgd.py tests/test_text.py tests/test_models_basic.py -q
 

@@ -21,12 +21,18 @@ os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compile cache: on this single-core machine compilation dominates
-# test wall-clock; repeat runs hit the cache.  The dir is keyed by a host
-# CPU-feature fingerprint (utils/cache.py): XLA:CPU AOT executables cached on
-# a machine with different vector extensions SIGILL/segfault when loaded here
-# (observed — the cache outlives VM reassignment).
-from vqattack_tpu.utils.cache import cpu_fingerprint  # noqa: E402
+# persistent compile cache, READ-ONLY by default: on this single-core machine
+# compilation dominates test wall-clock; repeat runs hit pre-populated
+# entries.  The dir is keyed by a host CPU-feature fingerprint
+# (utils/cache.py): XLA:CPU AOT executables cached on a machine with
+# different vector extensions SIGILL/segfault when loaded here (observed —
+# the cache outlives VM reassignment).  Writes are disabled because XLA:CPU's
+# native executable.serialize() has segfaulted mid-suite (round 4, twice, in
+# put_executable_and_time) — a SIGSEGV cannot be caught, and the default lane
+# must always reach its summary line.  Populate the cache with
+# `make warm-test-cache` (per-file subprocesses, crash-resilient), or opt
+# writes back on with VQATTACK_TESTS_CACHE_WRITE=1.
+from vqattack_tpu.utils.cache import cpu_fingerprint, disable_cache_writes  # noqa: E402
 
 _cache = os.path.join(
     os.path.dirname(os.path.dirname(__file__)),
@@ -38,6 +44,8 @@ try:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 except Exception:
     pass
+if os.environ.get("VQATTACK_TESTS_CACHE_WRITE", "") != "1":
+    disable_cache_writes()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -220,6 +220,45 @@ def test_pgd_multi_restart_picks_best():
     np.testing.assert_allclose(np.asarray(losses)[-1], best_single, atol=1e-5)
 
 
+def stochastic_loss(adv, key, aux):
+    """MAR-family stand-in: the loss depends on the PRNG key (the MLM
+    losses re-sample their 15% mask from it)."""
+    noise = jax.random.normal(key, (adv.shape[0],)) * 0.1
+    ps = jnp.sum(adv * aux["w"], axis=tuple(range(1, adv.ndim))) + noise
+    return jnp.sum(ps), ps
+
+
+def test_multi_restart_ranking():
+    """Pins the documented ranking semantics (pgd.py::pgd_multi_restart):
+    final iterates are RE-EVALUATED under fresh keys split from the last
+    of ``n_restarts + 1`` keys derived from ``rng`` — exact for
+    deterministic losses, one fresh mask-noise draw for stochastic (MAR)
+    losses, reproducible given ``rng`` either way."""
+    from vqattack_tpu.attacks.pgd import pgd_multi_restart
+
+    x = jnp.zeros((2, 5))
+    aux = {"w": jnp.ones((2, 5))}
+    rng = jax.random.key(7)
+    kw = dict(eps=0.5, eps_iter=0.1, nb_iter=3)
+
+    # reproducibility: same rng -> identical selection, stochastic loss too
+    adv1, _ = pgd_multi_restart(stochastic_loss, x, x, rng, aux, n_restarts=3, **kw)
+    adv2, _ = pgd_multi_restart(stochastic_loss, x, x, rng, aux, n_restarts=3, **kw)
+    np.testing.assert_array_equal(np.asarray(adv1), np.asarray(adv2))
+
+    # the selection rule itself: rank by loss_fn(final_adv, fresh_key)
+    # where the fresh keys are split from keys[-1]
+    keys = jax.random.split(rng, 4)
+    advs, _ = jax.vmap(
+        lambda k: pgd_feature(stochastic_loss, x, x, k, aux, rand_init=True, **kw)
+    )(keys[:-1])
+    final_keys = jax.random.split(keys[-1], 3)
+    final = jax.vmap(lambda a, k: stochastic_loss(a, k, aux)[1])(advs, final_keys)
+    best = np.argmax(np.asarray(final), axis=0)
+    expected = np.asarray(advs)[best, np.arange(2)]
+    np.testing.assert_allclose(np.asarray(adv1), expected, atol=1e-6)
+
+
 def test_invalid_norm_raises():
     x = jnp.zeros((1, 4))
     try:

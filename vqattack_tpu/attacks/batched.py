@@ -351,11 +351,13 @@ class BatchedAlbefAttack:
             rand_init = first_block and atk.rand_init
             # the dynamic kernels clamp their trip count to max_iter
             # on-device (silently truncating the attack) — enforce the
-            # schedule invariant here where it is visible
-            assert block_iters <= atk.num_iters, (
-                f"block_iters={block_iters} exceeds the attack budget "
-                f"num_iters={atk.num_iters}"
-            )
+            # schedule invariant here where it is visible (hard contract:
+            # a real exception, not an assert, so `python -O` keeps it)
+            if block_iters > atk.num_iters:
+                raise ValueError(
+                    f"block_iters={block_iters} exceeds the attack budget "
+                    f"num_iters={atk.num_iters}"
+                )
 
             with self._timer.phase("pgd"):
                 if old_alg == 1:

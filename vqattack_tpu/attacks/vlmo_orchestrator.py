@@ -209,10 +209,12 @@ class VlmoAttackPipeline:
             r_pgd, r_block = jax.random.split(r_pgd)
             rand_init = first_block and atk.rand_init
             # dynamic kernels clamp trips to max_iter on-device — enforce
-            # the schedule invariant host-side (pgd.py hard contract)
-            assert block_iters <= atk.num_iters, (
-                f"block_iters={block_iters} exceeds num_iters={atk.num_iters}"
-            )
+            # the schedule invariant host-side (pgd.py hard contract; a
+            # real exception so `python -O` keeps it)
+            if block_iters > atk.num_iters:
+                raise ValueError(
+                    f"block_iters={block_iters} exceeds num_iters={atk.num_iters}"
+                )
 
             if old_alg == 1:
                 if atk.dynamic_pgd:

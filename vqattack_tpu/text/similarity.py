@@ -114,14 +114,25 @@ class USEGate(SimilarityGate):
         def _load(path):
             try:
                 import tensorflow_hub as hub
-
-                return hub.load(path)
-            except Exception:
-                # hub missing (or a stand-in that refuses, e.g. the test
-                # shim's placeholder): for a LOCAL SavedModel directory
+            except ImportError:
+                # hub missing: for a LOCAL SavedModel directory
                 # tf.saved_model.load is equivalent
                 if os.path.isdir(path):
                     return tf.saved_model.load(path)
+                raise
+            try:
+                return hub.load(path)
+            except Exception as e:
+                # a stand-in hub that refuses (e.g. the test shim's
+                # placeholder raises NotImplementedError): fall back for
+                # local dirs, but CHAIN the original error so a genuinely
+                # corrupt SavedModel doesn't fail twice with only the
+                # second, less informative message surfacing
+                if os.path.isdir(path):
+                    try:
+                        return tf.saved_model.load(path)
+                    except Exception as e2:
+                        raise e2 from e
                 raise
 
         with tf.device("cpu"):

@@ -32,13 +32,16 @@ def cpu_fingerprint() -> str:
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
+                # x86 lists "flags"; ARM/s390x use "Features"
+                if line.startswith(("flags", "Features")):
                     feats = " ".join(sorted(line.split(":", 1)[1].split()))
                     break
     except OSError:
+        pass
+    if not feats:
         import platform
 
-        feats = platform.processor()
+        feats = platform.processor() or platform.machine()
     try:
         import jaxlib
 
@@ -82,6 +85,30 @@ def default_cache_dir(repo_root: str | None = None) -> str:
     if _platform() == "cpu":
         return os.path.join(repo_root, f".jax_cache_cpu-{cpu_fingerprint()}")
     return os.path.join(repo_root, ".jax_cache")
+
+
+def disable_cache_writes() -> None:
+    """Make the persistent compile cache read-only for this process.
+
+    XLA:CPU's ``executable.serialize()`` has segfaulted mid-write
+    (``compilation_cache.put_executable_and_time``) late in long
+    many-compilation processes on this host (round 4: rc=139 at ~86% of
+    the test suite, twice; the preceding 334 tests and the remaining 11
+    standalone all pass).  A SIGSEGV in native code cannot be caught, so
+    the only robust fix for a lane that must always reach its summary
+    line is to never enter the write path: reads (deserialize) still hit
+    any pre-populated entries, writes become no-ops.
+
+    Populate the cache out-of-band with ``make warm-test-cache`` — it
+    runs one pytest process per test file with writes enabled, so a
+    serialize crash loses only that file's entries, never the lane.
+    """
+    from jax._src import compilation_cache as _cc
+
+    def _no_put(*args, **kwargs):  # signature-compatible no-op
+        return None
+
+    _cc.put_executable_and_time = _no_put
 
 
 def enable_compile_cache(cache_dir: str | None = None) -> None:
