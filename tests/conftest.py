@@ -50,6 +50,21 @@ if os.environ.get("VQATTACK_TESTS_CACHE_WRITE", "") != "1":
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+if os.environ.get("VQATTACK_TESTS_DIAG"):
+    # segfault forensics (round 5): log per-test /proc/self/maps count and
+    # peak RSS to /tmp/suite_maps.log — the r4/r5 suite crashes are in
+    # XLA:CPU native code (serialize / compile) late in the process, and
+    # mmap-count exhaustion (vm.max_map_count) is the prime suspect:
+    # every retained CPU executable holds ~6 maps (measured).
+    def pytest_runtest_teardown(item, nextitem):
+        import resource
+
+        with open("/proc/self/maps") as f:
+            n = sum(1 for _ in f)
+        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+        with open("/tmp/suite_maps.log", "a") as f:
+            f.write(f"{n}\t{rss}\t{item.nodeid}\n")
+
 
 @pytest.fixture
 def rng():

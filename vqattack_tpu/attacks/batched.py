@@ -40,8 +40,10 @@ from vqattack_tpu.attacks.mar_labels import MarLabels, build_mar_labels
 from vqattack_tpu.attacks.orchestrator import AlbefAttackPipeline, AttackResult
 from vqattack_tpu.attacks.pgd import (
     pgd_alternating,
+    pgd_alternating_block,
     pgd_alternating_dynamic,
     pgd_feature,
+    pgd_feature_block,
     pgd_feature_dynamic,
     pgd_vl_step,
 )
@@ -184,21 +186,28 @@ class BatchedAlbefAttack:
 
     # -- adapter surface (overridden per family) ---------------------------
 
+    # aux keys holding the clean-target stacks (also the fused block
+    # programs' target pytree order — pgd.py::pgd_feature_block)
+    _target_keys = ("tgt_img", "tgt_txt")
+
     def _clean_targets(self, ori_px, ids, mask, rng):
-        return {"tgt": self.p.clean_targets(ori_px, ids, mask, rng)}
+        tgt_img, tgt_txt = self.p.clean_targets(ori_px, ids, mask, rng)
+        return {"tgt_img": tgt_img, "tgt_txt": tgt_txt}
 
     def _block_aux(self, targets, ids, mask, n, max_len):
-        tgt_img, tgt_txt = targets["tgt"]
+        """``targets=None`` (fused first block) omits the target entries —
+        the fused program computes and returns them instead."""
         token_mask = (np.arange(max_len)[None] < n[:, None]).astype(np.float32)
-        return {
+        aux = {
             "variables": self.p.surrogate_params,
             "text_ids": ids,
             "text_mask": mask,
-            "tgt_txt": tgt_txt,
-            "tgt_img": tgt_img,
             "txt_token_mask": jnp.asarray(token_mask),
             "special_ids": self.p._special,
         }
+        if targets is not None:
+            aux.update(targets)
+        return aux
 
     @property
     def _max_text_len(self) -> int:
@@ -293,8 +302,14 @@ class BatchedAlbefAttack:
         adv_px = ori_px
         ori_ids, ori_mask = self._encode_batch([s.question for s in states])
         r_tgt, r_pgd = jax.random.split(rng)
-        with self._timer.phase("clean_targets", sync=lambda: targets):
-            targets = self._clean_targets(ori_px, ori_ids, ori_mask, r_tgt)
+        fused = atk.dynamic_pgd and atk.fused_block
+        if fused:
+            # targets compute INSIDE block 0's fused program and come back
+            # as device arrays for the later blocks (VERDICT r4 Next #3)
+            targets = None
+        else:
+            with self._timer.phase("clean_targets", sync=lambda: targets):
+                targets = self._clean_targets(ori_px, ori_ids, ori_mask, r_tgt)
         n_ori = np.asarray(ori_mask).sum(1)
 
         feat_losses = [[] for _ in range(b)]
@@ -324,6 +339,11 @@ class BatchedAlbefAttack:
                 n_adv = np.asarray(mask).sum(1)
                 n = np.minimum(n_adv, n_ori)
                 aux = self._block_aux(targets, ids, mask, n, self._max_text_len)
+                if fused and block_idx == 0:
+                    # the fused first-block program reads the ORIGINAL
+                    # question for its on-device clean-targets forward
+                    aux["ori_ids"] = ori_ids
+                    aux["ori_mask"] = ori_mask
                 if old_alg != 1:
                     # add the MLM entries BEFORE placement so they carry the
                     # same mesh sharding as every other batch array
@@ -359,9 +379,32 @@ class BatchedAlbefAttack:
                     f"num_iters={atk.num_iters}"
                 )
 
+            is_last = block_idx == len(iter_list) - 1 or max_p == 0
+            if fused:
+                pw = max(max_p, 1)
+                pos = np.zeros((b, pw), np.int32)
+                for j, s in enumerate(states):
+                    ap = s.cands.attack_positions
+                    pos[j, : len(ap)] = ap
+                r_pgd, r_vl = jax.random.split(r_pgd)
+                tfn = self.p._targets_fn if block_idx == 0 else None
             with self._timer.phase("pgd"):
                 if old_alg == 1:
-                    if atk.dynamic_pgd:
+                    if fused:
+                        adv_px, losses, tgf, tgts = pgd_feature_block(
+                            p._feature_loss, p._vl_loss, p._embed_text, tfn,
+                            adv_px, ori_px, r_block, r_vl, r_tgt,
+                            jnp.int32(block_iters), jnp.asarray(rand_init),
+                            jnp.asarray(not is_last), jnp.asarray(pos), aux,
+                            target_keys=self._target_keys,
+                            eps=atk.eps, eps_iter=atk.step_size,
+                            max_iter=atk.num_iters,
+                            clip_min=atk.clip_min, clip_max=atk.clip_max,
+                            use_pallas=p.use_pallas,
+                        )
+                        if block_idx == 0:
+                            targets = dict(zip(self._target_keys, tgts))
+                    elif atk.dynamic_pgd:
                         adv_px, losses = pgd_feature_dynamic(
                             p._feature_loss, adv_px, ori_px, r_block,
                             jnp.int32(block_iters), jnp.asarray(rand_init), aux,
@@ -382,7 +425,22 @@ class BatchedAlbefAttack:
                     for j in range(b):
                         feat_losses[j].append(ln[:, j])
                 else:
-                    if atk.dynamic_pgd:
+                    if fused:
+                        adv_px, fl, ml, tgf, tgts = pgd_alternating_block(
+                            p._feature_loss, second, p._vl_loss,
+                            p._embed_text, tfn,
+                            adv_px, ori_px, r_block, r_vl, r_tgt,
+                            jnp.int32(block_iters // 2), jnp.asarray(rand_init),
+                            jnp.asarray(not is_last), jnp.asarray(pos), aux,
+                            target_keys=self._target_keys,
+                            eps=atk.eps, eps_iter=atk.step_size,
+                            max_iter=atk.num_iters // 2,
+                            clip_min=atk.clip_min, clip_max=atk.clip_max,
+                            use_pallas=p.use_pallas,
+                        )
+                        if block_idx == 0:
+                            targets = dict(zip(self._target_keys, tgts))
+                    elif atk.dynamic_pgd:
                         adv_px, fl, ml = pgd_alternating_dynamic(
                             p._feature_loss, second, adv_px, ori_px, r_block,
                             jnp.int32(block_iters // 2), jnp.asarray(rand_init),
@@ -407,24 +465,30 @@ class BatchedAlbefAttack:
                         mlm_losses[j].append(mln[:, j])
             first_block = False
 
-            if block_idx == len(iter_list) - 1 or max_p == 0:
+            if is_last:
                 break
 
             # --- VL step: every sample's text gradient in one program ------
+            # (fused path: already part of the block program above — only
+            # the host transfer of the harvested gradient remains here)
             with self._timer.phase("vl_step"):
-                adv_embeds = p._embed_text(p.surrogate_params, ids)
-                pos = np.zeros((b, max_p), np.int32)
-                for j, s in enumerate(states):
-                    ap = s.cands.attack_positions
-                    pos[j, : len(ap)] = ap
-                r_pgd, r_vl = jax.random.split(r_pgd)
-                adv_px, text_grad = pgd_vl_step(
-                    p._vl_loss, adv_px, adv_embeds, ori_px, jnp.asarray(pos), r_vl, aux,
-                    eps=atk.eps, eps_iter=atk.step_size,
-                    clip_min=atk.clip_min, clip_max=atk.clip_max,
-                    use_pallas=p.use_pallas,
-                )
-                tg = np.asarray(text_grad)
+                if fused:
+                    tg = np.asarray(tgf)
+                else:
+                    adv_embeds = p._embed_text(p.surrogate_params, ids)
+                    pos = np.zeros((b, max_p), np.int32)
+                    for j, s in enumerate(states):
+                        ap = s.cands.attack_positions
+                        pos[j, : len(ap)] = ap
+                    r_pgd, r_vl = jax.random.split(r_pgd)
+                    adv_px, text_grad = pgd_vl_step(
+                        p._vl_loss, adv_px, adv_embeds, ori_px,
+                        jnp.asarray(pos), r_vl, aux,
+                        eps=atk.eps, eps_iter=atk.step_size,
+                        clip_min=atk.clip_min, clip_max=atk.clip_max,
+                        use_pallas=p.use_pallas,
+                    )
+                    tg = np.asarray(text_grad)
 
             # --- substitution selection (host; the whole bucket's candidate
             # embeddings AND gate rounds batch into single device calls —
@@ -445,6 +509,7 @@ class BatchedAlbefAttack:
                     reqs, p.embed_texts, p.gate.scores_pairs,
                     max_length=self._max_text_len,
                     question_suffix=self._question_suffix,
+                    timer=self._timer,
                 ) if reqs else []
                 for j, (new_text, ops) in zip(req_j, outs):
                     s = states[j]
@@ -617,12 +682,16 @@ class BatchedVlmoAttack(BatchedAlbefAttack):
             "tgt_token_mask": token_mask,
         }
 
+    _target_keys = ("tgt_layer_cls", "tgt_tokens", "tgt_token_mask")
+
     def _block_aux(self, targets, ids, mask, n, max_len):
         del n, max_len  # VLMo token masking rides tgt_token_mask x adv mask
-        return {
+        aux = {
             "variables": self.p.surrogate_params,
             "text_ids": ids,
             "text_mask": mask,
             "rel_biases": self.p._rel_biases,
-            **targets,
         }
+        if targets is not None:
+            aux.update(targets)
+        return aux

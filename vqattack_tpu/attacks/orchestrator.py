@@ -28,8 +28,10 @@ from vqattack_tpu.attacks import albef as albef_losses
 from vqattack_tpu.attacks.mar_labels import MarLabels, build_mar_labels
 from vqattack_tpu.attacks.pgd import (
     pgd_alternating,
+    pgd_alternating_block,
     pgd_alternating_dynamic,
     pgd_feature,
+    pgd_feature_block,
     pgd_feature_dynamic,
     pgd_vl_step,
 )
@@ -140,6 +142,34 @@ class AlbefAttackPipeline:
         self._mlm_loss = albef_losses.make_mlm_loss(surrogate)
         self._vl_loss = albef_losses.make_vl_loss(surrogate)
 
+        # clean-targets as a pure fn over (ori_px, key, aux) for the fused
+        # first-block program (pgd.py::pgd_feature_block): the same masked
+        # gen_feats as clean_targets(), traced INTO the block program so the
+        # separate dispatch (and the eager mlm_random_mask op chain) goes
+        # away.  Reads the original question from aux["ori_ids"/"ori_mask"].
+        special = self._special
+        tap_bf16 = cfg.attack.tap_dtype == "bfloat16"
+
+        def _targets_fn(ori_px, key, aux):
+            masked_ids, _ = mlm_random_mask(
+                key, aux["ori_ids"],
+                vocab_size=surrogate.cfg.bert.vocab_size,
+                mask_token_id=special[0], pad_token_id=special[1],
+                cls_token_id=special[2],
+                mlm_probability=surrogate.cfg.mlm_probability,
+            )
+            img_f, txt_f, _ = surrogate.apply(
+                aux["variables"], ori_px, masked_ids, aux["ori_mask"],
+                method=AlbefPretrain.gen_feats,
+            )
+            if tap_bf16:
+                img_f = img_f.astype(jnp.bfloat16)
+                txt_f = txt_f.astype(jnp.bfloat16)
+            return {"tgt_img": img_f, "tgt_txt": txt_f}
+
+        self._targets_fn = _targets_fn
+        self._target_keys = ("tgt_img", "tgt_txt")
+
     # ------------------------------------------------------------------ utils
 
     def encode(self, text: str) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -218,9 +248,14 @@ class AlbefAttackPipeline:
             mar = MarLabels(1, None, None, None, [], [], [], 0)
         old_alg = mar.old_alg
 
-        # clean feature targets from the original question
+        # clean feature targets from the original question; on the fused
+        # path they compute INSIDE block 0's program (VERDICT r4 Next #3)
         ori_ids, ori_mask = self.encode(question)
-        tgt_img, tgt_txt = self.clean_targets(ori_px, ori_ids, ori_mask, r_tgt)
+        fused = atk.dynamic_pgd and atk.fused_block
+        if fused:
+            tgt_img = tgt_txt = None
+        else:
+            tgt_img, tgt_txt = self.clean_targets(ori_px, ori_ids, ori_mask, r_tgt)
         ori_emb = np.asarray(self._embed_text(self.surrogate_params, ori_ids))[0]
 
         # substitution candidates + block schedule
@@ -254,11 +289,17 @@ class AlbefAttackPipeline:
                 "variables": self.surrogate_params,
                 "text_ids": ids,
                 "text_mask": mask,
-                "tgt_txt": tgt_txt,
-                "tgt_img": tgt_img,
                 "txt_token_mask": jnp.asarray(token_mask),
                 "special_ids": self._special,
             }
+            if fused and first_block:
+                # the fused first-block program computes the targets itself
+                # from the original question (pgd.py::pgd_feature_block)
+                aux["ori_ids"] = ori_ids
+                aux["ori_mask"] = ori_mask
+            else:
+                aux["tgt_txt"] = tgt_txt
+                aux["tgt_img"] = tgt_img
             r_pgd, r_block = jax.random.split(r_pgd)
             rand_init = first_block and atk.rand_init
             # dynamic kernels clamp trips to max_iter on-device — enforce
@@ -269,8 +310,36 @@ class AlbefAttackPipeline:
                     f"block_iters={block_iters} exceeds num_iters={atk.num_iters}"
                 )
 
+            is_last = (block_idx == len(iter_list) - 1
+                       or not cands.attack_word_indices)
+            tg = None
+            if fused:
+                # pad the VL gather width to a power of two floored at
+                # max_sub_words (the batched engine's lattice policy)
+                ap = cands.attack_positions
+                width = 1 << (max(len(ap), atk.max_sub_words, 1) - 1).bit_length()
+                pos = np.zeros((1, width), np.int32)
+                pos[0, : len(ap)] = ap
+                r_pgd, r_vl = jax.random.split(r_pgd)
             if old_alg == 1:
-                if atk.dynamic_pgd:
+                if fused:
+                    adv_px, losses, tgf, tgts = pgd_feature_block(
+                        self._feature_loss, self._vl_loss, self._embed_text,
+                        self._targets_fn if first_block else None,
+                        adv_px, ori_px, r_block, r_vl, r_tgt,
+                        jnp.int32(block_iters), jnp.asarray(rand_init),
+                        jnp.asarray(not is_last), jnp.asarray(pos), aux,
+                        target_keys=self._target_keys,
+                        eps=atk.eps, eps_iter=atk.step_size,
+                        max_iter=atk.num_iters,
+                        clip_min=atk.clip_min, clip_max=atk.clip_max,
+                        use_pallas=self.use_pallas,
+                    )
+                    if first_block:
+                        tgt_img, tgt_txt = tgts
+                    if not is_last:
+                        tg = np.asarray(tgf)[0][: len(ap)]
+                elif atk.dynamic_pgd:
                     adv_px, losses = pgd_feature_dynamic(
                         self._feature_loss, adv_px, ori_px, r_block,
                         jnp.int32(block_iters), jnp.asarray(rand_init), aux,
@@ -301,7 +370,25 @@ class AlbefAttackPipeline:
                 aux["mlm_mask"] = jnp.asarray(cur_mask[None])
                 aux["mlm_labels"] = jnp.asarray(mar.labels[None])
                 second_loss = self._mlm_loss if aligned else self._feature_loss
-                if atk.dynamic_pgd:
+                if fused:
+                    adv_px, fl, ml, tgf, tgts = pgd_alternating_block(
+                        self._feature_loss, second_loss, self._vl_loss,
+                        self._embed_text,
+                        self._targets_fn if first_block else None,
+                        adv_px, ori_px, r_block, r_vl, r_tgt,
+                        jnp.int32(block_iters // 2), jnp.asarray(rand_init),
+                        jnp.asarray(not is_last), jnp.asarray(pos), aux,
+                        target_keys=self._target_keys,
+                        eps=atk.eps, eps_iter=atk.step_size,
+                        max_iter=atk.num_iters // 2,
+                        clip_min=atk.clip_min, clip_max=atk.clip_max,
+                        use_pallas=self.use_pallas,
+                    )
+                    if first_block:
+                        tgt_img, tgt_txt = tgts
+                    if not is_last:
+                        tg = np.asarray(tgf)[0][: len(ap)]
+                elif atk.dynamic_pgd:
                     adv_px, fl, ml = pgd_alternating_dynamic(
                         self._feature_loss, second_loss, adv_px, ori_px, r_block,
                         jnp.int32(block_iters // 2), jnp.asarray(rand_init), aux,
@@ -322,21 +409,23 @@ class AlbefAttackPipeline:
                 mlm_losses.append(np.asarray(ml)[: block_iters // 2, 0])
             first_block = False
 
-            if block_idx == len(iter_list) - 1 or not cands.attack_word_indices:
+            if is_last:
                 break
 
             # --- between blocks: VL joint step -> word substitution --------
-            adv_embeds = self._embed_text(self.surrogate_params, ids)
-            positions = jnp.asarray([cands.attack_positions])
-            r_pgd, r_vl = jax.random.split(r_pgd)
-            adv_px, text_grad = pgd_vl_step(
-                self._vl_loss, adv_px, adv_embeds, ori_px, positions, r_vl, aux,
-                eps=atk.eps, eps_iter=atk.step_size,
-                clip_min=atk.clip_min, clip_max=atk.clip_max,
-                use_pallas=self.use_pallas,
-            )
+            if not fused:
+                adv_embeds = self._embed_text(self.surrogate_params, ids)
+                positions = jnp.asarray([cands.attack_positions])
+                r_pgd, r_vl = jax.random.split(r_pgd)
+                adv_px, text_grad = pgd_vl_step(
+                    self._vl_loss, adv_px, adv_embeds, ori_px, positions, r_vl,
+                    aux, eps=atk.eps, eps_iter=atk.step_size,
+                    clip_min=atk.clip_min, clip_max=atk.clip_max,
+                    use_pallas=self.use_pallas,
+                )
+                tg = np.asarray(text_grad)[0]
             adv_text, ops = select_substitutions(
-                adv_text, ori_text, np.asarray(text_grad)[0], cands,
+                adv_text, ori_text, tg, cands,
                 ori_emb, self.embed_texts, self.gate.scores,
                 sim_threshold=self.gate.operating_point(atk.sim_threshold),
                 max_length=atk.max_text_len,

@@ -180,6 +180,64 @@ def pgd_alternating(
     return adv, feat_losses, mlm_losses
 
 
+def _dyn_feature_core(
+    loss_fn, x, ori_x, rng, nb_iter, rand_init, aux,
+    eps, eps_iter, max_iter, clip_min, clip_max, norm, use_pallas,
+):
+    """Traced-trip-count feature-PGD body — shared verbatim by
+    :func:`pgd_feature_dynamic` and the fused :func:`pgd_feature_block`
+    (bit-identical trajectories by construction)."""
+    init_key, scan_key = jax.random.split(rng)
+    eta = rand_init_eta(init_key, x.shape, eps, norm, x.dtype)
+    adv = jnp.where(rand_init, jnp.clip(x + eta, clip_min, clip_max), x)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    keys = jax.random.split(scan_key, max_iter)
+    ps = jax.eval_shape(lambda a: loss_fn(a, keys[0], aux)[1], x)
+    losses0 = jnp.zeros((max_iter,) + ps.shape, ps.dtype)
+
+    def body(i, carry):
+        adv, losses = carry
+        (_, per_sample), g = grad_fn(adv, keys[i], aux)
+        adv = _update(adv, g, ori_x, eps, eps_iter, norm, clip_min, clip_max, use_pallas)
+        losses = jax.lax.dynamic_update_index_in_dim(losses, per_sample, i, 0)
+        return adv, losses
+
+    n = jnp.minimum(jnp.asarray(nb_iter, jnp.int32), max_iter)
+    return jax.lax.fori_loop(0, n, body, (adv, losses0))
+
+
+def _dyn_alternating_core(
+    feature_loss_fn, mlm_loss_fn, x, ori_x, rng, nb_iter, rand_init, aux,
+    eps, eps_iter, max_iter, clip_min, clip_max, norm, use_pallas,
+):
+    """Traced-trip-count alternating-PGD body — shared verbatim by
+    :func:`pgd_alternating_dynamic` and :func:`pgd_alternating_block`."""
+    init_key, scan_key = jax.random.split(rng)
+    eta = rand_init_eta(init_key, x.shape, eps, norm, x.dtype)
+    adv = jnp.where(rand_init, jnp.clip(x + eta, clip_min, clip_max), x)
+    feat_grad = jax.value_and_grad(feature_loss_fn, has_aux=True)
+    mlm_grad = jax.value_and_grad(mlm_loss_fn, has_aux=True)
+    keys = jax.random.split(scan_key, max_iter)
+    f_ps = jax.eval_shape(lambda a: feature_loss_fn(a, keys[0], aux)[1], x)
+    m_ps = jax.eval_shape(lambda a: mlm_loss_fn(a, keys[0], aux)[1], x)
+    feat0 = jnp.zeros((max_iter,) + f_ps.shape, f_ps.dtype)
+    mlm0 = jnp.zeros((max_iter,) + m_ps.shape, m_ps.dtype)
+
+    def body(i, carry):
+        adv, feat_l, mlm_l = carry
+        k1, k2 = jax.random.split(keys[i])
+        (_, feat_ps), g1 = feat_grad(adv, k1, aux)
+        adv = jnp.clip(adv + optimize_linear(g1, eps_iter, norm), clip_min, clip_max)
+        (_, mlm_ps), g2 = mlm_grad(adv, k2, aux)
+        adv = _update(adv, g2, ori_x, eps, eps_iter, norm, clip_min, clip_max, use_pallas)
+        feat_l = jax.lax.dynamic_update_index_in_dim(feat_l, feat_ps, i, 0)
+        mlm_l = jax.lax.dynamic_update_index_in_dim(mlm_l, mlm_ps, i, 0)
+        return adv, feat_l, mlm_l
+
+    n = jnp.minimum(jnp.asarray(nb_iter, jnp.int32), max_iter)
+    return jax.lax.fori_loop(0, n, body, (adv, feat0, mlm0))
+
+
 @partial(
     jax.jit,
     static_argnames=("loss_fn", "max_iter", "norm", "use_pallas",
@@ -226,24 +284,10 @@ def pgd_feature_dynamic(
     lowers to ``while_loop``, so no scan unroll applies (the unroll lever
     measured as a wash on the current runtime — PERF.md round 3).
     """
-    init_key, scan_key = jax.random.split(rng)
-    eta = rand_init_eta(init_key, x.shape, eps, norm, x.dtype)
-    adv = jnp.where(rand_init, jnp.clip(x + eta, clip_min, clip_max), x)
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-    keys = jax.random.split(scan_key, max_iter)
-    ps = jax.eval_shape(lambda a: loss_fn(a, keys[0], aux)[1], x)
-    losses0 = jnp.zeros((max_iter,) + ps.shape, ps.dtype)
-
-    def body(i, carry):
-        adv, losses = carry
-        (_, per_sample), g = grad_fn(adv, keys[i], aux)
-        adv = _update(adv, g, ori_x, eps, eps_iter, norm, clip_min, clip_max, use_pallas)
-        losses = jax.lax.dynamic_update_index_in_dim(losses, per_sample, i, 0)
-        return adv, losses
-
-    n = jnp.minimum(jnp.asarray(nb_iter, jnp.int32), max_iter)
-    adv, losses = jax.lax.fori_loop(0, n, body, (adv, losses0))
-    return adv, losses
+    return _dyn_feature_core(
+        loss_fn, x, ori_x, rng, nb_iter, rand_init, aux,
+        eps, eps_iter, max_iter, clip_min, clip_max, norm, use_pallas,
+    )
 
 
 @partial(
@@ -276,33 +320,161 @@ def pgd_alternating_dynamic(
     The same ``nb_iter <= max_iter`` hard contract applies (the trip bound
     is clamped on-device; callers assert host-side).
     """
-    init_key, scan_key = jax.random.split(rng)
-    eta = rand_init_eta(init_key, x.shape, eps, norm, x.dtype)
-    adv = jnp.where(rand_init, jnp.clip(x + eta, clip_min, clip_max), x)
-    feat_grad = jax.value_and_grad(feature_loss_fn, has_aux=True)
-    mlm_grad = jax.value_and_grad(mlm_loss_fn, has_aux=True)
-    keys = jax.random.split(scan_key, max_iter)
-    f_ps = jax.eval_shape(lambda a: feature_loss_fn(a, keys[0], aux)[1], x)
-    m_ps = jax.eval_shape(lambda a: mlm_loss_fn(a, keys[0], aux)[1], x)
-    feat0 = jnp.zeros((max_iter,) + f_ps.shape, f_ps.dtype)
-    mlm0 = jnp.zeros((max_iter,) + m_ps.shape, m_ps.dtype)
-
-    def body(i, carry):
-        adv, feat_l, mlm_l = carry
-        k1, k2 = jax.random.split(keys[i])
-        (_, feat_ps), g1 = feat_grad(adv, k1, aux)
-        adv = jnp.clip(adv + optimize_linear(g1, eps_iter, norm), clip_min, clip_max)
-        (_, mlm_ps), g2 = mlm_grad(adv, k2, aux)
-        adv = _update(adv, g2, ori_x, eps, eps_iter, norm, clip_min, clip_max, use_pallas)
-        feat_l = jax.lax.dynamic_update_index_in_dim(feat_l, feat_ps, i, 0)
-        mlm_l = jax.lax.dynamic_update_index_in_dim(mlm_l, mlm_ps, i, 0)
-        return adv, feat_l, mlm_l
-
-    n = jnp.minimum(jnp.asarray(nb_iter, jnp.int32), max_iter)
-    adv, feat_losses, mlm_losses = jax.lax.fori_loop(
-        0, n, body, (adv, feat0, mlm0)
+    return _dyn_alternating_core(
+        feature_loss_fn, mlm_loss_fn, x, ori_x, rng, nb_iter, rand_init, aux,
+        eps, eps_iter, max_iter, clip_min, clip_max, norm, use_pallas,
     )
-    return adv, feat_losses, mlm_losses
+
+
+def _maybe_vl_core(
+    vl_loss_fn, embed_fn, adv, ori_x, positions, vl_rng, aux, do_vl,
+    eps, eps_iter, norm, clip_min, clip_max, use_pallas,
+):
+    """Conditional VL joint step inside a fused block program.
+
+    When ``do_vl`` (traced bool) is set: embed the current adv text ids
+    (the standalone path's separate ``embed_text`` dispatch), take the
+    joint image+text-embedding gradient, update the image, and harvest the
+    text-embedding gradient rows at ``positions`` — numerically identical
+    to ``embed_text`` followed by :func:`pgd_vl_step` under the same key.
+    When unset (a bucket's LAST block), the branch is skipped at runtime
+    and a zero text-grad of the same shape comes back."""
+    emb_sd = jax.eval_shape(embed_fn, aux["variables"], aux["text_ids"])
+    b, p = positions.shape
+
+    def yes(a):
+        embeds = embed_fn(aux["variables"], aux["text_ids"])
+        grad_fn = jax.value_and_grad(vl_loss_fn, argnums=(0, 1), has_aux=True)
+        (_, _), (g_img, g_emb) = grad_fn(a, embeds, vl_rng, aux)
+        a2 = _update(a, g_img, ori_x, eps, eps_iter, norm, clip_min, clip_max,
+                     use_pallas)
+        tg = jnp.take_along_axis(g_emb, positions[:, :, None], axis=1)
+        # f32 output regardless of trunk dtype: both cond branches must
+        # agree, and the host-side dir-sim consumer is f32 anyway
+        return a2, tg.astype(jnp.float32)
+
+    def no(a):
+        return a, jnp.zeros((b, p, emb_sd.shape[-1]), jnp.float32)
+
+    return jax.lax.cond(do_vl, yes, no, adv)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("loss_fn", "vl_loss_fn", "embed_fn", "targets_fn",
+                     "target_keys", "max_iter", "norm", "use_pallas",
+                     "eps", "eps_iter", "clip_min", "clip_max"),
+)
+def pgd_feature_block(
+    loss_fn: LossFn,
+    vl_loss_fn,
+    embed_fn,
+    targets_fn,
+    x: jnp.ndarray,
+    ori_x: jnp.ndarray,
+    rng: jax.Array,
+    vl_rng: jax.Array,
+    tgt_rng: jax.Array,
+    nb_iter: jnp.ndarray,
+    rand_init: jnp.ndarray,
+    do_vl: jnp.ndarray,
+    positions: jnp.ndarray,
+    aux: Any,
+    target_keys: Tuple[str, ...],
+    eps: float = 0.125,
+    eps_iter: float = 0.01,
+    max_iter: int = 40,
+    clip_min: float = -1.0,
+    clip_max: float = 1.0,
+    norm: str = LINF,
+    use_pallas: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, Tuple[jnp.ndarray, ...]]:
+    """ONE fused per-block program: [clean targets] + dynamic feature PGD +
+    [VL joint step] (VERDICT r4 Next #3).
+
+    The unfused execution shape pays three to four dispatches per block
+    (clean-targets once per bucket + per block: PGD program, embed_text,
+    VL step) — ~1.3 s/pair of dispatch/lattice overhead in the r4 sweep
+    against ~0.03 s/pair of chip compute.  Here the whole block is one
+    program and the lattice shrinks to two variants per algorithm
+    (``targets_fn`` set = first block, computing the clean feature targets
+    on-device; ``None`` = later blocks, targets arrive in ``aux``).
+
+    - ``targets_fn(ori_x, key, aux) -> {target_key: array}`` must read the
+      ORIGINAL question ids from ``aux["ori_ids"]``/``aux["ori_mask"]``
+      (== the block ids on the first block, where ``adv_text`` is still
+      the question);
+    - ``target_keys``: the aux entries forming the target pytree (e.g.
+      ``("tgt_img", "tgt_txt")``); the (possibly fresh) targets come back
+      as the 4th result so later blocks can feed them in;
+    - trajectories bit-match the composed path (clean_targets;
+    pgd_feature_dynamic; embed_text + pgd_vl_step) under the same keys —
+    pinned by tests/test_pgd_fused.py.
+    """
+    if targets_fn is not None:
+        tgts = targets_fn(ori_x, tgt_rng, aux)
+        aux = {**aux, **{k: tgts[k] for k in target_keys}}
+    adv, losses = _dyn_feature_core(
+        loss_fn, x, ori_x, rng, nb_iter, rand_init, aux,
+        eps, eps_iter, max_iter, clip_min, clip_max, norm, use_pallas,
+    )
+    adv, text_grad = _maybe_vl_core(
+        vl_loss_fn, embed_fn, adv, ori_x, positions, vl_rng, aux, do_vl,
+        eps, eps_iter, norm, clip_min, clip_max, use_pallas,
+    )
+    return adv, losses, text_grad, tuple(aux[k] for k in target_keys)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("feature_loss_fn", "mlm_loss_fn", "vl_loss_fn",
+                     "embed_fn", "targets_fn", "target_keys", "max_iter",
+                     "norm", "use_pallas", "eps", "eps_iter", "clip_min",
+                     "clip_max"),
+)
+def pgd_alternating_block(
+    feature_loss_fn: LossFn,
+    mlm_loss_fn: LossFn,
+    vl_loss_fn,
+    embed_fn,
+    targets_fn,
+    x: jnp.ndarray,
+    ori_x: jnp.ndarray,
+    rng: jax.Array,
+    vl_rng: jax.Array,
+    tgt_rng: jax.Array,
+    nb_iter: jnp.ndarray,
+    rand_init: jnp.ndarray,
+    do_vl: jnp.ndarray,
+    positions: jnp.ndarray,
+    aux: Any,
+    target_keys: Tuple[str, ...],
+    eps: float = 0.125,
+    eps_iter: float = 0.01,
+    max_iter: int = 20,
+    clip_min: float = -1.0,
+    clip_max: float = 1.0,
+    norm: str = LINF,
+    use_pallas: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
+           Tuple[jnp.ndarray, ...]]:
+    """:func:`pgd_feature_block` for the alternating (MAR) algorithm —
+    same fusion, same contracts; returns
+    ``(adv, feat_losses, mlm_losses, text_grad, targets)``."""
+    if targets_fn is not None:
+        tgts = targets_fn(ori_x, tgt_rng, aux)
+        aux = {**aux, **{k: tgts[k] for k in target_keys}}
+    adv, feat_losses, mlm_losses = _dyn_alternating_core(
+        feature_loss_fn, mlm_loss_fn, x, ori_x, rng, nb_iter, rand_init, aux,
+        eps, eps_iter, max_iter, clip_min, clip_max, norm, use_pallas,
+    )
+    adv, text_grad = _maybe_vl_core(
+        vl_loss_fn, embed_fn, adv, ori_x, positions, vl_rng, aux, do_vl,
+        eps, eps_iter, norm, clip_min, clip_max, use_pallas,
+    )
+    return adv, feat_losses, mlm_losses, text_grad, tuple(
+        aux[k] for k in target_keys
+    )
 
 
 def pgd_multi_restart(
@@ -319,7 +491,16 @@ def pgd_multi_restart(
     rand-init trajectories in one vmapped program and keep, per sample, the
     restart with the highest final loss.
 
-    Returns ``(adv_x [B, ...], best_losses [T, B])``.
+    Ranking semantics (pinned by ``test_pgd.py::test_multi_restart_ranking``):
+    the final adversarial iterate of each restart is RE-EVALUATED under a
+    fresh PRNG key derived from ``rng`` (the scan-recorded loss at step t is
+    evaluated before that step's update, so it is one iterate stale).  For
+    the deterministic feature-loss family this is exact.  For stochastic
+    losses — the MAR/MLM family re-samples its 15% mask from the key — the
+    re-evaluation draws a NEW mask, so selection carries one sample of mask
+    noise; it is still fully reproducible given ``rng``.  Callers that need
+    noise-free MAR ranking should rank on ``best_losses[-1]`` (the last
+    scan-recorded loss) instead and accept the one-step staleness.
     """
     keys = jax.random.split(rng, n_restarts + 1)
     advs, losses = jax.vmap(

@@ -285,6 +285,7 @@ def select_substitutions_multi(
     gate_pairs_fn: Callable[[Sequence[str], Sequence[str]], np.ndarray],
     max_length: int = 25,
     question_suffix: str = "",
+    timer=None,
 ) -> List[Tuple[str, List[Tuple[str, str]]]]:
     """Substitution selection for a whole lockstep bucket at once.
 
@@ -305,8 +306,19 @@ def select_substitutions_multi(
       ``1 + max_over_samples(#acceptances)`` instead of
       ``sum(#candidates)``.
 
+    ``timer``: optional PhaseTimer — attributes the phase's wall to
+    ``sub_build`` (candidate-sentence construction), ``sub_embed`` (the
+    batched embedding call incl. its tokenization), ``sub_rank`` (host
+    dir-sim ranking) and ``sub_gate`` (the gate rounds), so a sweep's
+    ``substitution`` total is explainable (VERDICT r4 Next #4).
+
     Returns one ``(new_adv_text, ops)`` per request, in order.
     """
+    import contextlib
+
+    _p = timer.phase if timer is not None else (
+        lambda name: contextlib.nullcontext()
+    )
 
     def _finish(words: Sequence[str]) -> str:
         return " ".join(words) + question_suffix
@@ -315,6 +327,8 @@ def select_substitutions_multi(
     walks: List[dict] = []
     all_sentences: List[str] = []
 
+    _build = _p("sub_build")
+    _build.__enter__()
     for ri, req in enumerate(requests):
         adv_text = req.adv_text
         if question_suffix:
@@ -369,9 +383,13 @@ def select_substitutions_multi(
         )
         all_sentences.extend(sentences)
 
+    _build.__exit__(None, None, None)
     if walks:
         # one batched embedding call scores every sample's candidates
-        embs_all = np.asarray(embed_texts_fn(all_sentences))  # [N, S, D]
+        with _p("sub_embed"):
+            embs_all = np.asarray(embed_texts_fn(all_sentences))  # [N, S, D]
+    _rank = _p("sub_rank")
+    _rank.__enter__()
     for w in walks:
         start, count = w["slice"]
         embs = embs_all[start : start + count]
@@ -383,6 +401,7 @@ def select_substitutions_multi(
             denom = max(np.linalg.norm(d) * np.linalg.norm(g), 1e-6)
             dir_sims[n] = float(np.dot(d, g) / denom)
         w["order"] = [int(n) for n in np.argsort(-dir_sims)]
+    _rank.__exit__(None, None, None)
 
     # greedy rounds: round g gates every walk's generation-g trials at once
     pending = walks
@@ -390,20 +409,22 @@ def select_substitutions_multi(
         refs: List[str] = []
         texts: List[str] = []
         owners: List[Tuple[dict, int]] = []
-        for w in pending:
-            w["scores"] = {}
-            for n in w["order"][w["k"] :]:
-                wi, ci, _, _ = w["entries"][n]
-                if wi in w["occupied"]:
-                    continue
-                trial = list(w["current"])
-                trial[wi] = w["req"].cands.candidate_lists[wi][ci]
-                refs.append(w["req"].ori_text)
-                texts.append(_finish(trial))
-                owners.append((w, n))
+        with _p("sub_walk"):
+            for w in pending:
+                w["scores"] = {}
+                for n in w["order"][w["k"] :]:
+                    wi, ci, _, _ = w["entries"][n]
+                    if wi in w["occupied"]:
+                        continue
+                    trial = list(w["current"])
+                    trial[wi] = w["req"].cands.candidate_lists[wi][ci]
+                    refs.append(w["req"].ori_text)
+                    texts.append(_finish(trial))
+                    owners.append((w, n))
         if not texts:
             break
-        sims = np.asarray(gate_pairs_fn(refs, texts), np.float32)
+        with _p("sub_gate"):
+            sims = np.asarray(gate_pairs_fn(refs, texts), np.float32)
         for (w, n), s in zip(owners, sims):
             w["scores"][n] = float(s)
 

@@ -29,8 +29,10 @@ from vqattack_tpu.attacks.mar_labels import MarLabels, build_mar_labels
 from vqattack_tpu.attacks.orchestrator import AttackResult, pad_eval_batch
 from vqattack_tpu.attacks.pgd import (
     pgd_alternating,
+    pgd_alternating_block,
     pgd_alternating_dynamic,
     pgd_feature,
+    pgd_feature_block,
     pgd_feature_dynamic,
     pgd_vl_step,
 )
@@ -102,6 +104,29 @@ class VlmoAttackPipeline:
         self._mlm_loss = vlmo_losses.make_mlm_loss(model)
         self._vl_loss = vlmo_losses.make_vl_loss(model)
 
+        # clean-targets as a pure fn for the fused first-block program
+        # (pgd.py::pgd_feature_block); reads the original question ids from
+        # aux["ori_ids"/"ori_mask"], mirrors clean_targets() exactly
+        tap_bf16 = cfg.attack.tap_dtype == "bfloat16"
+
+        def _targets_fn(ori_px, key, aux):
+            del key  # VLMo clean targets are deterministic (no MLM masking)
+            _, layer_cls, tokens, token_mask = model.apply(
+                aux["variables"], ori_px, aux["ori_ids"], aux["ori_mask"],
+                method=VLMo.attack_feats,
+            )
+            if tap_bf16:
+                layer_cls = layer_cls.astype(jnp.bfloat16)
+                tokens = tokens.astype(jnp.bfloat16)
+            return {
+                "tgt_layer_cls": layer_cls,
+                "tgt_tokens": tokens,
+                "tgt_token_mask": token_mask.astype(jnp.float32),
+            }
+
+        self._targets_fn = _targets_fn
+        self._target_keys = ("tgt_layer_cls", "tgt_tokens", "tgt_token_mask")
+
     # ------------------------------------------------------------------ utils
 
     @property
@@ -172,9 +197,14 @@ class VlmoAttackPipeline:
         old_alg = mar.old_alg
 
         ori_ids, ori_mask = self.encode(question)
-        tgt_layer_cls, tgt_tokens, tgt_token_mask = self.clean_targets(
-            ori_px, ori_ids, ori_mask
-        )
+        fused = atk.dynamic_pgd and atk.fused_block
+        if fused:
+            # targets compute inside block 0's fused program (Next #3)
+            tgt_layer_cls = tgt_tokens = tgt_token_mask = None
+        else:
+            tgt_layer_cls, tgt_tokens, tgt_token_mask = self.clean_targets(
+                ori_px, ori_ids, ori_mask
+            )
         ori_emb = np.asarray(self._embed_text(self.surrogate_params, ori_ids))[0]
 
         # VLMo dialect: the raw arrow question keeps its trailing '?'; the
@@ -201,11 +231,15 @@ class VlmoAttackPipeline:
                 "variables": self.surrogate_params,
                 "text_ids": ids,
                 "text_mask": mask,
-                "tgt_layer_cls": tgt_layer_cls,
-                "tgt_tokens": tgt_tokens,
-                "tgt_token_mask": tgt_token_mask,
                 "rel_biases": self._rel_biases,
             }
+            if fused and first_block:
+                aux["ori_ids"] = ori_ids
+                aux["ori_mask"] = ori_mask
+            else:
+                aux["tgt_layer_cls"] = tgt_layer_cls
+                aux["tgt_tokens"] = tgt_tokens
+                aux["tgt_token_mask"] = tgt_token_mask
             r_pgd, r_block = jax.random.split(r_pgd)
             rand_init = first_block and atk.rand_init
             # dynamic kernels clamp trips to max_iter on-device — enforce
@@ -216,8 +250,34 @@ class VlmoAttackPipeline:
                     f"block_iters={block_iters} exceeds num_iters={atk.num_iters}"
                 )
 
+            is_last = (block_idx == len(iter_list) - 1
+                       or not cands.attack_word_indices)
+            tg = None
+            if fused:
+                ap = cands.attack_positions
+                width = 1 << (max(len(ap), atk.max_sub_words, 1) - 1).bit_length()
+                pos = np.zeros((1, width), np.int32)
+                pos[0, : len(ap)] = ap
+                r_pgd, r_vl = jax.random.split(r_pgd)
             if old_alg == 1:
-                if atk.dynamic_pgd:
+                if fused:
+                    adv_px, losses, tgf, tgts = pgd_feature_block(
+                        self._feature_loss, self._vl_loss, self._embed_text,
+                        self._targets_fn if first_block else None,
+                        adv_px, ori_px, r_block, r_vl, r_block,
+                        jnp.int32(block_iters), jnp.asarray(rand_init),
+                        jnp.asarray(not is_last), jnp.asarray(pos), aux,
+                        target_keys=self._target_keys,
+                        eps=atk.eps, eps_iter=atk.step_size,
+                        max_iter=atk.num_iters,
+                        clip_min=atk.clip_min, clip_max=atk.clip_max,
+                        use_pallas=self.use_pallas,
+                    )
+                    if first_block:
+                        tgt_layer_cls, tgt_tokens, tgt_token_mask = tgts
+                    if not is_last:
+                        tg = np.asarray(tgf)[0][: len(ap)]
+                elif atk.dynamic_pgd:
                     adv_px, losses = pgd_feature_dynamic(
                         self._feature_loss, adv_px, ori_px, r_block,
                         jnp.int32(block_iters), jnp.asarray(rand_init), aux,
@@ -244,7 +304,25 @@ class VlmoAttackPipeline:
                 aux["mlm_mask"] = jnp.asarray(cur_mask[None])
                 aux["mlm_labels"] = jnp.asarray(mar.labels[None])
                 second_loss = self._mlm_loss if aligned else self._feature_loss
-                if atk.dynamic_pgd:
+                if fused:
+                    adv_px, fl, ml, tgf, tgts = pgd_alternating_block(
+                        self._feature_loss, second_loss, self._vl_loss,
+                        self._embed_text,
+                        self._targets_fn if first_block else None,
+                        adv_px, ori_px, r_block, r_vl, r_block,
+                        jnp.int32(block_iters // 2), jnp.asarray(rand_init),
+                        jnp.asarray(not is_last), jnp.asarray(pos), aux,
+                        target_keys=self._target_keys,
+                        eps=atk.eps, eps_iter=atk.step_size,
+                        max_iter=atk.num_iters // 2,
+                        clip_min=atk.clip_min, clip_max=atk.clip_max,
+                        use_pallas=self.use_pallas,
+                    )
+                    if first_block:
+                        tgt_layer_cls, tgt_tokens, tgt_token_mask = tgts
+                    if not is_last:
+                        tg = np.asarray(tgf)[0][: len(ap)]
+                elif atk.dynamic_pgd:
                     adv_px, fl, ml = pgd_alternating_dynamic(
                         self._feature_loss, second_loss, adv_px, ori_px, r_block,
                         jnp.int32(block_iters // 2), jnp.asarray(rand_init), aux,
@@ -265,20 +343,22 @@ class VlmoAttackPipeline:
                 mlm_losses.append(np.asarray(ml)[: block_iters // 2, 0])
             first_block = False
 
-            if block_idx == len(iter_list) - 1 or not cands.attack_word_indices:
+            if is_last:
                 break
 
-            adv_embeds = self._embed_text(self.surrogate_params, ids)
-            positions = jnp.asarray([cands.attack_positions])
-            r_pgd, r_vl = jax.random.split(r_pgd)
-            adv_px, text_grad = pgd_vl_step(
-                self._vl_loss, adv_px, adv_embeds, ori_px, positions, r_vl, aux,
-                eps=atk.eps, eps_iter=atk.step_size,
-                clip_min=atk.clip_min, clip_max=atk.clip_max,
-                use_pallas=self.use_pallas,
-            )
+            if not fused:
+                adv_embeds = self._embed_text(self.surrogate_params, ids)
+                positions = jnp.asarray([cands.attack_positions])
+                r_pgd, r_vl = jax.random.split(r_pgd)
+                adv_px, text_grad = pgd_vl_step(
+                    self._vl_loss, adv_px, adv_embeds, ori_px, positions, r_vl,
+                    aux, eps=atk.eps, eps_iter=atk.step_size,
+                    clip_min=atk.clip_min, clip_max=atk.clip_max,
+                    use_pallas=self.use_pallas,
+                )
+                tg = np.asarray(text_grad)[0]
             adv_text, ops = select_substitutions(
-                adv_text, ori_text, np.asarray(text_grad)[0], cands,
+                adv_text, ori_text, tg, cands,
                 ori_emb, self.embed_texts, self.gate.scores,
                 sim_threshold=self.gate.operating_point(atk.sim_threshold),
                 max_length=self.max_text_len,

@@ -213,6 +213,15 @@ class AttackConfig:
     # scan_unroll is ignored on this path (a traced bound lowers to
     # while_loop, which cannot unroll — measured a wash anyway).
     dynamic_pgd: bool = False
+    # Fuse each per-block device program (dynamic path only): clean feature
+    # targets compute INSIDE the first block's program and the VL joint
+    # step + text-grad harvest run at the END of every non-final block's
+    # program, collapsing the 3-4 dispatches per block (clean targets /
+    # PGD / embed_text / VL step) to one and shrinking the program lattice
+    # to two variants per algorithm.  Trajectories bit-match the unfused
+    # composition under the same keys (tests/test_pgd_fused.py).  Ignored
+    # when dynamic_pgd is False.
+    fused_block: bool = True
 
 
 # ---------------------------------------------------------------------------

@@ -117,6 +117,19 @@ def build_argparser() -> argparse.ArgumentParser:
              "pre-round-4 execution shape; wins ~5%% steady-state at "
              "batch 1 only — PERF.md round 4)",
     )
+    fuse_mode = p.add_mutually_exclusive_group()
+    fuse_mode.add_argument(
+        "--fused-block", action="store_true",
+        help="fuse each per-block device program (clean targets inside "
+             "block 0, VL joint step at block end) — one dispatch per "
+             "block instead of 3-4; default ON under --dynamic-pgd "
+             "(config fused_block)",
+    )
+    fuse_mode.add_argument(
+        "--no-fused-block", action="store_true",
+        help="opt back into the separate clean-targets / PGD / embed / "
+             "VL-step dispatches (the round-4 execution shape) for A/B",
+    )
     p.add_argument(
         "--dtype", choices=["float32", "bfloat16"], default=None,
         help="surrogate trunk compute dtype (default: config compute_dtype, "
@@ -264,6 +277,14 @@ def resolve_config(args):
         # execution shape; the kernels are bit-identical at scan_unroll=1)
         cfg = dataclasses.replace(
             cfg, attack=dataclasses.replace(cfg.attack, dynamic_pgd=False)
+        )
+    if getattr(args, "fused_block", False):
+        cfg = dataclasses.replace(
+            cfg, attack=dataclasses.replace(cfg.attack, fused_block=True)
+        )
+    if getattr(args, "no_fused_block", False):
+        cfg = dataclasses.replace(
+            cfg, attack=dataclasses.replace(cfg.attack, fused_block=False)
         )
     if getattr(args, "tap_dtype", None):
         cfg = dataclasses.replace(
