@@ -50,20 +50,46 @@ if os.environ.get("VQATTACK_TESTS_CACHE_WRITE", "") != "1":
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-if os.environ.get("VQATTACK_TESTS_DIAG"):
-    # segfault forensics (round 5): log per-test /proc/self/maps count and
-    # peak RSS to /tmp/suite_maps.log — the r4/r5 suite crashes are in
-    # XLA:CPU native code (serialize / compile) late in the process, and
-    # mmap-count exhaustion (vm.max_map_count) is the prime suspect:
-    # every retained CPU executable holds ~6 maps (measured).
-    def pytest_runtest_teardown(item, nextitem):
+# ---- vm.max_map_count guard (the r4/r5 full-suite SIGSEGV root cause) ----
+# Every retained XLA:CPU executable holds ~6 process memory maps (measured);
+# the full suite accumulates ~27k maps by test ~104 and crosses the kernel's
+# vm.max_map_count (65530 here) right where two rounds of suite runs
+# segfaulted inside XLA:CPU native code (r4: executable serialize during a
+# cache write; r5: backend_compile_and_load) at ~test 334 — a failed mmap in
+# the JIT code loader is a SIGSEGV, not a Python exception.  The guard:
+# clear jax's program caches whenever the map count crosses a safety
+# threshold.  jax.clear_caches() drops the maps back to baseline (measured
+# 2898 -> 505) and live jitted callables simply recompile on next use.
+_MAP_GUARD_THRESHOLD = int(os.environ.get("VQATTACK_MAP_GUARD", "45000"))
+
+
+def _map_count() -> int:
+    try:
+        with open("/proc/self/maps") as f:
+            return sum(1 for _ in f)
+    except OSError:  # non-Linux: guard inert
+        return 0
+
+
+def pytest_runtest_teardown(item, nextitem):
+    n = _map_count()
+    if os.environ.get("VQATTACK_TESTS_DIAG"):
         import resource
 
-        with open("/proc/self/maps") as f:
-            n = sum(1 for _ in f)
         rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
         with open("/tmp/suite_maps.log", "a") as f:
             f.write(f"{n}\t{rss}\t{item.nodeid}\n")
+    if n > _MAP_GUARD_THRESHOLD:
+        import gc
+        import sys
+
+        jax.clear_caches()
+        gc.collect()
+        print(
+            f"\n[conftest] map-count guard: {n} maps > "
+            f"{_MAP_GUARD_THRESHOLD}, cleared jax caches -> {_map_count()}",
+            file=sys.stderr,
+        )
 
 
 @pytest.fixture
