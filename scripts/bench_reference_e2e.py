@@ -707,7 +707,7 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="refe2e_")
     vocab_path = os.path.join(tmp, "vocab.txt")
     make_vocab(vocab_path)
-    tokenizer = WordPieceTokenizer(vocab_path)
+    tokenizer = WordPieceTokenizer.from_file(vocab_path)
     filter_words = default_filter_words()
 
     # same stream + seed as the production 256-sample sweeps
@@ -804,6 +804,11 @@ def main() -> None:
         "s_per_pair": round(wall / n, 4),
         "s_per_pair_all_reps": [round(w / n, 4) for w in walls],
         "s_per_pair_gate_free": round((wall - gate_s) / n, 4),
+        # reload-free floor (VLMo): the reload emulation pays this runtime's
+        # tunneled host->device upload where the reference pays local disk +
+        # PCIe — subtracting it bounds the baseline from below
+        "s_per_pair_reload_free": round(
+            (wall - phases.acc.get("reload", 0.0)) / n, 4),
         "phase_s_per_pair": {
             k: round(v / n, 4)
             for k, v in sorted(phases.acc.items(), key=lambda kv: -kv[1])

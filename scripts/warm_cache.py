@@ -114,17 +114,86 @@ def _trunk_dtype(cfg):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
 
+def _albef_fused_fns(cfg, model):
+    """Replicas of the ALBEF pipeline's ``embed_fn`` / ``targets_fn``
+    (attacks/orchestrator.py): HLO-identical by construction so the warmed
+    fused-block programs hit the sweep's disk-cache keys — pinned by
+    tests/test_warm_cache.py::test_fused_warm_hlo_matches_pipeline."""
+    import jax
+    import jax.numpy as jnp
+
+    from vqattack_tpu.models.albef import AlbefPretrain, mlm_random_mask
+
+    embed_fn = jax.jit(
+        lambda v, ids: model.apply(v, ids, method=AlbefPretrain.embed_text)
+    )
+    tap_bf16 = cfg.attack.tap_dtype == "bfloat16"
+
+    def targets_fn(ori_px, key2, aux2):
+        masked_ids, _ = mlm_random_mask(
+            key2, aux2["ori_ids"],
+            vocab_size=cfg.albef.bert.vocab_size,
+            # HF bert-base special positions, = the sweep tokenizer's
+            # (mask, pad, cls) — warm_albef's aux special_ids use the same
+            mask_token_id=103, pad_token_id=0, cls_token_id=101,
+            mlm_probability=cfg.albef.mlm_probability,
+        )
+        img_f, txt_f, _ = model.apply(
+            aux2["variables"], ori_px, masked_ids, aux2["ori_mask"],
+            method=AlbefPretrain.gen_feats,
+        )
+        if tap_bf16:
+            img_f = img_f.astype(jnp.bfloat16)
+            txt_f = txt_f.astype(jnp.bfloat16)
+        return {"tgt_img": img_f, "tgt_txt": txt_f}
+
+    return embed_fn, targets_fn
+
+
+def _vlmo_fused_fns(cfg, model):
+    """VLMo counterpart of :func:`_albef_fused_fns`
+    (attacks/vlmo_orchestrator.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vqattack_tpu.models.vlmo import VLMo
+
+    embed_fn = jax.jit(
+        lambda v, ids: model.apply(v, ids, method=VLMo.embed_text)
+    )
+    tap_bf16 = cfg.attack.tap_dtype == "bfloat16"
+
+    def targets_fn(ori_px, key2, aux2):
+        del key2
+        _, layer_cls, tokens, token_mask = model.apply(
+            aux2["variables"], ori_px, aux2["ori_ids"], aux2["ori_mask"],
+            method=VLMo.attack_feats,
+        )
+        if tap_bf16:
+            layer_cls = layer_cls.astype(jnp.bfloat16)
+            tokens = tokens.astype(jnp.bfloat16)
+        return {
+            "tgt_layer_cls": layer_cls,
+            "tgt_tokens": tokens,
+            "tgt_token_mask": token_mask.astype(jnp.float32),
+        }
+
+    return embed_fn, targets_fn
+
+
 def warm_albef(batch_sizes, max_k, total_iters, image_size, use_pallas,
                cfg=None, *, dtype=None, no_remat=False, dynamic=False,
-               softmax_dtype=None, tap_dtype=None):
+               softmax_dtype=None, tap_dtype=None, fused=False):
     import jax
     import jax.numpy as jnp
 
     from vqattack_tpu.attacks import albef as albef_losses
     from vqattack_tpu.attacks.pgd import (
         pgd_alternating,
+        pgd_alternating_block,
         pgd_alternating_dynamic,
         pgd_feature,
+        pgd_feature_block,
         pgd_feature_dynamic,
         pgd_vl_step,
     )
@@ -152,6 +221,7 @@ def warm_albef(batch_sizes, max_k, total_iters, image_size, use_pallas,
     vl = albef_losses.make_vl_loss(model)
     mixed = make_mixed_second_loss(model)
 
+    embed_fn, targets_fn = _albef_fused_fns(cfg, model)
     count = 0
     for b in batch_sizes:
         px = sds((b, image_size, image_size, 3), f32)
@@ -180,6 +250,54 @@ def warm_albef(batch_sizes, max_k, total_iters, image_size, use_pallas,
         common = dict(eps=atk.eps, eps_iter=atk.step_size,
                       clip_min=atk.clip_min, clip_max=atk.clip_max,
                       use_pallas=use_pallas)
+
+        if dynamic and fused:
+            # --fused-block sweeps (the production default under
+            # --dynamic-pgd): one program per (algorithm, first/rest,
+            # label rank, VL width)
+            nb, ri, dv = sds((), i32), sds((), jnp.bool_), sds((), jnp.bool_)
+            tkeys = ("tgt_img", "tgt_txt")
+            base = {k: v for k, v in aux.items() if not k.startswith("tgt_")}
+            ori_e = dict(ori_ids=sds((b, s), i32), ori_mask=sds((b, s), i32))
+            widths = sorted({w for w in _vl_widths(max_k, s)
+                             if w >= atk.max_sub_words}
+                            | {1 << (atk.max_sub_words - 1).bit_length()})
+            for p in widths:
+                pos = sds((b, p), i32)
+
+                def _go(fn, *a, tag="", **kw):
+                    nonlocal count
+                    t0 = time.perf_counter()
+                    fn.lower(*a, target_keys=tkeys, **common, **kw).compile()
+                    count += 1
+                    print(f"albef {tag} b={b} p={p}: "
+                          f"{time.perf_counter() - t0:.1f}s", flush=True)
+
+                _go(pgd_feature_block, feat, vl, embed_fn, targets_fn,
+                    px, px, key, key, key, nb, ri, dv, pos,
+                    dict(base, **ori_e), max_iter=total_iters,
+                    tag="feature-block first")
+                _go(pgd_feature_block, feat, vl, embed_fn, None,
+                    px, px, key, key, key, nb, ri, dv, pos, aux,
+                    max_iter=total_iters, tag="feature-block rest")
+                for label_aux, rank in ((mlm_aux, 2), (mlm_aux3, 3)):
+                    la_first = {k: v for k, v in label_aux.items()
+                                if not k.startswith("tgt_")}
+                    # first block: MAR alignment holds by construction, so
+                    # only the plain-mlm second loss occurs there
+                    _go(pgd_alternating_block, feat, mlm, vl, embed_fn,
+                        targets_fn, px, px, key, key, key, nb, ri, dv, pos,
+                        dict(la_first, **ori_e), max_iter=total_iters // 2,
+                        tag=f"alternating-block first labels={rank}D")
+                    mix_aux = dict(label_aux, mlm_weight=sds((b,), f32))
+                    for second, second_aux, tag in (
+                        (mlm, label_aux, ""), (mixed, mix_aux, " mixed"),
+                    ):
+                        _go(pgd_alternating_block, feat, second, vl,
+                            embed_fn, None, px, px, key, key, key, nb, ri,
+                            dv, pos, second_aux, max_iter=total_iters // 2,
+                            tag=f"alternating-block rest{tag} labels={rank}D")
+            continue
 
         if dynamic:
             # --dynamic-pgd sweeps: the whole block lattice is ONE program
@@ -264,15 +382,17 @@ def warm_albef(batch_sizes, max_k, total_iters, image_size, use_pallas,
 
 def warm_vlmo(batch_sizes, max_k, total_iters, image_size, use_pallas,
               cfg=None, *, dtype=None, no_remat=False, dynamic=False,
-              softmax_dtype=None, tap_dtype=None):
+              softmax_dtype=None, tap_dtype=None, fused=False):
     import jax
     import jax.numpy as jnp
 
     from vqattack_tpu.attacks import vlmo as vlmo_losses
     from vqattack_tpu.attacks.pgd import (
         pgd_alternating,
+        pgd_alternating_block,
         pgd_alternating_dynamic,
         pgd_feature,
+        pgd_feature_block,
         pgd_feature_dynamic,
         pgd_vl_step,
     )
@@ -300,6 +420,7 @@ def warm_vlmo(batch_sizes, max_k, total_iters, image_size, use_pallas,
     vl = vlmo_losses.make_vl_loss(model)
     mixed = make_vlmo_mixed_second_loss(model)
 
+    embed_fn, targets_fn = _vlmo_fused_fns(cfg, model)
     count = 0
     for b in batch_sizes:
         px = sds((b, image_size, image_size, 3), f32)
@@ -329,6 +450,49 @@ def warm_vlmo(batch_sizes, max_k, total_iters, image_size, use_pallas,
         common = dict(eps=atk.eps, eps_iter=atk.step_size,
                       clip_min=atk.clip_min, clip_max=atk.clip_max,
                       use_pallas=use_pallas)
+
+        if dynamic and fused:
+            nb, ri, dv = sds((), i32), sds((), jnp.bool_), sds((), jnp.bool_)
+            tkeys = ("tgt_layer_cls", "tgt_tokens", "tgt_token_mask")
+            base = {k: v for k, v in aux.items() if not k.startswith("tgt_")}
+            ori_e = dict(ori_ids=sds((b, t), i32), ori_mask=sds((b, t), i32))
+            widths = sorted({w for w in _vl_widths(max_k, t)
+                             if w >= atk.max_sub_words}
+                            | {1 << (atk.max_sub_words - 1).bit_length()})
+            for p in widths:
+                pos = sds((b, p), i32)
+
+                def _go(fn, *a, tag="", **kw):
+                    nonlocal count
+                    t0 = time.perf_counter()
+                    fn.lower(*a, target_keys=tkeys, **common, **kw).compile()
+                    count += 1
+                    print(f"vlmo {tag} b={b} p={p}: "
+                          f"{time.perf_counter() - t0:.1f}s", flush=True)
+
+                _go(pgd_feature_block, feat, vl, embed_fn, targets_fn,
+                    px, px, key, key, key, nb, ri, dv, pos,
+                    dict(base, **ori_e), max_iter=total_iters,
+                    tag="feature-block first")
+                _go(pgd_feature_block, feat, vl, embed_fn, None,
+                    px, px, key, key, key, nb, ri, dv, pos, aux,
+                    max_iter=total_iters, tag="feature-block rest")
+                for label_aux, rank in ((mlm_aux, 2), (mlm_aux3, 3)):
+                    la_first = {k: v for k, v in label_aux.items()
+                                if not k.startswith("tgt_")}
+                    _go(pgd_alternating_block, feat, mlm, vl, embed_fn,
+                        targets_fn, px, px, key, key, key, nb, ri, dv, pos,
+                        dict(la_first, **ori_e), max_iter=total_iters // 2,
+                        tag=f"alternating-block first labels={rank}D")
+                    mix_aux = dict(label_aux, mlm_weight=sds((b,), f32))
+                    for second, second_aux, tag in (
+                        (mlm, label_aux, ""), (mixed, mix_aux, " mixed"),
+                    ):
+                        _go(pgd_alternating_block, feat, second, vl,
+                            embed_fn, None, px, px, key, key, key, nb, ri,
+                            dv, pos, second_aux, max_iter=total_iters // 2,
+                            tag=f"alternating-block rest{tag} labels={rank}D")
+            continue
 
         if dynamic:
             nb, ri = sds((), i32), sds((), jnp.bool_)
@@ -452,6 +616,12 @@ def main() -> None:
                          "traced-trip-count kernels (one program per "
                          "algorithm x label rank instead of the block "
                          "lattice)")
+    ap.add_argument("--fused", action="store_true",
+                    help="match the production default (--dynamic-pgd with "
+                         "fused_block): warm the fused per-block programs "
+                         "(clean targets + PGD + VL step in one dispatch) "
+                         "instead of the separate dynamic + vl programs; "
+                         "implies --dynamic")
     args = ap.parse_args()
 
     import jax
@@ -467,8 +637,10 @@ def main() -> None:
     )
     fn = warm_vlmo if args.model == "vlmo" else warm_albef
     n = fn(batch_sizes, args.max_k, args.iters, args.image_size, use_pallas,
-           dtype=args.dtype, no_remat=args.no_remat, dynamic=args.dynamic,
-           softmax_dtype=args.softmax_dtype, tap_dtype=args.tap_dtype)
+           dtype=args.dtype, no_remat=args.no_remat,
+           dynamic=args.dynamic or args.fused,
+           softmax_dtype=args.softmax_dtype, tap_dtype=args.tap_dtype,
+           fused=args.fused)
     print(f"warmed {n} programs into {cache_dir}")
 
 

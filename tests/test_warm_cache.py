@@ -101,3 +101,85 @@ def test_expand_batch_sizes_covers_pow2_tails():
     assert warm_cache.expand_batch_sizes([1, 8]) == (1, 2, 4, 8)
     assert warm_cache.expand_batch_sizes([6]) == (1, 2, 4, 6)
     assert warm_cache.expand_batch_sizes([1]) == (1,)
+
+
+def test_warm_albef_fused_compiles_tiny():
+    # --fused (the production default under --dynamic-pgd): per VL width
+    # (tiny: {4,8}) -> feature first/rest + alternating first (2 ranks)
+    # + alternating rest (2 ranks x plain/mixed) = 8 programs x 2 widths
+    assert _warm_in_subprocess("warm_albef", ", dynamic=True, fused=True") == 16
+
+
+def test_fused_warm_hlo_matches_pipeline(tmp_path):
+    """warm_cache's replica embed_fn/targets_fn must lower the fused block
+    program to byte-identical HLO as the real pipeline's closures — that
+    equality IS the disk-cache hit the sweep protocol relies on."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from vqattack_tpu.attacks.orchestrator import AlbefAttackPipeline
+    from vqattack_tpu.attacks.pgd import pgd_feature_block
+    from vqattack_tpu.config import tiny_test_config
+    from vqattack_tpu.models.albef import AlbefPretrain
+    from vqattack_tpu.text.similarity import NullGate
+    from vqattack_tpu.text.tokenizer import WordPieceTokenizer
+
+    # vocab with the HF special positions the replica hardcodes
+    vocab = tmp_path / "vocab.txt"
+    toks = ["[PAD]"] + [f"[unused{i}]" for i in range(99)] + [
+        "[UNK]", "[CLS]", "[SEP]", "[MASK]", "dog", "cat", "red"]
+    while len(toks) < 128:
+        toks.append(f"tok{len(toks)}")
+    vocab.write_text("\n".join(toks) + "\n")
+    tok = WordPieceTokenizer.from_file(str(vocab))
+
+    cfg = tiny_test_config()
+    cfg = dataclasses.replace(
+        cfg, albef=dataclasses.replace(
+            cfg.albef,
+            bert=dataclasses.replace(cfg.albef.bert, vocab_size=tok.vocab_size),
+        ),
+    )
+    model = AlbefPretrain(cfg.albef)
+    pipe = AlbefAttackPipeline(cfg, model, None, tok, NullGate())
+    wc_embed, wc_targets = warm_cache._albef_fused_fns(cfg, model)
+
+    s = cfg.attack.max_text_len
+    size = cfg.albef.vit.image_size
+    sds = jax.ShapeDtypeStruct
+    i32 = jnp.int32
+    key = jax.random.key(0)
+    px = sds((1, size, size, 3), jnp.float32)
+    params = jax.eval_shape(
+        lambda k: model.init(
+            k, jnp.zeros((1, size, size, 3)), jnp.ones((1, s), i32),
+            jnp.ones((1, s), i32), method=AlbefPretrain.init_all),
+        key,
+    )
+    aux = {
+        "variables": params,
+        "text_ids": sds((1, s), i32),
+        "text_mask": sds((1, s), i32),
+        "txt_token_mask": sds((1, s), jnp.float32),
+        "special_ids": (103, 0, 101),
+        "ori_ids": sds((1, s), i32),
+        "ori_mask": sds((1, s), i32),
+    }
+    from vqattack_tpu.attacks import albef as albef_losses
+
+    feat = albef_losses.make_feature_loss(model)
+    vl = albef_losses.make_vl_loss(model)
+    nb, flag = sds((), i32), sds((), jnp.bool_)
+    pos = sds((1, 4), i32)
+    texts = []
+    for embed_fn, targets_fn in ((wc_embed, wc_targets),
+                                 (pipe._embed_text, pipe._targets_fn)):
+        lowered = pgd_feature_block.lower(
+            feat, vl, embed_fn, targets_fn, px, px, key, key, key,
+            nb, flag, flag, pos, aux, target_keys=("tgt_img", "tgt_txt"),
+            max_iter=4,
+        )
+        texts.append(lowered.as_text())
+    assert texts[0] == texts[1]
