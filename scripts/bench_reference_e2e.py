@@ -809,6 +809,10 @@ def main() -> None:
         # PCIe — subtracting it bounds the baseline from below
         "s_per_pair_reload_free": round(
             (wall - phases.acc.get("reload", 0.0)) / n, 4),
+        # the strictest floor: both environment-sensitive terms subtracted
+        # (gate cost architecture-emulated; reload cost tunnel-dependent)
+        "s_per_pair_floor": round(
+            (wall - gate_s - phases.acc.get("reload", 0.0)) / n, 4),
         "phase_s_per_pair": {
             k: round(v / n, 4)
             for k, v in sorted(phases.acc.items(), key=lambda kv: -kv[1])
