@@ -515,18 +515,20 @@ def attack_one_sample(
 
     with phases.phase("cand_mlm"):
         # ONE bert-MLM forward (cal_text_attack_list); dispatched on the TPU
-        # like the reference's GPU forward
-        def mlm_logits_fn(ids, mask):
-            return np.asarray(
-                m["cand_mlm"](m["cand_mlm_params"], jnp.asarray(ids),
-                              jnp.asarray(mask))
-            )
+        # like the reference's GPU forward, with the top-5 reduced on device
+        # exactly as the reference's torch.topk (adv_attack.py:244) — only
+        # [S,K] transfers, not the [S,vocab] logits
+        def mlm_topk_fn(ids, mask):
+            s, i = m["cand_topk"](m["cand_mlm_params"], jnp.asarray(ids),
+                                  jnp.asarray(mask))
+            return np.asarray(s), np.asarray(i)
 
         cands = generate_candidates(
             question.strip("?") if suffix else question,
-            tokenizer, mlm_logits_fn, filter_words,
+            tokenizer, None, filter_words,
             total_iters=atk.num_iters, top_k=atk.mlm_top_k,
             score_threshold=atk.mlm_score_threshold,
+            mlm_topk_fn=mlm_topk_fn,
         )
         iter_list = cands.iter_list if cands.iter_list else [atk.num_iters]
 
@@ -740,6 +742,12 @@ def main() -> None:
     )(jax.random.key(3))
     m["cand_mlm"] = jax.jit(
         lambda v, i, mk: cand_model.apply(v, i, mk, mode="text")[2]
+    )
+    topk = 5
+    m["cand_topk"] = jax.jit(
+        lambda v, i, mk: jax.lax.top_k(
+            cand_model.apply(v, i, mk, mode="text")[2], topk
+        )
     )
     if args.model == "albef":
         from vqattack_tpu.models.albef import AlbefPretrain

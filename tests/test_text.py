@@ -425,3 +425,36 @@ def test_generate_candidates_batch_matches_per_question():
         assert g.iter_list == single.iter_list
     assert got[2].iter_list == [] and all(c is None for c in got[2].candidate_lists)
     assert any(c for c in got[0].candidate_lists)  # scenario non-trivial
+
+
+def test_generate_candidates_topk_fn_matches_logits_fn():
+    from vqattack_tpu.attacks.text_attack import generate_candidates_batch
+    """The device-side top-k path (mlm_topk_fn, round 5) must select the
+    identical candidates as the full-logits path."""
+    rng = np.random.default_rng(3)
+    tok = make_tok()
+    fw = default_filter_words()
+    v = tok.vocab_size
+
+    def logits_of(ids):
+        r = np.random.default_rng(int(ids.sum()) % 2**31)
+        return r.normal(size=(ids.shape[0], ids.shape[1], v)).astype(np.float32)
+
+    def mlm_logits(ids, mask):
+        return logits_of(ids)
+
+    def mlm_topk(ids, mask, k=5):
+        li = logits_of(ids)
+        idx = np.argsort(-li, axis=-1)[..., :k]
+        return np.take_along_axis(li, idx, axis=-1), idx
+
+    questions = ["what color is the dog", "dog cat hat", "what is the"]
+    a = generate_candidates_batch(questions, tok, mlm_logits, fw,
+                                  max_length=16, score_threshold=0.0)
+    b = generate_candidates_batch(questions, tok, None, fw,
+                                  max_length=16, score_threshold=0.0,
+                                  mlm_topk_fn=mlm_topk)
+    for x, y in zip(a, b):
+        assert x.words == y.words
+        assert x.candidate_lists == y.candidate_lists
+        assert x.iter_list == y.iter_list

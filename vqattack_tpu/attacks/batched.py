@@ -251,6 +251,7 @@ class BatchedAlbefAttack:
                 p.filter_words, total_iters=atk.num_iters,
                 top_k=atk.mlm_top_k, score_threshold=atk.mlm_score_threshold,
                 max_mlm_batch=_PREPARE_CHUNK,
+                mlm_topk_fn=p.candidate_mlm_topk,
             )
         else:
             # no candidate MLM -> image-only attack: empty substitution

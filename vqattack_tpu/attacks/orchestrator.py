@@ -131,6 +131,15 @@ class AlbefAttackPipeline:
             self._cand_mlm_logits = jax.jit(
                 lambda v, ids, mask: mlm_model.apply(v, ids, mask, mode="text")[2]
             )
+            # device-side top-k: only [B,S,K] transfers to host instead of
+            # the full [B,S,vocab] logits (~0.5 GB per 64-question chunk
+            # through the relay — the sweep's prepare-phase dominant term)
+            k = cfg.attack.mlm_top_k
+            self._cand_mlm_topk = jax.jit(
+                lambda v, ids, mask: jax.lax.top_k(
+                    mlm_model.apply(v, ids, mask, mode="text")[2], k
+                )
+            )
         if victim is not None:
             self._rank_answer = jax.jit(
                 lambda v, px, ids, m, a_ids, a_mask, k: victim.apply(
@@ -204,6 +213,13 @@ class AlbefAttackPipeline:
             self._cand_mlm_logits(self.mlm_params, jnp.asarray(ids), jnp.asarray(mask))
         )
 
+    def candidate_mlm_topk(self, ids: np.ndarray, mask: np.ndarray):
+        """(scores [B,S,K], ids [B,S,K]) with the top-k reduced ON device."""
+        s, i = self._cand_mlm_topk(
+            self.mlm_params, jnp.asarray(ids), jnp.asarray(mask)
+        )
+        return np.asarray(s), np.asarray(i)
+
     def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
         # power-of-two batch bucketing: candidate counts vary per sample, and
         # every distinct batch size is a fresh compile (text/similarity.py)
@@ -263,6 +279,7 @@ class AlbefAttackPipeline:
             question, self.tokenizer, self.candidate_mlm_logits,
             self.filter_words, total_iters=atk.num_iters,
             top_k=atk.mlm_top_k, score_threshold=atk.mlm_score_threshold,
+            mlm_topk_fn=self.candidate_mlm_topk,
         )
         iter_list = cands.iter_list if cands.iter_list else [atk.num_iters]
 

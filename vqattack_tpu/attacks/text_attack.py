@@ -112,6 +112,7 @@ def generate_candidates(
     top_k: int = 5,
     score_threshold: float = 0.3,
     max_length: int = 64,
+    mlm_topk_fn=None,
 ) -> WordCandidates:
     """BERT-MLM substitution candidates per attackable word
     (``cal_text_attack_list``, ``adv_attack.py:215-264``).
@@ -121,11 +122,14 @@ def generate_candidates(
     ``[CLS]+sub_words+[SEP]`` sequence unpadded (``adv_attack.py:241-243``);
     here the sequence is padded to a static shape with the attention mask
     zero on padding, which is numerically identical at the real positions.
+    ``mlm_topk_fn`` (preferred when given): see
+    :func:`generate_candidates_batch`.
     """
     return generate_candidates_batch(
         [question], tokenizer, mlm_logits_fn, filter_words,
         total_iters=total_iters, top_k=top_k,
         score_threshold=score_threshold, max_length=max_length,
+        mlm_topk_fn=mlm_topk_fn,
     )[0]
 
 
@@ -139,12 +143,23 @@ def generate_candidates_batch(
     score_threshold: float = 0.3,
     max_length: int = 64,
     max_mlm_batch: int = 64,
+    mlm_topk_fn: Optional[
+        Callable[[np.ndarray, np.ndarray], Tuple[np.ndarray, np.ndarray]]
+    ] = None,
 ) -> List[WordCandidates]:
     """:func:`generate_candidates` for many questions at once: all questions'
     MLM forwards batch into ``ceil(N / max_mlm_batch)`` device calls
     (power-of-two padded rows — one compiled program per bucket size)
     instead of one ~61 ms round-trip per sample.  Per-question results are
-    those of :func:`generate_candidates`."""
+    those of :func:`generate_candidates`.
+
+    ``mlm_topk_fn(ids [B,S], mask [B,S]) -> (scores [B,S,K], ids [B,S,K])``
+    — preferred over ``mlm_logits_fn`` when given: the top-k reduction runs
+    ON DEVICE (``jax.lax.top_k``) so only ``B*S*K`` values transfer instead
+    of the full ``[B,S,vocab]`` logits (~0.5 GB per 64-question chunk at
+    bert-base vocab — the dominant term of the sweep's prepare phase,
+    round 5).  ``K`` must be >= ``top_k``; selection is identical up to
+    ties in raw logits (measure-zero for real weights)."""
     preps: List[Tuple[List[str], List[str], List[Tuple[int, int]], List[int], List[int]]] = []
     rows: List[Tuple[np.ndarray, np.ndarray]] = []
     row_of: Dict[int, int] = {}
@@ -179,14 +194,24 @@ def generate_candidates_batch(
     # one MLM device call per chunk, rows padded to a power-of-two count
     from vqattack_tpu.text.similarity import next_pow2
 
-    row_logits: List[np.ndarray] = []
+    row_top: List[Tuple[np.ndarray, np.ndarray]] = []  # ([S,K] scores, ids)
     for start in range(0, len(rows), max_mlm_batch):
         chunk = rows[start : start + max_mlm_batch]
         pad = next_pow2(len(chunk)) - len(chunk)
         ids_np = np.stack([r[0] for r in chunk] + [chunk[-1][0]] * pad)
         mask_np = np.stack([r[1] for r in chunk] + [chunk[-1][1]] * pad)
-        logits = np.asarray(mlm_logits_fn(ids_np, mask_np))
-        row_logits.extend(logits[: len(chunk)])
+        if mlm_topk_fn is not None:
+            scores, idx = mlm_topk_fn(ids_np, mask_np)
+            scores, idx = np.asarray(scores), np.asarray(idx)
+            row_top.extend(
+                (scores[i], idx[i]) for i in range(len(chunk))
+            )
+        else:
+            logits = np.asarray(mlm_logits_fn(ids_np, mask_np))
+            for i in range(len(chunk)):
+                li = logits[i]
+                idx = np.argsort(-li, axis=-1)[:, :top_k]
+                row_top.append((np.take_along_axis(li, idx, axis=-1), idx))
 
     out: List[WordCandidates] = []
     for qi, (words, sub_words, spans, substitutable, iter_list) in enumerate(preps):
@@ -194,13 +219,11 @@ def generate_candidates_batch(
         if not substitutable:
             out.append(WordCandidates(words, spans, candidate_lists, []))
             continue
-        logits = row_logits[row_of[qi]]  # [S, V]
-
         # top-k raw-logit scores per sub-token position (skipping [CLS], so
         # row i aligns with sub_words[i] — adv_attack.py:244-246)
-        top_idx = np.argsort(-logits, axis=-1)[:, :top_k]
-        top_scores = np.take_along_axis(logits, top_idx, axis=-1)
-        top_idx, top_scores = top_idx[1:], top_scores[1:]
+        top_scores, top_idx = row_top[row_of[qi]]  # [S, K] each
+        top_idx = top_idx[1:, :top_k]
+        top_scores = top_scores[1:, :top_k]
 
         for wi in substitutable:
             s, _ = spans[wi]

@@ -95,6 +95,14 @@ class VlmoAttackPipeline:
             self._cand_mlm_logits = jax.jit(
                 lambda v, ids, mask: mlm_model.apply(v, ids, mask, mode="text")[2]
             )
+            # device-side top-k (see AlbefAttackPipeline): [B,S,K] transfers
+            # instead of the full-vocab logits
+            k = cfg.attack.mlm_top_k
+            self._cand_mlm_topk = jax.jit(
+                lambda v, ids, mask: jax.lax.top_k(
+                    mlm_model.apply(v, ids, mask, mode="text")[2], k
+                )
+            )
         # rel-pos biases are parameter-only: gather them ONCE instead of per
         # PGD iteration (models/vlmo.py::precompute_joint_biases)
         self._rel_biases = jax.jit(
@@ -141,6 +149,13 @@ class VlmoAttackPipeline:
         return np.asarray(
             self._cand_mlm_logits(self.mlm_params, jnp.asarray(ids), jnp.asarray(mask))
         )
+
+    def candidate_mlm_topk(self, ids: np.ndarray, mask: np.ndarray):
+        """(scores [B,S,K], ids [B,S,K]) with the top-k reduced ON device."""
+        s, i = self._cand_mlm_topk(
+            self.mlm_params, jnp.asarray(ids), jnp.asarray(mask)
+        )
+        return np.asarray(s), np.asarray(i)
 
     def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
         # power-of-two batch bucketing: candidate counts vary per sample, and
@@ -215,6 +230,7 @@ class VlmoAttackPipeline:
             question.strip("?"), self.tokenizer, self.candidate_mlm_logits,
             self.filter_words, total_iters=atk.num_iters,
             top_k=atk.mlm_top_k, score_threshold=atk.mlm_score_threshold,
+            mlm_topk_fn=self.candidate_mlm_topk,
         )
         iter_list = cands.iter_list if cands.iter_list else [atk.num_iters]
 

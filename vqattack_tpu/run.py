@@ -163,11 +163,13 @@ def build_argparser() -> argparse.ArgumentParser:
              "first result; lower it for small --limit smoke runs",
     )
     p.add_argument(
-        "--pipeline-depth", type=int, default=2,
+        "--pipeline-depth", type=int, default=4,
         help="overlap this many independent buckets: one bucket's host-side "
              "text work runs while the next bucket's PGD scans occupy the "
              "chip (attacks/batched.py::run). Results are order- and "
-             "bit-identical to depth 1; set 1 to serialize",
+             "bit-identical to depth 1; set 1 to serialize.  Default chosen "
+             "from the round-5 A/B on the 256-sample realistic sweep "
+             "(process wall 898/752/705 s at depth 1/2/4 — PERF.md)",
     )
     p.add_argument(
         "--resume", action="store_true",
