@@ -85,10 +85,12 @@ def pytest_runtest_teardown(item, nextitem):
 
         jax.clear_caches()
         gc.collect()
+        # sys.__stderr__: pytest captures sys.stderr during teardown, which
+        # would swallow the only visible record of a guard firing
         print(
             f"\n[conftest] map-count guard: {n} maps > "
             f"{_MAP_GUARD_THRESHOLD}, cleared jax caches -> {_map_count()}",
-            file=sys.stderr,
+            file=sys.__stderr__,
         )
 
 
