@@ -619,13 +619,16 @@ def main() -> None:
     # Both ends are end-to-end wall measurements on THIS chip.
     e2e_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "docs", "REFSTYLE_E2E.json")
-    sweep_name = ("SWEEP256_VLMO.json" if model_kind == "vlmo"
-                  else "SWEEP256_r05.json")
-    sweep_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "docs", sweep_name)
-    if model_kind != "vlmo" and not os.path.exists(sweep_path):
-        sweep_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                  "docs", "SWEEP256_r04_DYNAMIC.json")
+    _docs = os.path.join(os.path.dirname(os.path.abspath(__file__)), "docs")
+    _candidates = (
+        ["SWEEP256_VLMO_r05.json", "SWEEP256_VLMO.json"]
+        if model_kind == "vlmo"
+        else ["SWEEP256_r05.json", "SWEEP256_r04_DYNAMIC.json"]
+    )
+    sweep_path = next(
+        (p for n in _candidates if os.path.exists(p := os.path.join(_docs, n))),
+        os.path.join(_docs, _candidates[-1]),
+    )
     if os.path.exists(e2e_path) and os.path.exists(sweep_path):
         try:
             with open(e2e_path) as f:

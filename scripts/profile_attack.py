@@ -56,7 +56,7 @@ def build_runner():
     if model == "albef":
         run, _ = bench._make_albef(batch, iters, dtype, fused, remat, unroll)
     else:
-        run, _ = bench._make_vlmo(batch, iters, dtype, remat, unroll)
+        run, _ = bench._make_vlmo(batch, iters, dtype, fused, remat, unroll)
     meta = dict(batch=batch, iters=iters, dtype=dtype_name, remat=remat_env,
                 unroll=unroll, model=model)
     return run, meta
@@ -147,6 +147,47 @@ def attribute(trace_path: str, out_csv: str):
     return total_us
 
 
+#: roofline constants for the slack report (this chip, measured: PERF.md)
+PEAK_FLOPS = 197e12       # bf16 MXU peak
+STREAM_BPS = 692 * 2**30  # measured HBM stream capacity
+
+
+def roofline_slack(trace_path: str, top: int = 20):
+    """Per-module roofline slack: for every HLO leaf op, floor =
+    max(model_flops/peak, bytes/stream); slack = time - floor.  Grouping by
+    the trailing ``tf_op`` path (block indices stripped) attributes the
+    recoverable time to model components instead of anonymous fusion ids —
+    this is what found the 9-17 TFLOP/s patchify conv (round 5)."""
+    import re
+
+    agg = collections.defaultdict(lambda: [0.0, 0.0, 0.0, 0])
+    for e in device_events(trace_path):
+        args = e.get("args", {})
+        cat = args.get("hlo_category", "?")
+        if cat in PARENT_CATEGORIES:
+            continue
+        t = re.sub(r"blocks?_\d+", "blocks", args.get("tf_op", "?"))
+        g = "/".join(t.split("/")[-3:])[:64]
+        agg[g][0] += float(e.get("dur", 0.0)) / 1e6
+        agg[g][1] += float(args.get("bytes_accessed", 0) or 0)
+        agg[g][2] += float(args.get("model_flops", 0) or 0)
+        agg[g][3] += 1
+    rows = []
+    for g, (t, b, f, n) in agg.items():
+        floor = max(f / PEAK_FLOPS, b / STREAM_BPS)
+        rows.append((t - floor, g, t, f, b, n))
+    rows.sort(reverse=True)
+    total = sum(r[2] for r in rows)
+    slack = sum(max(r[0], 0.0) for r in rows)
+    print(f"\nroofline slack: busy {total:.2f} s, floor {total-slack:.2f} s, "
+          f"recoverable-if-perfect {slack:.2f} s "
+          f"(max speedup {total/(total-slack):.2f}x)")
+    print(f"{'group (tf_op tail)':<64}{'ms':>8}{'slack':>8}{'TF/s':>6}{'GiB/s':>7}")
+    for s, g, t, f, b, n in rows[:top]:
+        print(f"{g:<64}{t*1e3:>8.1f}{s*1e3:>8.1f}"
+              f"{f/t/1e12 if t else 0:>6.1f}{b/t/2**30 if t else 0:>7.0f}")
+
+
 def main():
     enable_compile_cache()
     trace_dir = os.environ.get("PROFILE_DIR", "/tmp/vqattack_profile")
@@ -169,6 +210,7 @@ def main():
     trace_path = newest_trace(trace_dir)
     print(f"trace: {trace_path}")
     busy_us = attribute(trace_path, os.path.join(trace_dir, "ops.csv"))
+    roofline_slack(trace_path)
     print(f"\nwall {wall*1e3:.1f} ms vs device busy {busy_us/1e3:.1f} ms "
           f"(gap = dispatch/host)")
 

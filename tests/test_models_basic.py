@@ -156,3 +156,26 @@ def test_decoder_is_causal():
     # positions predicting tokens 1,2 (i.e. nll[:, :2]) are unaffected
     np.testing.assert_allclose(np.asarray(nll1[:, :2]), np.asarray(nll2[:, :2]), atol=1e-6)
     assert not np.allclose(np.asarray(nll1[:, 2]), np.asarray(nll2[:, 2]))
+
+
+def test_patch_embed_matches_conv():
+    """The matmul formulation of PatchEmbed (round-5 MXU lever) is the same
+    math as the stride-p VALID conv it replaced: identical param tree
+    (HWIO kernel under proj/) and numerically-equal output."""
+    from flax import linen as nn
+
+    from vqattack_tpu.models.layers import PatchEmbed
+
+    p, d = 8, 32
+    pe = PatchEmbed(patch_size=p, hidden_size=d)
+    px = jnp.asarray(np.random.default_rng(0).normal(size=(2, 24, 24, 3)), jnp.float32)
+    params = pe.init(jax.random.key(1), px)
+    k = params["params"]["proj"]["kernel"]
+    b = params["params"]["proj"]["bias"]
+    assert k.shape == (p, p, 3, d) and b.shape == (d,)
+    out = pe.apply(params, px)
+
+    conv = nn.Conv(d, kernel_size=(p, p), strides=(p, p), padding="VALID")
+    ref = conv.apply({"params": {"kernel": k, "bias": b}}, px)
+    ref = ref.reshape(ref.shape[0], -1, d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)

@@ -238,9 +238,43 @@ class ViTBlock(nn.Module):
         return x
 
 
+class _PatchProj(nn.Module):
+    """Parameter container matching ``nn.Conv``'s HWIO kernel layout, so
+    checkpoints written for/by the conv formulation load unchanged."""
+
+    patch_size: int
+    in_chans: int
+    hidden_size: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self) -> tuple:
+        p = self.patch_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (p, p, self.in_chans, self.hidden_size),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.hidden_size,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
 class PatchEmbed(nn.Module):
-    """Conv patchify (NHWC; reference timm ``PatchEmbed`` /
-    ``multiway_transformer.py:204-241``)."""
+    """Patchify + project (reference timm ``PatchEmbed`` /
+    ``multiway_transformer.py:204-241``).
+
+    A stride-p VALID pxp conv is a block-diagonal matmul; expressed as a
+    conv, XLA:TPU ran it at 9-17 TFLOP/s / 23-44 GiB/s (round-5 profile:
+    123 ms of roofline slack per 40-iter b=16 scan, fwd+bwd).  Expressed as
+    space-to-depth + one [p*p*C, D] matmul it tiles onto the MXU like every
+    other projection.  Same math, same HWIO param layout as ``nn.Conv``
+    (checkpoint-compatible); exactness vs the conv pinned in
+    tests/test_models_basic.py::test_patch_embed_matches_conv."""
 
     patch_size: int
     hidden_size: int
@@ -250,13 +284,17 @@ class PatchEmbed(nn.Module):
     @nn.compact
     def __call__(self, pixels: jnp.ndarray) -> jnp.ndarray:
         p = self.patch_size
-        x = nn.Conv(
-            self.hidden_size,
-            kernel_size=(p, p),
-            strides=(p, p),
-            padding="VALID",
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            name="proj",
-        )(pixels)
-        return x.reshape(x.shape[0], -1, self.hidden_size)
+        b, h, w, c = pixels.shape
+        kernel, bias = _PatchProj(
+            p, c, self.hidden_size, self.use_bias, name="proj"
+        )()
+        # [B, H, W, C] -> [B, nh, p, nw, p, C] -> [B, nh*nw, p*p*C]
+        # (patch-row, patch-col, channel) flattening matches the HWIO
+        # kernel's reduction order exactly
+        x = pixels.reshape(b, h // p, p, w // p, p, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, (h // p) * (w // p), p * p * c)
+        x = x.astype(self.dtype)
+        out = x @ kernel.reshape(p * p * c, self.hidden_size).astype(self.dtype)
+        if bias is not None:
+            out = out + bias.astype(self.dtype)
+        return out
